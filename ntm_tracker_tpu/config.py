@@ -1,0 +1,114 @@
+"""Typed configuration for the whole framework.
+
+Replaces the five per-script `tf.app.flags` blocks of the reference
+(direct_offset_output.py:17-50, main.py:24-86, dnc/train.py:27-66,
+preprocess.py:514-526, test_tracker.py:34-56) with one layered dataclass
+config. Defaults follow the reference's primary pipeline
+(direct_offset_output.py:21-49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class NTMConfig:
+    """NTM cell hyper-parameters (ntm_cell.py:18-50, direct_offset_output.py:21-27)."""
+
+    output_dim: int = 2
+    mem_size: int = 128
+    mem_dim: int = 20
+    shift_range: int = 1
+    controller_hidden_size: int = 200
+    controller_num_layers: int = 1
+    read_head_size: int = 4
+    write_head_size: int = 1
+    write_first: bool = False
+    init_scale: float = 0.05  # direct_offset_output.py:42
+
+    @property
+    def num_heads(self) -> int:
+        return self.read_head_size + self.write_head_size
+
+    @property
+    def shift_space(self) -> int:
+        return 2 * self.shift_range + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DNCConfig:
+    """DNC core hyper-parameters (dnc/dnc.py:42-76, direct_offset_output_with_dnc.py:22-30)."""
+
+    output_dim: int = 2
+    memory_size: int = 128
+    word_size: int = 20
+    num_reads: int = 4
+    num_writes: int = 1
+    hidden_size: int = 200
+    clip_value: float = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data-layer geometry (preprocess.py:514-526, direct_offset_output.py:44-46)."""
+
+    cropbox_grid: int = 8
+    bbox_grid: int = 6
+    focus: float = 3.0          # sigma = bbox_grid / focus (preprocess.py:238)
+    gt_width: int = 8           # ground-truth heatmap side (direct_offset_output.py:44)
+    crop_size: int = 224
+    resize_hw: Tuple[int, int] = (720, 1280)
+    deform_threshold: float = 0.5
+    zoom_threshold: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (direct_offset_output.py:30-48,611-626)."""
+
+    batch_size: int = 1
+    sequence_length: int = 20
+    learning_rate: float = 1e-4
+    decay: float = 0.95
+    momentum: float = 0.9
+    epsilon: float = 1e-10      # TF RMSPropOptimizer default
+    max_gradient_norm: float = 5.0
+    num_epochs: int = 1
+    log_interval: int = 10
+    validation_interval: int = 100
+    validation_batch: int = 1
+    seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Assembled experiment config for the offset tracker
+    (direct_offset_output.py / direct_offset_output_with_dnc.py)."""
+
+    core: str = "ntm"  # "ntm" | "dnc"
+    ntm: NTMConfig = dataclasses.field(default_factory=NTMConfig)
+    dnc: DNCConfig = dataclasses.field(default_factory=DNCConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    num_features: int = 64      # 8x8 conv4_3 subsample (receptive_field_sizes.py:135-143)
+    feature_depth: int = 512    # conv4_3 channels
+    # compute dtype for the cell matmuls; params always float32.
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def input_depth(self) -> int:
+        # 512 + frame-delimiter bit + target-indicator bit (test_tracker.py:35)
+        return self.feature_depth + 2
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.num_features + 1
+
+    @property
+    def total_steps(self) -> int:
+        # direct_offset_output.py:460
+        return self.train.sequence_length * self.tokens_per_frame

@@ -1,0 +1,189 @@
+"""The NTM cell as a pure function: (params, state, x) -> (y, logit, state).
+
+Faithful re-expression of the reference `ntm_cell.py` (NTMCell.__call__
+:53-253, zero_state :284-315) with the exact math contracts:
+
+  * one fused linear emits every head parameter
+    (k, beta, g, sw, gamma, erase, add) — ntm_cell.py:113-130
+  * content addressing: cosine(M, tanh(k)) * softplus(beta) -> softmax
+    — ntm_cell.py:133-143
+  * interpolation gate g (sigmoid) against the previous weights
+    — ntm_cell.py:151-156
+  * circular shift with softmaxed kernel and the reference's asymmetric
+    Py2 shift offsets — ntm_cell.py:159-166, ops.py:201-214
+  * sharpening pow(softplus(gamma)+1) with the `+1e-3` normalizer
+    — ntm_cell.py:169-176
+  * erase/add memory update: M = M_prev * prod(1 - w^T e) + sum(w^T a)
+    — ntm_cell.py:193-210
+  * read before (default) or after the write (`write_first`)
+    — ntm_cell.py:212-215
+  * softmaxed output head on the controller output — ntm_cell.py:220-221
+  * learnable initial state: tanh/sigmoid-squashed parameters broadcast
+    over batch — ntm_cell.py:284-315
+
+State is a pytree dict {'M','w','read','controller_state'} mirroring the
+reference's state dict (ntm_cell.py:223-228), so the streaming
+`state_placeholder` contract (:255-282) becomes "pass the pytree back in".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.ops.lstm import init_lstm_params, multi_lstm_step, zero_lstm_state
+from ntm_tracker_tpu.ops.memory import (
+    batched_circular_convolution,
+    batched_smooth_cosine_similarity,
+    sharpen,
+)
+
+NTMState = Dict[str, Any]
+
+
+def _uniform(rng, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, minval=-scale, maxval=scale, dtype=dtype)
+
+
+def head_param_sizes(cfg: NTMConfig) -> Dict[str, int]:
+    """Sizes of the fused head-parameter unpack (ntm_cell.py:113-126)."""
+    h = cfg.num_heads
+    return {
+        "k": cfg.mem_dim * h,
+        "beta": h,
+        "g": h,
+        "sw": cfg.shift_space * h,
+        "gamma": h,
+        "erase": cfg.mem_dim * cfg.write_head_size,
+        "add": cfg.mem_dim * cfg.write_head_size,
+    }
+
+
+def init_ntm_params(rng: jax.Array, cfg: NTMConfig, input_size: int) -> Dict[str, Any]:
+    """Create the parameter pytree.
+
+    input_size is the per-token feature depth BEFORE the read vectors are
+    concatenated (the cell appends read_head_size*mem_dim internally,
+    ntm_cell.py:101-105).
+    """
+    sizes = head_param_sizes(cfg)
+    total_head = sum(sizes.values())
+    controller_in = input_size + cfg.read_head_size * cfg.mem_dim
+    ks = jax.random.split(rng, 8)
+    return {
+        "controller": init_lstm_params(
+            ks[0], controller_in, cfg.controller_hidden_size,
+            cfg.controller_num_layers, cfg.init_scale,
+        ),
+        # fused head-param linear (ntm_cell.py:124-126); bias zeros.
+        "heads_w": _uniform(ks[1], (cfg.controller_hidden_size, total_head), cfg.init_scale),
+        "heads_b": jnp.zeros((total_head,), jnp.float32),
+        # output head (ntm_cell.py:220)
+        "out_w": _uniform(ks[2], (cfg.controller_hidden_size, cfg.output_dim), cfg.init_scale),
+        "out_b": jnp.zeros((cfg.output_dim,), jnp.float32),
+        # learnable initial state, stored raw and squashed in init_ntm_state
+        # (ntm_cell.py:292-308).
+        "init_M": _uniform(ks[3], (cfg.mem_size, cfg.mem_dim), cfg.init_scale),
+        "init_w": _uniform(ks[4], (cfg.num_heads, cfg.mem_size), cfg.init_scale),
+        "init_read": _uniform(ks[5], (cfg.read_head_size, cfg.mem_dim), cfg.init_scale),
+    }
+
+
+def init_ntm_state(params: Dict[str, Any], cfg: NTMConfig, batch: int) -> NTMState:
+    """Learnable initial state broadcast over batch (ntm_cell.py:284-315)."""
+    bcast = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
+    return {
+        "M": bcast(jnp.tanh(params["init_M"])),
+        "w": bcast(jax.nn.sigmoid(params["init_w"])),
+        "read": bcast(jnp.tanh(params["init_read"])),
+        "controller_state": zero_lstm_state(
+            batch, cfg.controller_hidden_size, cfg.controller_num_layers
+        ),
+    }
+
+
+def ntm_cell_step(
+    params: Dict[str, Any],
+    cfg: NTMConfig,
+    inputs: jax.Array,
+    state: NTMState,
+    compute_dtype=None,
+) -> Tuple[jax.Array, jax.Array, NTMState]:
+    """One NTM step.
+
+    Args:
+      inputs: [batch, input_size] serialized token.
+      state: {'M' [B,N,D], 'w' [B,H,N], 'read' [B,R,D], 'controller_state'}.
+    Returns:
+      (output [B,out] softmaxed, logit [B,out], new_state).
+    """
+    M_prev, w_prev, read_prev = state["M"], state["w"], state["read"]
+    B = inputs.shape[0]
+    R, W, H, D = (
+        cfg.read_head_size,
+        cfg.write_head_size,
+        cfg.num_heads,
+        cfg.mem_dim,
+    )
+
+    # controller (ntm_cell.py:101-105)
+    ctrl_in = jnp.concatenate([inputs, read_prev.reshape(B, R * D)], axis=1)
+    ctrl_out, ctrl_state = multi_lstm_step(
+        params["controller"], ctrl_in, state["controller_state"],
+        forget_bias=0.0, compute_dtype=compute_dtype,
+    )
+
+    # fused head-parameter unpack (ntm_cell.py:124-130)
+    mm_dtype = compute_dtype or ctrl_out.dtype
+    memory_controls = (
+        ctrl_out.astype(mm_dtype) @ params["heads_w"].astype(mm_dtype)
+    ).astype(jnp.float32) + params["heads_b"]
+    sizes = head_param_sizes(cfg)
+    splits = []
+    off = 0
+    for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
+        splits.append(memory_controls[:, off : off + sizes[name]])
+        off += sizes[name]
+    k, beta, g, sw, gamma, erase, add = splits
+
+    # addressing (ntm_cell.py:133-176)
+    k = jnp.tanh(k.reshape(B, H, D))
+    similarity = batched_smooth_cosine_similarity(M_prev, k)
+    beta = jax.nn.softplus(beta)[..., None]
+    w_content = jax.nn.softmax(similarity * beta, axis=-1)
+    g = jax.nn.sigmoid(g)[..., None]
+    w_gated = w_content * g + w_prev * (1.0 - g)
+    sw = jax.nn.softmax(sw.reshape(B, H, cfg.shift_space), axis=-1)
+    w_conv = batched_circular_convolution(w_gated, sw)
+    gamma = (jax.nn.softplus(gamma) + 1.0)[..., None]
+    w = sharpen(w_conv, gamma)
+
+    w_read = w[:, :R, :]
+    w_write = w[:, R:, :]
+
+    # erase/add write (ntm_cell.py:193-210)
+    erase = jax.nn.sigmoid(erase.reshape(B, W, D))
+    add = jnp.tanh(add.reshape(B, W, D))
+    # outer products over (mem_size, mem_dim) per write head
+    w_write_e = w_write[..., :, None]  # [B,W,N,1]
+    M_erase = jnp.prod(1.0 - w_write_e * erase[:, :, None, :], axis=1)  # [B,N,D]
+    M_write = jnp.sum(w_write_e * add[:, :, None, :], axis=1)  # [B,N,D]
+    M = M_prev * M_erase + M_write
+
+    # read (ntm_cell.py:212-215)
+    read_src = M if cfg.write_first else M_prev
+    read = jnp.einsum(
+        "brn,bnd->brd", w_read, read_src, preferred_element_type=jnp.float32
+    )
+
+    # output head (ntm_cell.py:220-221)
+    logit = (
+        ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
+    ).astype(jnp.float32) + params["out_b"]
+    output = jax.nn.softmax(logit, axis=-1)
+
+    new_state = {"M": M, "w": w, "read": read, "controller_state": ctrl_state}
+    return output, logit, new_state

@@ -1,0 +1,114 @@
+"""Sequence unroll of the NTM cell — the reference's trackers re-done as scans.
+
+LoopNTMTracker's `tf.while_loop(parallel_iterations=32, swap_memory=True)`
+(ntm_tracker_new.py:34-49) becomes `jax.lax.scan` with optional
+`jax.checkpoint` rematerialization: XLA compiles the scan body once, keeps
+the 128x20 memory state resident in VMEM/HBM, and remat replaces the
+reference's host-RAM activation swap as the length-scaling mechanism
+(SURVEY.md §5.7).
+
+The reference returns stacked per-step outputs/logits (ntm_tracker_new.py:42-44);
+so do we. PlainNTMTracker (Python unroll) is subsumed — a scan is the same
+computation; NTMTracker's two-step present/ask protocol lives in
+`two_step_inputs` below.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.models.ntm_cell import (
+    NTMState,
+    init_ntm_params,
+    init_ntm_state,
+    ntm_cell_step,
+)
+
+
+def ntm_tracker_unroll(
+    params: Dict[str, Any],
+    cfg: NTMConfig,
+    inputs: jax.Array,
+    state: Optional[NTMState] = None,
+    remat: bool = True,
+    compute_dtype=None,
+    unroll: int = 1,
+) -> Tuple[jax.Array, jax.Array, NTMState]:
+    """Run the cell over a serialized token sequence.
+
+    Args:
+      inputs: [batch, steps, input_size]
+      state: optional initial state; defaults to the learnable initial state
+        (ntm_tracker_new.py:15-16).
+    Returns:
+      (outputs [B,T,out], logits [B,T,out], final_state)
+    """
+    B = inputs.shape[0]
+    if state is None:
+        state = init_ntm_state(params, cfg, B)
+
+    def body(carry: NTMState, x_t: jax.Array):
+        out, logit, new_state = ntm_cell_step(params, cfg, x_t, carry, compute_dtype)
+        return new_state, (out, logit)
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    # scan over time: move steps to the leading axis
+    xs = jnp.swapaxes(inputs, 0, 1)  # [T,B,D]
+    final_state, (outputs, logits) = jax.lax.scan(body, state, xs, unroll=unroll)
+    return (
+        jnp.swapaxes(outputs, 0, 1),
+        jnp.swapaxes(logits, 0, 1),
+        final_state,
+    )
+
+
+def make_streaming_step(params, cfg: NTMConfig, compute_dtype=None):
+    """A jittable single-token step for online tracking.
+
+    Replaces the reference's one-sess.run-per-token structure
+    (test_tracker.py:284-299) — callers jit this (or the whole-frame scan in
+    tracking/tracker.py) so state never leaves the device.
+    """
+
+    def step(x, state):
+        return ntm_cell_step(params, cfg, x, state, compute_dtype)
+
+    return step
+
+
+def two_step_inputs(inputs: jax.Array, target: jax.Array) -> jax.Array:
+    """Build the legacy two-step present/ask token stream
+    (ntm_tracker_new.py:149-182): for each frame t>0 the cell first sees
+    (0-switch, frame, 0-target) then (1-switch, 0-frame, 0-target); frame 0
+    is a single (0-switch, frame, target) token.
+
+    Args:
+      inputs: [B, L, D] per-frame features; target: [B, Dt] frame-0 indicator.
+    Returns:
+      [B, 2L-1, 1+D+Dt] token stream.
+    """
+    B, L, D = inputs.shape
+    Dt = target.shape[-1]
+    zero_switch = jnp.zeros((B, 1))
+    one_switch = jnp.ones((B, 1))
+    dummy_input = jnp.zeros((B, D))
+    dummy_target = jnp.zeros((B, Dt))
+
+    toks = [jnp.concatenate([zero_switch, inputs[:, 0], target], axis=1)]
+    for t in range(1, L):
+        toks.append(jnp.concatenate([zero_switch, inputs[:, t], dummy_target], axis=1))
+        toks.append(jnp.concatenate([one_switch, dummy_input, dummy_target], axis=1))
+    return jnp.stack(toks, axis=1)
+
+
+def init_tracker(rng: jax.Array, cfg: NTMConfig, input_size: int):
+    """Convenience: (params, init_state_fn)."""
+    params = init_ntm_params(rng, cfg, input_size)
+    return params, functools.partial(init_ntm_state, params, cfg)

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests use
+xla_force_host_platform_device_count (SURVEY.md §5.8).
+
+NOTE: this machine preimports jax at interpreter startup (PYTHONPATH
+sitecustomize) with JAX_PLATFORMS=axon, so env vars set here are too late.
+Backends initialize lazily though, so jax.config.update still wins as long
+as no computation ran yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# keep float32 matmuls exact on CPU for the numerical-parity suite
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,123 @@
+"""Golden-value and contract tests for the memory ops.
+
+Ports the reference's numerical-parity suite:
+  * cosine similarity against Torch nn.SmoothCosineSimilarity values
+    (ops_test.py:6-37)
+  * circular convolution against a direct index-arithmetic oracle with the
+    reference's Py2 floor-division shift offsets (ops.py:201-214)
+  * sharpening normalizer (ntm_cell.py:169-176)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ntm_tracker_tpu.ops import (
+    batched_circular_convolution,
+    batched_smooth_cosine_similarity,
+    circular_convolution_shifts,
+    circular_shift,
+    sharpen,
+    smooth_cosine_similarity,
+    weighted_softmax,
+)
+
+
+class TestBatchedSmoothCosineSimilarity:
+    def test_golden_values(self):
+        # golden values from ops_test.py:29-34 (computed with torch
+        # nn.SmoothCosineSimilarity in the reference's docstring)
+        memory = jnp.array(
+            [[[1, 2, 3], [2, 2, 2], [3, 2, 1], [0, 2, 4]]], dtype=jnp.float32
+        )
+        keys = jnp.array([[[2, 2, 2], [1, 2, 3]]], dtype=jnp.float32)
+        sim = batched_smooth_cosine_similarity(memory, keys)
+        expected = np.array(
+            [[
+                [0.92574867671153, 0.99991667361053, 0.92574867671153, 0.77454667246876],
+                [0.999928, 0.925749, 0.714235, 0.956126],
+            ]]
+        )
+        np.testing.assert_allclose(np.asarray(sim), expected, rtol=2e-4)
+
+    def test_zero_memory_no_nan(self):
+        memory = jnp.zeros((2, 4, 3))
+        keys = jnp.ones((2, 2, 3))
+        sim = batched_smooth_cosine_similarity(memory, keys)
+        assert not np.any(np.isnan(np.asarray(sim)))
+
+    def test_legacy_form_eps(self):
+        # ops.py:161-178 uses dot/(|m||v| + 1e-3): slightly below 1 for
+        # identical unit vectors.
+        m = jnp.array([[3.0, 4.0]])
+        v = jnp.array([3.0, 4.0])
+        got = smooth_cosine_similarity(m, v)
+        np.testing.assert_allclose(np.asarray(got), [25.0 / (25.0 + 1e-3)], rtol=1e-6)
+
+
+class TestCircularConvolution:
+    def test_shift_offsets_match_py2_floor_division(self):
+        # ops.py:204-206 under Python 2: start = -3/2 = -2
+        assert circular_convolution_shifts(3) == [-2, -1, 0]
+        assert circular_convolution_shifts(5) == [-3, -2, -1, 0, 1]
+
+    def test_circular_shift_semantics(self):
+        # ops.py:216-242: positive shift means X'[i] = X[i+shift]
+        x = jnp.arange(6.0)
+        np.testing.assert_array_equal(np.asarray(circular_shift(x, 2)), [2, 3, 4, 5, 0, 1])
+        np.testing.assert_array_equal(np.asarray(circular_shift(x, -1)), [5, 0, 1, 2, 3, 4])
+
+    def test_against_index_oracle(self):
+        rng = np.random.RandomState(0)
+        B, H, N, S = 2, 5, 16, 3
+        w = rng.rand(B, H, N).astype(np.float32)
+        k = rng.rand(B, H, S).astype(np.float32)
+        k /= k.sum(-1, keepdims=True)
+        got = np.asarray(batched_circular_convolution(jnp.array(w), jnp.array(k)))
+        shifts = circular_convolution_shifts(S)
+        want = np.zeros_like(w)
+        for b in range(B):
+            for h in range(H):
+                for i in range(N):
+                    want[b, h, i] = sum(
+                        k[b, h, j] * w[b, h, (i + s) % N] for j, s in enumerate(shifts)
+                    )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_identity_kernel(self):
+        # with the asymmetric offsets {-2,-1,0}, the "no shift" one-hot is
+        # at index 2 (offset 0)
+        B, H, N = 1, 1, 8
+        w = jnp.arange(N, dtype=jnp.float32).reshape(B, H, N)
+        k = jnp.array([[[0.0, 0.0, 1.0]]])
+        got = batched_circular_convolution(w, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w), atol=1e-6)
+
+
+class TestSharpen:
+    def test_matches_reference_formula(self):
+        rng = np.random.RandomState(1)
+        w = jnp.array(rng.rand(2, 3, 7).astype(np.float32))
+        gamma = jnp.array(1.0 + rng.rand(2, 3, 1).astype(np.float32))
+        got = np.asarray(sharpen(w, gamma))
+        powed = np.power(np.asarray(w), np.asarray(gamma))
+        want = powed / (powed.sum(-1, keepdims=True) + 1e-3)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_gamma_one_near_normalizes(self):
+        w = jnp.ones((1, 1, 4)) * 0.25
+        out = sharpen(w, jnp.ones((1, 1, 1)))
+        np.testing.assert_allclose(np.asarray(out).sum(), 1.0 / (1.0 + 1e-3), rtol=1e-6)
+
+
+class TestWeightedSoftmax:
+    def test_equals_plain_softmax_with_unit_strength(self):
+        # dnc/addressing_test.py:29-53 contract
+        rng = np.random.RandomState(2)
+        acts = jnp.array(rng.randn(3, 4, 10).astype(np.float32))
+        # identity strength op, strength 1 -> plain softmax
+        ws = weighted_softmax(acts, jnp.ones((3, 4)), lambda x: x)
+        np.testing.assert_allclose(
+            np.asarray(ws), np.asarray(jax.nn.softmax(acts, axis=-1)), rtol=1e-5
+        )
