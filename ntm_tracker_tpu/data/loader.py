@@ -1,0 +1,129 @@
+"""Host-side data loader with double-buffered device prefetch.
+
+Replaces the reference's in-graph queue pipeline (FIFOQueue + TextLineReader
++ WholeFileReader + FixedLengthRecordReader, direct_offset_output.py:159-224)
+with the TPU-native split (SURVEY.md §5.8):
+  host thread:   read .txt/.bin records, decode JPEGs (PIL), stack batches
+  device (jit):  resize -> mean-subtract -> crop_and_resize (image_ops.py)
+  prefetch:      a background thread keeps `prefetch` batches ahead,
+                 jax.device_put-ing while the train step runs.
+
+A batch covers batch_size sequences x seq_len frames, flattened to
+[B*L, ...] like the reference's get_input(batch*seq_len).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from ntm_tracker_tpu.data.preprocess import read_frame_record
+
+
+class FrameBatch(NamedTuple):
+    images: np.ndarray     # [B*L, H, W, 3] uint8 decoded frames (pre-resize)
+    cropboxes: np.ndarray  # [B*L, 4] float32
+    gts: np.ndarray        # [B*L, gt, gt] float32
+    y_offsets: np.ndarray  # [B*L] float32
+    x_offsets: np.ndarray  # [B*L] float32
+
+
+def _decode_image(path: str, resize_hw=None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if resize_hw is not None:
+        # host-side fallback resize (bilinear); the canonical path resizes
+        # on device with TF1 semantics (image_ops.tf1_resize_bilinear)
+        img = img.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def load_frame_batch(
+    frame_paths: Sequence[str],
+    gt_width: int = 8,
+    reverse_image: bool = False,
+    decode_resize_hw=(720, 1280),
+) -> FrameBatch:
+    """Load B*L frame records + images (host side).
+
+    reverse_image mirrors the reference's horizontal-flip augmentation
+    (direct_offset_output.py:186-187,203-204): x offsets negate; the image
+    flip itself happens device-side after cropping.
+    """
+    imgs, crops, gts, yo, xo = [], [], [], [], []
+    for p in frame_paths:
+        rec = read_frame_record(p, gt_width)
+        imgs.append(_decode_image(rec["image_path"], decode_resize_hw))
+        crops.append(rec["cropbox"])
+        gts.append(rec["gt"])
+        yo.append(rec["y_offset"])
+        xo.append(-rec["x_offset"] if reverse_image else rec["x_offset"])
+    return FrameBatch(
+        images=np.stack(imgs),
+        cropboxes=np.asarray(crops, np.float32),
+        gts=np.stack(gts).astype(np.float32),
+        y_offsets=np.asarray(yo, np.float32),
+        x_offsets=np.asarray(xo, np.float32),
+    )
+
+
+class PrefetchIterator:
+    """Wrap a batch iterator with a background prefetch thread + device_put."""
+
+    def __init__(self, it: Iterator, prefetch: int = 2, device_put=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._sentinel = object()
+        self._device_put = device_put
+
+        def worker():
+            try:
+                for item in it:
+                    if device_put is not None:
+                        item = device_put(item)
+                    self._q.put(item)
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            raise StopIteration
+        return item
+
+
+def batch_iterator(
+    seqs,
+    batch_size: int,
+    gt_width: int = 8,
+    shuffle: bool = True,
+    seed: int = 42,
+    reverse_image: bool = False,
+    epochs: int = 1,
+):
+    """Yield FrameBatch per training step, like the reference's epoch loop
+    (direct_offset_output.py:292-353)."""
+    from ntm_tracker_tpu.data.sequences import sevenbyseven_get_batch
+    import random as _random
+
+    rng = _random.Random(seed)
+    seqs = list(seqs)
+    usable = len(seqs) // batch_size * batch_size
+    for _ in range(epochs):
+        if shuffle:
+            rng.shuffle(seqs)
+        index = 0
+        while index < usable:
+            frame_names, index = sevenbyseven_get_batch(index, batch_size, seqs)
+            yield load_frame_batch(
+                frame_names, gt_width, reverse_image=reverse_image
+            )

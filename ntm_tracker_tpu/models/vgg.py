@@ -1,0 +1,184 @@
+"""Frozen VGG-16 feature extractor (conv1_1 .. conv4_3) in JAX.
+
+Replaces the reference's freeze_vgg.py / vgg_16_frozen.pb machinery
+(vgg.py:125-185, freeze_vgg.py:4-16, README.md:24-30): "frozen" here simply
+means `jax.lax.stop_gradient` on the features and the VGG params living
+outside the optimizer state. Only the conv1-conv4_3 prefix is built — the
+reference imports exactly the 'vgg_16/conv4/conv4_3/Relu:0' endpoint
+(direct_offset_output.py:421-422); other endpoints are exposed via
+`feature_layer` for parity with main.py:55-56.
+
+TPU notes:
+  * NHWC layout, 3x3 SAME convs — XLA maps these straight onto the MXU and
+    fuses the ReLUs; bfloat16 compute with float32 accumulate
+    (preferred_element_type) is the fast path.
+  * The 8x8 token gather (receptive_field_sizes.py:135-143) is a strided
+    slice `[:, 6:21:2, 6:21:2, :]` — the conv43Points grid is exactly that,
+    row-major — which XLA folds into the preceding conv's output layout.
+
+Weight loading: TF is not a dependency. `load_params_npz` reads a .npz of
+slim-named arrays ('vgg_16/conv1/conv1_1/weights', HWIO layout), which is
+what a one-off offline conversion of the public vgg_16.ckpt produces;
+`load_params_torch` maps a torchvision VGG16 state_dict (OIHW -> HWIO).
+Random init otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, out_channels, followed_by_pool)
+VGG16_PREFIX: List[Tuple[str, int, bool]] = [
+    ("conv1/conv1_1", 64, False),
+    ("conv1/conv1_2", 64, True),
+    ("conv2/conv2_1", 128, False),
+    ("conv2/conv2_2", 128, True),
+    ("conv3/conv3_1", 256, False),
+    ("conv3/conv3_2", 256, False),
+    ("conv3/conv3_3", 256, True),
+    ("conv4/conv4_1", 512, False),
+    ("conv4/conv4_2", 512, False),
+    ("conv4/conv4_3", 512, False),
+]
+
+# VGG preprocessing mean, RGB (direct_offset_output.py:58-59)
+VGG_MEAN = np.array([123.68, 116.78, 103.94], dtype=np.float32)
+
+# The fixed 64-point subsample of the 28x28 conv4_3 map used as NTM tokens
+# (receptive_field_sizes.py:135-143): 8x8 grid, stride 2, from (6,6) to (20,20).
+CONV43_POINTS: List[Tuple[int, int]] = [
+    (y, x) for y in range(6, 21, 2) for x in range(6, 21, 2)
+]
+
+
+def init_vgg_params(rng: jax.Array, dtype=jnp.float32) -> Dict[str, Dict[str, jax.Array]]:
+    """He-normal random init (for tests / training-from-scratch)."""
+    params: Dict[str, Dict[str, jax.Array]] = {}
+    in_ch = 3
+    for name, out_ch, _ in VGG16_PREFIX:
+        rng, kr = jax.random.split(rng)
+        fan_in = 3 * 3 * in_ch
+        w = jax.random.normal(kr, (3, 3, in_ch, out_ch), dtype) * jnp.sqrt(2.0 / fan_in)
+        params[name] = {"weights": w, "biases": jnp.zeros((out_ch,), dtype)}
+        in_ch = out_ch
+    return params
+
+
+def load_params_npz(path: str) -> Dict[str, Dict[str, jax.Array]]:
+    """Load from a .npz with slim checkpoint names:
+    'vgg_16/<block>/<layer>/weights' [3,3,in,out] and '/biases' [out]."""
+    data = np.load(path)
+    params = {}
+    for name, out_ch, _ in VGG16_PREFIX:
+        w = data[f"vgg_16/{name}/weights"]
+        b = data[f"vgg_16/{name}/biases"]
+        assert w.shape[-1] == out_ch, (name, w.shape)
+        params[name] = {"weights": jnp.asarray(w, jnp.float32),
+                        "biases": jnp.asarray(b, jnp.float32)}
+    return params
+
+
+def load_params_torch(state_dict) -> Dict[str, Dict[str, jax.Array]]:
+    """Map a torchvision vgg16 state_dict (features.N.weight, OIHW) onto the
+    slim-prefix layout. Useful when only torch weights are on disk."""
+    # torchvision vgg16 'features' conv indices for the conv1..conv4_3 prefix
+    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    params = {}
+    for (name, out_ch, _), ti in zip(VGG16_PREFIX, torch_idx):
+        w = np.asarray(state_dict[f"features.{ti}.weight"])  # [O,I,H,W]
+        b = np.asarray(state_dict[f"features.{ti}.bias"])
+        assert w.shape[0] == out_ch, (name, w.shape)
+        params[name] = {
+            "weights": jnp.asarray(w.transpose(2, 3, 1, 0), jnp.float32),  # HWIO
+            "biases": jnp.asarray(b, jnp.float32),
+        }
+    return params
+
+
+def _conv_relu(x: jax.Array, w: jax.Array, b: jax.Array, compute_dtype=None) -> jax.Array:
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.nn.relu(y + b)
+
+
+def _max_pool_2x2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def vgg16_features(
+    params: Dict[str, Dict[str, jax.Array]],
+    images: jax.Array,
+    endpoint: str = "conv4/conv4_3",
+    compute_dtype=None,
+    freeze: bool = True,
+) -> jax.Array:
+    """Run the VGG prefix on mean-subtracted images [B,H,W,3] (NHWC).
+
+    Returns the ReLU activation at `endpoint` ([B,28,28,512] for conv4_3 at
+    224 input). With freeze=True the result is stop_gradient-ed — the
+    reference's frozen-graph import makes VGG constants
+    (direct_offset_output.py:417-422)."""
+    x = images
+    for name, _, has_pool in VGG16_PREFIX:
+        p = params[name]
+        x = _conv_relu(x, p["weights"], p["biases"], compute_dtype)
+        if name == endpoint:
+            break
+        if has_pool:
+            x = _max_pool_2x2(x)
+    x = x.astype(jnp.float32)
+    if freeze:
+        x = jax.lax.stop_gradient(x)
+    return x
+
+
+def extract_features(feature_map: jax.Array, points: Sequence[Tuple[int, int]] = tuple(CONV43_POINTS)) -> jax.Array:
+    """Gather the 64 grid points into tokens [B, 64, C]
+    (extract_features, direct_offset_output.py:392-399).
+
+    For the canonical conv43 grid this is a strided slice; arbitrary point
+    lists fall back to a gather."""
+    pts = list(points)
+    if pts == CONV43_POINTS:
+        sub = feature_map[:, 6:21:2, 6:21:2, :]  # [B,8,8,C] row-major == point order
+        B, h, w, C = sub.shape
+        return sub.reshape(B, h * w, C)
+    ys = jnp.array([p[0] for p in pts])
+    xs = jnp.array([p[1] for p in pts])
+    return feature_map[:, ys, xs, :]
+
+
+def receptive_field(net_def=None, input_size: int = 224):
+    """Receptive field / absolute stride / blob size per layer
+    (receptive_field_sizes.py:20-30). Dev utility kept for parity."""
+    if net_def is None:
+        net_def = [
+            (3, 1, 1, "conv1_1"), (3, 1, 1, "conv1_2"), (2, 2, 0, "pool1"),
+            (3, 1, 1, "conv2_1"), (3, 1, 1, "conv2_2"), (2, 2, 0, "pool2"),
+            (3, 1, 1, "conv3_1"), (3, 1, 1, "conv3_2"), (3, 1, 1, "conv3_3"),
+            (2, 2, 0, "pool3"),
+            (3, 1, 1, "conv4_1"), (3, 1, 1, "conv4_2"), (3, 1, 1, "conv4_3"),
+        ]
+    r, s = 1, 1
+    rows = [(1, 1, input_size, "data")]
+    size = input_size
+    for k, rs, p, name in net_def:
+        r = r + (k - 1) * s
+        s = s * rs
+        size = (size - k + 2 * p) // rs + 1
+        rows.append((r, s, size, name))
+    return rows

@@ -1,0 +1,95 @@
+"""VGG-16 prefix tests: shapes, endpoint, token gather, weight-loading maps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntm_tracker_tpu.models.vgg import (
+    CONV43_POINTS,
+    VGG16_PREFIX,
+    extract_features,
+    init_vgg_params,
+    load_params_npz,
+    load_params_torch,
+    receptive_field,
+    vgg16_features,
+)
+
+
+class TestVGG:
+    def test_conv43_points_match_reference_grid(self):
+        # receptive_field_sizes.py:135-143: 8x8, stride 2, (6,6)..(20,20)
+        assert len(CONV43_POINTS) == 64
+        assert CONV43_POINTS[0] == (6, 6)
+        assert CONV43_POINTS[7] == (6, 20)
+        assert CONV43_POINTS[-1] == (20, 20)
+
+    def test_feature_shapes_at_224(self):
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 224, 224, 3))
+        f = vgg16_features(params, x)
+        assert f.shape == (1, 28, 28, 512)
+
+    def test_endpoint_selection(self):
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 64, 64, 3))
+        f = vgg16_features(params, x, endpoint="conv3/conv3_3")
+        assert f.shape == (1, 16, 16, 256)
+
+    def test_frozen_blocks_gradient(self):
+        params = init_vgg_params(jax.random.PRNGKey(1))
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+
+        def loss(xi):
+            return jnp.sum(vgg16_features(params, xi, endpoint="conv1/conv1_2"))
+
+        g = jax.grad(loss)(x)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_extract_features_slice_equals_gather(self):
+        fm = jax.random.normal(jax.random.PRNGKey(3), (2, 28, 28, 5))
+        fast = extract_features(fm)
+        ys = jnp.array([p[0] for p in CONV43_POINTS])
+        xs = jnp.array([p[1] for p in CONV43_POINTS])
+        slow = fm[:, ys, xs, :]
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=0)
+        assert fast.shape == (2, 64, 5)
+
+    def test_torch_state_dict_mapping(self):
+        # fabricate a torchvision-shaped state_dict and check layout mapping
+        rng = np.random.RandomState(4)
+        sd = {}
+        torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+        in_ch = 3
+        for (name, out_ch, _), ti in zip(VGG16_PREFIX, torch_idx):
+            sd[f"features.{ti}.weight"] = rng.randn(out_ch, in_ch, 3, 3).astype(np.float32)
+            sd[f"features.{ti}.bias"] = rng.randn(out_ch).astype(np.float32)
+            in_ch = out_ch
+        params = load_params_torch(sd)
+        w = np.asarray(params["conv1/conv1_1"]["weights"])
+        assert w.shape == (3, 3, 3, 64)  # HWIO
+        np.testing.assert_allclose(
+            w[1, 2, 0, 5], sd["features.0.weight"][5, 0, 1, 2]
+        )
+
+    def test_npz_round_trip(self, tmp_path):
+        params = init_vgg_params(jax.random.PRNGKey(5))
+        flat = {}
+        for name, p in params.items():
+            flat[f"vgg_16/{name}/weights"] = np.asarray(p["weights"])
+            flat[f"vgg_16/{name}/biases"] = np.asarray(p["biases"])
+        path = str(tmp_path / "vgg.npz")
+        np.savez(path, **flat)
+        loaded = load_params_npz(path)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["conv4/conv4_3"]["weights"]),
+            np.asarray(params["conv4/conv4_3"]["weights"]),
+        )
+
+    def test_receptive_field_conv43(self):
+        rows = receptive_field(input_size=224)
+        last = rows[-1]
+        # conv4_3: blob 28, absolute stride 8 (receptive_field_sizes math)
+        assert last[3] == "conv4_3"
+        assert last[2] == 28
+        assert last[1] == 8
