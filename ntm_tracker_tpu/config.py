@@ -96,6 +96,9 @@ class TrackerConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     num_features: int = 64      # 8x8 conv4_3 subsample (receptive_field_sizes.py:135-143)
     feature_depth: int = 512    # conv4_3 channels
+    # (y,x) grid points on the endpoint feature map; None = the canonical
+    # conv43Points 8x8 grid. Tests with small crops override this.
+    feature_points: Optional[Tuple[Tuple[int, int], ...]] = None
     # compute dtype for the cell matmuls; params always float32.
     compute_dtype: jnp.dtype = jnp.float32
 

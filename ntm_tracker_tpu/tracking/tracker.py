@@ -1,0 +1,174 @@
+"""Streaming online tracker: one device call per frame.
+
+Re-architecture of the reference's test_tracker.py NTMTracker (:104-405).
+The reference steps the cell ONE TOKEN PER sess.run — 65 host round-trips
+per frame (:284-299). Here the whole frame is a single jitted call:
+
+    frame_step: (crop [B,224,224,3], state) ->
+        VGG conv4_3 -> 64 tokens -> [delimiter; tokens] stream
+        -> lax.scan 65 cell steps -> tanh(last logit) = (dy, dx), new state
+
+so the state never leaves HBM and the VGG + 65 cell steps fuse into one XLA
+program. The bbox decode / re-crop geometry stays on host (cheap scalar
+math, data-dependent on the image size): _get_bbox/_decode_bbox/_update_bbox
+(test_tracker.py:252-329).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntm_tracker_tpu.config import TrackerConfig
+from ntm_tracker_tpu.data import geometry
+from ntm_tracker_tpu.data.image_ops import crop_and_resize
+from ntm_tracker_tpu.models.core import MemoryCore, make_core
+from ntm_tracker_tpu.models.vgg import VGG_MEAN, extract_features, vgg16_features
+
+
+def build_frame_step(
+    cfg: TrackerConfig,
+    core: MemoryCore,
+    vgg_params: Any,
+    params: Any,
+    donate_state: bool = True,
+):
+    """Create the jitted whole-frame step.
+
+    Returns step(crops [B,H,W,3] raw RGB, cropbox-relative gt or None, state)
+      -> (offsets [B,2], new state).
+    The `first` variant carries the frame-0 gt indicator channel
+    (test_tracker.py:384-394).
+    """
+    F = cfg.num_features
+    C = cfg.feature_depth
+
+    def tokens_of(crops: jax.Array) -> jax.Array:
+        feats = vgg16_features(vgg_params, crops, compute_dtype=cfg.compute_dtype)
+        if cfg.feature_points is None:
+            return extract_features(feats)
+        return extract_features(feats, list(cfg.feature_points))
+
+    def frame_fn(crops: jax.Array, gt: Optional[jax.Array], state):
+        # crops are already mean-subtracted (the reference subtracts the VGG
+        # mean BEFORE crop_and_resize so out-of-image extrapolation is 0 in
+        # network space, test_tracker.py:350-354)
+        B = crops.shape[0]
+        toks = tokens_of(crops.astype(jnp.float32))
+        # channel layout [C | delimiter | target]; delimiter token FIRST
+        # (test_tracker.py:400-404)
+        tgt = jnp.zeros((B, F, 1)) if gt is None else gt.reshape(B, F, 1)
+        feat = jnp.concatenate([toks, jnp.zeros((B, F, 1)), tgt], axis=2)
+        delim = jnp.zeros((B, 1, C + 2)).at[:, 0, C].set(1.0)
+        stream = jnp.concatenate([delim, feat], axis=1)  # [B, F+1, C+2]
+
+        def body(carry, x_t):
+            logit, new_state = core.step(params, x_t, carry)
+            return new_state, logit
+
+        final_state, logits = jax.lax.scan(body, state, jnp.swapaxes(stream, 0, 1))
+        # outputs[-1] = last token's logit (test_tracker.py:274-282)
+        offsets = jnp.tanh(logits[-1])
+        return offsets, final_state
+
+    donate = (2,) if donate_state else ()
+    step_first = jax.jit(
+        lambda crops, gt, state: frame_fn(crops, gt, state), donate_argnums=donate
+    )
+    step_rest = jax.jit(
+        lambda crops, state: frame_fn(crops, None, state),
+        donate_argnums=(1,) if donate_state else (),
+    )
+    return step_first, step_rest
+
+
+@dataclasses.dataclass
+class StreamingTracker:
+    """Host-side tracking loop: crop geometry + device frame steps.
+
+    Mirrors test_tracker.NTMTracker's protocol: init with the first frame +
+    region, then track(image) per frame, recropping around the previous
+    prediction each time (:301-329)."""
+
+    cfg: TrackerConfig
+    vgg_params: Any
+    params: Any
+    core: MemoryCore = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.core is None:
+            self.core = make_core(self.cfg)
+        self._step_first, self._step_rest = build_frame_step(
+            self.cfg, self.core, self.vgg_params, self.params, donate_state=True
+        )
+        d = self.cfg.data
+        # mean-subtract BEFORE cropping (test_tracker.py:350-354)
+        self._crop_jit = jax.jit(
+            lambda img, box: crop_and_resize(
+                (img.astype(jnp.float32) - jnp.asarray(VGG_MEAN))[None],
+                box[None], (d.crop_size, d.crop_size),
+            )[0]
+        )
+
+    # -- geometry (host) ---------------------------------------------------
+    def _update_bbox(self, image_size, region_xywh):
+        x1, y1, w, h = region_xywh
+        normalized = x1 < 1 and y1 < 1 and w < 1 and h < 1
+        bbox = (y1, x1, y1 + h, x1 + w)
+        width, height = image_size
+        self.normalized_bbox = (
+            bbox if normalized else geometry.normalize_bbox((width, height), bbox)
+        )
+        d = self.cfg.data
+        self.cropbox = geometry.calculate_cropbox(
+            self.normalized_bbox, d.cropbox_grid, d.bbox_grid
+        )
+        self.transformation = geometry.calculate_transformation(self.cropbox)
+
+    def _decode_bbox(self, normalized_bbox):
+        y1, x1, y2, x2 = geometry.apply_transformation(
+            normalized_bbox, np.linalg.inv(self.transformation)
+        )
+        w, h = self.image_size
+        return (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)  # x,y,w,h pixels
+
+    # -- protocol ------------------------------------------------------------
+    def init(self, image: np.ndarray, region_xywh) -> None:
+        """First frame: build state, present the target-indicated frame."""
+        h, w, _ = image.shape
+        self.image_size = (w, h)
+        self._update_bbox(self.image_size, region_xywh)
+        d = self.cfg.data
+        crop = self._crop_jit(
+            jnp.asarray(image), jnp.asarray(self.cropbox, jnp.float32)
+        )
+        # gt grid side = sqrt(num_features): equals cropbox_grid (8) in the
+        # full config (test_tracker.py:390-393); kept general for tests
+        gt_side = int(round(self.cfg.num_features ** 0.5))
+        gt = geometry.generate_gt(
+            geometry.apply_transformation(self.normalized_bbox, self.transformation),
+            gt_side, max(1, gt_side * d.bbox_grid // d.cropbox_grid),
+        ).astype(np.float32)
+        state = self.core.init_state(self.params, 1)
+        _, self.state = self._step_first(
+            crop[None], jnp.asarray(gt.reshape(1, -1)), state
+        )
+
+    def track(self, image: np.ndarray):
+        """One frame: crop around the previous box, step, decode, re-crop."""
+        crop = self._crop_jit(
+            jnp.asarray(image), jnp.asarray(self.cropbox, jnp.float32)
+        )
+        offsets, self.state = self._step_rest(crop[None], self.state)
+        dy, dx = np.asarray(offsets[0])
+        d = self.cfg.data
+        init_bbox = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
+        new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
+        region = self._decode_bbox(new_bbox)
+        self._update_bbox(self.image_size, region)
+        return region

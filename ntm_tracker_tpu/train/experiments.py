@@ -1,0 +1,178 @@
+"""Experiment builders: the offset tracker (NTM or DNC core) and the
+copy-paste sanity task.
+
+The graph-construction of the reference's L5 layer (ntm_offsets,
+direct_offset_output.py:401-653; DNC twin :399-621; copy_paste,
+main.py:1540-1644) re-expressed as pure loss/step functions the harness
+jits over a mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ntm_tracker_tpu.config import NTMConfig, TrackerConfig
+from ntm_tracker_tpu.data.image_ops import preprocess_frame
+from ntm_tracker_tpu.models.core import MemoryCore, make_core
+from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+from ntm_tracker_tpu.models.ntm_cell import init_ntm_params
+from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
+from ntm_tracker_tpu.train.optim import reference_optimizer
+from ntm_tracker_tpu.train.serialize import (
+    gather_delimiter_outputs,
+    offsets_loss,
+    serialize_tokens,
+)
+
+
+@dataclasses.dataclass
+class OffsetExperiment:
+    """The primary pipeline: VID crops -> VGG tokens -> memory core ->
+    per-frame (dy,dx) offsets with L2-on-tanh loss."""
+
+    cfg: TrackerConfig
+    vgg_params: Any
+    core: MemoryCore = None  # type: ignore[assignment]
+    image_mode: str = "cropped"  # "raw" | "resized" | "cropped"
+
+    def __post_init__(self):
+        if self.core is None:
+            self.core = make_core(self.cfg)
+
+    # ---- parameter/optimizer construction -------------------------------
+    def init(self, rng: jax.Array):
+        params = self.core.init_params(rng, self.cfg.input_depth)
+        opt = self.optimizer()
+        return params, opt.init(params)
+
+    def optimizer(self) -> optax.GradientTransformation:
+        t = self.cfg.train
+        eps = 1e-10
+        return reference_optimizer(
+            t.learning_rate, t.decay, t.momentum, eps, t.max_gradient_norm
+        )
+
+    # ---- forward pieces --------------------------------------------------
+    def images_to_crops(self, images: jax.Array, cropboxes: jax.Array) -> jax.Array:
+        """[B*L, H, W, 3] raw/resized frames -> [B*L, 224, 224, 3] crops."""
+        d = self.cfg.data
+        if self.image_mode == "cropped":
+            return images.astype(jnp.float32)
+        do_resize = self.image_mode == "raw"
+        fn = lambda im, cb: preprocess_frame(
+            im, cb, resize_hw=d.resize_hw, crop_size=d.crop_size,
+            do_resize=do_resize,
+        )
+        return jax.vmap(fn)(images, cropboxes)
+
+    def crops_to_tokens(self, crops: jax.Array) -> jax.Array:
+        """[B*L,224,224,3] -> [B, L, 64, 512] frozen VGG tokens."""
+        feats = vgg16_features(
+            self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
+        )
+        if self.cfg.feature_points is None:
+            toks = extract_features(feats)  # [B*L, 64, 512]
+        else:
+            toks = extract_features(feats, list(self.cfg.feature_points))
+        L = self.cfg.train.sequence_length
+        B = toks.shape[0] // L
+        return toks.reshape(B, L, self.cfg.num_features, self.cfg.feature_depth)
+
+    def loss_fn(self, params: Any, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict]:
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        features = self.crops_to_tokens(crops)
+        B = features.shape[0]
+        gts = batch["gts"].reshape(B, L, cfg.num_features)
+        tokens = serialize_tokens(features, gts[:, 0, :])
+        logits, _ = self.core.unroll(params, tokens)
+        offsets = jnp.stack(
+            [batch["y_offsets"], batch["x_offsets"]], axis=1
+        ).reshape(B, L, 2)
+        loss = offsets_loss(logits, offsets, cfg.num_features)
+        preds = jnp.tanh(gather_delimiter_outputs(logits, cfg.num_features))
+        return loss, {"loss": loss, "pred_offsets": preds}
+
+    # ---- steps -----------------------------------------------------------
+    def make_train_step(self) -> Callable:
+        opt = self.optimizer()
+
+        def train_step(params, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss}
+
+        return train_step
+
+    def make_eval_step(self) -> Callable:
+        def eval_step(params, batch):
+            loss, aux = self.loss_fn(params, batch)
+            return aux
+
+        return eval_step
+
+
+def synthetic_offset_batch(
+    cfg: TrackerConfig, rng: np.random.RandomState, image_mode: str = "cropped"
+) -> Dict[str, np.ndarray]:
+    """A fabricated batch with the loader's layout — for tests and for the
+    throughput benchmark (no ILSVRC on disk)."""
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    d = cfg.data
+    n = B * L
+    if image_mode == "cropped":
+        images = rng.rand(n, d.crop_size, d.crop_size, 3).astype(np.float32) * 50
+    elif image_mode == "resized":
+        images = (rng.rand(n, *d.resize_hw, 3) * 255).astype(np.float32)
+    else:
+        images = (rng.rand(n, 360, 640, 3) * 255).astype(np.float32)
+    gts = rng.rand(n, d.gt_width, d.gt_width).astype(np.float32)
+    gts /= gts.sum(axis=(1, 2), keepdims=True)
+    return {
+        "images": images,
+        "cropboxes": np.tile(
+            np.array([0.2, 0.2, 0.8, 0.8], np.float32), (n, 1)
+        ),
+        "gts": gts,
+        "y_offsets": (rng.rand(n).astype(np.float32) - 0.5) * 0.4,
+        "x_offsets": (rng.rand(n).astype(np.float32) - 0.5) * 0.4,
+    }
+
+
+# ---------------------------------------------------------------------------
+# copy-paste sanity task (main.py:1540-1644): present a random bit pattern,
+# then a delimiter, then ask the NTM to reproduce it. Validates the memory
+# core independently of tracking.
+# ---------------------------------------------------------------------------
+
+def make_copy_paste_batch(
+    rng: np.random.RandomState, batch: int, width: int, length: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (inputs [B, 2L+1, width+1], labels [B, 2L+1, width+1])."""
+    bits = rng.randint(0, 2, size=(batch, width, length)).astype(np.float32)
+    inp = np.concatenate([bits, np.zeros((batch, 1, length), np.float32)], 1)
+    delim = np.concatenate(
+        [np.zeros((batch, width, 1), np.float32), np.ones((batch, 1, 1), np.float32)], 1
+    )
+    pad = np.zeros_like(inp)
+    labels = np.concatenate([pad, np.zeros_like(delim), inp], 2)
+    inputs = np.concatenate([inp, delim, pad], 2)
+    return inputs.transpose(0, 2, 1), labels.transpose(0, 2, 1)
+
+
+def copy_paste_loss(params, cfg: NTMConfig, inputs, labels):
+    """log loss on sigmoids (tf.losses.log_loss, main.py:1612)."""
+    _, logits, _ = ntm_tracker_unroll(params, cfg, inputs)
+    p = jax.nn.sigmoid(logits)
+    eps = 1e-7
+    return -jnp.mean(labels * jnp.log(p + eps) + (1 - labels) * jnp.log(1 - p + eps))

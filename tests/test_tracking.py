@@ -1,0 +1,141 @@
+"""Streaming tracker + VOT adapter tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntm_tracker_tpu.config import DataConfig, NTMConfig, TrackerConfig, TrainConfig
+from ntm_tracker_tpu.models.core import make_core
+from ntm_tracker_tpu.models.vgg import init_vgg_params
+from ntm_tracker_tpu.tracking import vot
+from ntm_tracker_tpu.tracking.tracker import StreamingTracker, build_frame_step
+
+
+def tiny_cfg():
+    return TrackerConfig(
+        core="ntm",
+        ntm=NTMConfig(output_dim=2, mem_size=16, mem_dim=8,
+                      controller_hidden_size=32, read_head_size=2),
+        data=DataConfig(crop_size=32, resize_hw=(48, 64), gt_width=2),
+        train=TrainConfig(batch_size=1, sequence_length=2),
+        num_features=4,
+        feature_points=((1, 1), (1, 2), (2, 1), (2, 2)),
+    )
+
+
+class TestFrameStep:
+    def test_one_call_per_frame(self):
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        step_first, step_rest = build_frame_step(cfg, core, vgg, params,
+                                                 donate_state=False)
+        crops = jnp.zeros((2, 32, 32, 3))
+        state = core.init_state(params, 2)
+        gt = jnp.ones((2, cfg.num_features)) / cfg.num_features
+        off1, state = step_first(crops, gt, state)
+        off2, state = step_rest(crops, state)
+        assert off1.shape == (2, 2) and off2.shape == (2, 2)
+        assert np.all(np.abs(np.asarray(off2)) <= 1.0)  # tanh range
+
+    def test_target_channel_changes_result(self):
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        step_first, step_rest = build_frame_step(cfg, core, vgg, params,
+                                                 donate_state=False)
+        crops = jnp.ones((1, 32, 32, 3)) * 10
+        s0 = core.init_state(params, 1)
+        gt_a = jnp.zeros((1, 4)).at[0, 0].set(1.0)
+        gt_b = jnp.zeros((1, 4)).at[0, 3].set(1.0)
+        _, sa = step_first(crops, gt_a, s0)
+        _, sb = step_first(crops, gt_b, core.init_state(params, 1))
+        oa, _ = step_rest(crops, sa)
+        ob, _ = step_rest(crops, sb)
+        assert not np.allclose(np.asarray(oa), np.asarray(ob))
+
+
+class TestStreamingTracker:
+    def test_track_loop_geometry(self):
+        cfg = tiny_cfg()
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        core = make_core(cfg)
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        tracker = StreamingTracker(cfg, vgg, params, core)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+        tracker.init(img, (60.0, 40.0, 40.0, 30.0))  # x,y,w,h pixels
+        regions = [tracker.track(img) for _ in range(3)]
+        for x, y, w, h in regions:
+            # untrained net: offsets in (-1,1) -> region stays finite and
+            # the box size is preserved by the offset-only decode
+            assert np.isfinite([x, y, w, h]).all()
+            np.testing.assert_allclose(w, 40.0, rtol=0.05)
+            np.testing.assert_allclose(h, 30.0, rtol=0.05)
+
+    def test_zero_offset_keeps_box(self):
+        """If the net outputs ~0 offsets, the region round-trips through the
+        crop/decode geometry up to the reference's own normalize/denormalize
+        mismatch: normalize_bbox divides by (dim-1) (preprocess.py:73-79)
+        while _decode_bbox multiplies by dim (test_tracker.py:271), so each
+        frame scales the box by dim/(dim-1). We reproduce that exactly."""
+        cfg = tiny_cfg()
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        core = make_core(cfg)
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        # zero the output head -> tanh(0) = 0 offsets
+        params["out_w"] = jnp.zeros_like(params["out_w"])
+        params["out_b"] = jnp.zeros_like(params["out_b"])
+        tracker = StreamingTracker(cfg, vgg, params, core)
+        img = np.zeros((100, 200, 3), np.uint8)
+        region0 = (80.0, 30.0, 50.0, 40.0)
+        tracker.init(img, region0)
+        region1 = tracker.track(img)
+        h, w = img.shape[:2]
+        expected = (
+            region0[0] * w / (w - 1),
+            region0[1] * h / (h - 1),
+            region0[2] * w / (w - 1),
+            region0[3] * h / (h - 1),
+        )
+        np.testing.assert_allclose(region1, expected, atol=1e-3)
+
+
+class TestVOT:
+    def test_file_mode_round_trip(self, tmp_path):
+        wd = str(tmp_path)
+        (tmp_path / "images.txt").write_text("a.jpg\nb.jpg\nc.jpg\n")
+        (tmp_path / "region.txt").write_text("10,20,30,40")
+        handle = vot.VOT("rectangle", workdir=wd)
+        region = handle.region()
+        assert region == vot.Rectangle(10, 20, 30, 40)
+        frames = []
+        while True:
+            f = handle.frame()
+            if f is None:
+                break
+            frames.append(f)
+            handle.report(vot.Rectangle(1, 2, 3, 4))
+        assert frames == ["a.jpg", "b.jpg", "c.jpg"]
+        handle.quit()
+        out = (tmp_path / "output.txt").read_text().strip().splitlines()
+        assert out == ["1,2,3,4"] * 3
+
+    def test_polygon_conversion(self):
+        poly = vot.Polygon([vot.Point(0, 0), vot.Point(4, 0), vot.Point(4, 2), vot.Point(0, 2)])
+        rect = vot.convert_region(poly, "rectangle")
+        assert rect == vot.Rectangle(0, 0, 4, 2)
+        back = vot.convert_region(rect, "polygon")
+        assert len(back.points) == 4
+
+    def test_parse_encode(self):
+        r = vot.parse_region("1.5,2,3,4")
+        assert isinstance(r, vot.Rectangle)
+        assert vot.parse_region("1,2,3,4,5,6") == vot.Polygon(
+            [vot.Point(1, 2), vot.Point(3, 4), vot.Point(5, 6)]
+        )
+        assert vot.encode_region(r) == "1.5,2.0,3.0,4.0"
