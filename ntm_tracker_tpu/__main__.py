@@ -1,0 +1,4 @@
+from ntm_tracker_tpu.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

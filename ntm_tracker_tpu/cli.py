@@ -1,0 +1,435 @@
+"""Command-line interface — the L7 entry points.
+
+One `python -m ntm_tracker_tpu <command>` dispatcher replacing the
+reference's per-script tf.app.flags blocks:
+
+  train-offsets     <- direct_offset_output.py (--core dnc gives
+                       direct_offset_output_with_dnc.py)
+  preprocess        <- preprocess.py
+  dnc-repeat-copy   <- dnc/train.py
+  track-vot         <- test_tracker.py (VOT file protocol)
+  validate          <- validate_tracker.py
+  copy-paste        <- main.py copy_paste
+  find-validation-batch <- main.py find_validation_batch
+  bench             <- bench.py (headline benchmark)
+
+Flags keep the reference names and defaults (mem_size, mem_dim,
+hidden_size, num_layers, read_head_size, write_head_size, write_first,
+sequence_length, batch_size, learning_rate, momentum, decay,
+max_gradient_norm, validation_interval, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from datetime import datetime
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mem_size", type=int, default=128)
+    p.add_argument("--mem_dim", type=int, default=20)
+    p.add_argument("--hidden_size", type=int, default=200)
+    p.add_argument("--num_layers", type=int, default=1)
+    p.add_argument("--read_head_size", type=int, default=4)
+    p.add_argument("--write_head_size", type=int, default=1)
+    p.add_argument("--write_first", action="store_true")
+    p.add_argument("--init_scale", type=float, default=0.05)
+
+
+def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--sequence_length", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--max_gradient_norm", type=float, default=5.0)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--decay", type=float, default=0.95)
+    p.add_argument("--log_dir", default="./log")
+    p.add_argument("--tag", default="")
+    p.add_argument("--ckpt_path", default="")
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--validation_interval", type=int, default=100)
+    p.add_argument("--validation_batch", type=int, default=1)
+    p.add_argument("--gt_width", type=int, default=8)
+    p.add_argument("--reverse_image", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _tracker_config(args, core: str):
+    from ntm_tracker_tpu.config import (
+        DNCConfig,
+        NTMConfig,
+        TrackerConfig,
+        TrainConfig,
+    )
+
+    return TrackerConfig(
+        core=core,
+        ntm=NTMConfig(
+            output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
+            controller_hidden_size=args.hidden_size,
+            controller_num_layers=args.num_layers,
+            read_head_size=args.read_head_size,
+            write_head_size=args.write_head_size,
+            write_first=args.write_first, init_scale=args.init_scale,
+        ),
+        dnc=DNCConfig(
+            output_dim=2, memory_size=args.mem_size, word_size=args.mem_dim,
+            num_reads=args.read_head_size, num_writes=args.write_head_size,
+            hidden_size=args.hidden_size,
+        ),
+        train=TrainConfig(
+            batch_size=args.batch_size, sequence_length=args.sequence_length,
+            learning_rate=args.learning_rate, decay=args.decay,
+            momentum=args.momentum, max_gradient_norm=args.max_gradient_norm,
+            num_epochs=args.num_epochs, log_interval=args.log_interval,
+            validation_interval=args.validation_interval,
+            validation_batch=args.validation_batch, seed=args.seed,
+        ),
+    )
+
+
+def _load_vgg(args):
+    import jax
+
+    from ntm_tracker_tpu.models import vgg
+
+    path = getattr(args, "vgg_weights", "")
+    if path and path.endswith(".npz"):
+        return vgg.load_params_npz(path)
+    if path:
+        import torch
+
+        return vgg.load_params_torch(torch.load(path, map_location="cpu"))
+    print("WARNING: no --vgg_weights given; using random VGG init")
+    return vgg.init_vgg_params(jax.random.PRNGKey(0))
+
+
+def cmd_train_offsets(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntm_tracker_tpu.data.loader import PrefetchIterator, batch_iterator
+    from ntm_tracker_tpu.data.sequences import get_valid_sequences
+    from ntm_tracker_tpu.parallel.mesh import make_mesh, parallel_train_step, shard_batch
+    from ntm_tracker_tpu.train.experiments import OffsetExperiment
+    from ntm_tracker_tpu.train.harness import CheckpointManager, MetricLogger, train_loop
+
+    cfg = _tracker_config(args, args.core)
+    real_log_dir = os.path.abspath(
+        os.path.join(args.log_dir, str(datetime.now()) + args.tag)
+    )
+    print("real log dir:", real_log_dir)
+
+    vgg_params = _load_vgg(args)
+    exp = OffsetExperiment(cfg, vgg_params, image_mode="raw")
+    params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
+
+    ckpt = CheckpointManager(os.path.join(real_log_dir, "ckpt"))
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        print("restored from", args.ckpt_path)
+
+    _, train_seqs, val_seqs = get_valid_sequences(
+        args.sequences_dir, cfg.train.sequence_length
+    )
+    print(f"{len(train_seqs)} train seqs, {len(val_seqs)} val seqs")
+
+    mesh = make_mesh()
+    pstep = parallel_train_step(exp.make_train_step(), mesh, donate_argnums=())
+    eval_jit = jax.jit(exp.make_eval_step())
+
+    def to_device(fb):
+        return shard_batch(mesh, {
+            "images": fb.images.astype(np.float32),
+            "cropboxes": fb.cropboxes,
+            "gts": fb.gts,
+            "y_offsets": fb.y_offsets,
+            "x_offsets": fb.x_offsets,
+        })
+
+    train_it = PrefetchIterator(
+        batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
+                       shuffle=True, seed=cfg.train.seed,
+                       reverse_image=args.reverse_image,
+                       epochs=cfg.train.num_epochs),
+        prefetch=2, device_put=to_device,
+    )
+
+    def val_batches():
+        return (
+            to_device(fb)
+            for fb in batch_iterator(val_seqs, cfg.train.batch_size,
+                                     args.gt_width, shuffle=True,
+                                     seed=cfg.train.seed, epochs=1)
+        )
+
+    params, opt_state, steps = train_loop(
+        pstep, lambda p, b: eval_jit(p, b), params, opt_state,
+        train_it, val_batches,
+        log_dir=real_log_dir,
+        validation_interval=cfg.train.validation_interval,
+        validation_batch=cfg.train.validation_batch,
+        log_interval=cfg.train.log_interval,
+        checkpoint=ckpt,
+    )
+    ckpt.save(steps, {"params": params, "opt_state": opt_state})
+    print(f"trained {steps} steps; final checkpoint in {real_log_dir}/ckpt")
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    from ntm_tracker_tpu.config import DataConfig
+    from ntm_tracker_tpu.data.preprocess import PreprocessJob, run_preprocess
+
+    job = PreprocessJob(
+        annotation_dir=args.annotation_dir,
+        image_dir=args.image_dir,
+        output_dir=args.output_dir,
+        data=DataConfig(
+            cropbox_grid=args.cropbox_grid, bbox_grid=args.bbox_grid,
+            focus=args.focus, deform_threshold=args.deform_threshold,
+            zoom_threshold=args.zoom_threshold,
+        ),
+    )
+    n = run_preprocess(job, num_workers=args.num_workers)
+    print(f"generated {n} frames")
+    return 0
+
+
+def cmd_dnc_repeat_copy(args) -> int:
+    from ntm_tracker_tpu.train.dnc_trainer import (
+        RepeatCopyTrainConfig,
+        train_repeat_copy,
+    )
+
+    cfg = RepeatCopyTrainConfig(
+        hidden_size=args.hidden_size, memory_size=args.memory_size,
+        word_size=args.word_size, num_write_heads=args.num_write_heads,
+        num_read_heads=args.num_read_heads, clip_value=args.clip_value,
+        max_grad_norm=args.max_grad_norm, learning_rate=args.learning_rate,
+        optimizer_epsilon=args.optimizer_epsilon, batch_size=args.batch_size,
+        num_bits=args.num_bits, min_length=args.min_length,
+        max_length=args.max_length, min_repeats=args.min_repeats,
+        max_repeats=args.max_repeats,
+        num_training_iterations=args.num_training_iterations,
+        report_interval=args.report_interval,
+        checkpoint_interval=args.checkpoint_interval,
+        checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+    )
+    train_repeat_copy(cfg)
+    return 0
+
+
+def cmd_copy_paste(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ntm_tracker_tpu.config import NTMConfig
+    from ntm_tracker_tpu.models.ntm_cell import init_ntm_params
+    from ntm_tracker_tpu.train.experiments import copy_paste_loss, make_copy_paste_batch
+    from ntm_tracker_tpu.train.optim import reference_optimizer
+
+    ncfg = NTMConfig(
+        output_dim=args.width + 1, mem_size=args.mem_size, mem_dim=args.mem_dim,
+        controller_hidden_size=args.hidden_size,
+        controller_num_layers=args.num_layers,
+        read_head_size=args.read_head_size,
+        write_head_size=args.write_head_size,
+        write_first=args.write_first, init_scale=args.init_scale,
+    )
+    params = init_ntm_params(jax.random.PRNGKey(args.seed), ncfg, args.width + 1)
+    opt = reference_optimizer(args.learning_rate, args.decay, args.momentum,
+                              1e-10, args.max_gradient_norm)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, x, y):
+        loss, g = jax.value_and_grad(copy_paste_loss)(p, ncfg, x, y)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    rng = np.random.RandomState(args.seed)
+    for epoch in range(args.num_epochs):
+        x, y = make_copy_paste_batch(rng, args.batch_size, args.width,
+                                     args.sequence_length)
+        params, opt_state, loss = step(params, opt_state, jnp.array(x), jnp.array(y))
+        print(f"{epoch}: loss {float(loss)}")
+    return 0
+
+
+def cmd_track_vot(args) -> int:
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tracking import vot
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    cfg = _tracker_config(args, args.core)
+    vgg_params = _load_vgg(args)
+    core = make_core(cfg)
+    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}
+        )
+        params = restored["params"]
+
+    handle = vot.VOT("rectangle", workdir=args.workdir)
+    selection = handle.region()
+    imagefile = handle.frame()
+    if not imagefile:
+        return 0
+    tracker = StreamingTracker(cfg, vgg_params, params, core)
+    img = np.asarray(Image.open(imagefile).convert("RGB"))
+    tracker.init(img, (selection.x, selection.y, selection.width, selection.height))
+    count = 1
+    while True:
+        imagefile = handle.frame()
+        if not imagefile:
+            break
+        img = np.asarray(Image.open(imagefile).convert("RGB"))
+        x, y, w, h = tracker.track(img)
+        handle.report(vot.Rectangle(x, y, w, h))
+        count += 1
+    handle.quit()
+    print(f"tracked {count} frames")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from ntm_tracker_tpu.tracking.validate import validate_tracker
+
+    return validate_tracker(args)
+
+
+def cmd_find_validation_batch(args) -> int:
+    from ntm_tracker_tpu.train.zoo import find_validation_batch
+
+    seqs = find_validation_batch(
+        args.sequences_dir, target_step=args.target_step,
+        batch_size=args.batch_size, min_length=args.sequence_length,
+        validation_interval=args.validation_interval, seed=args.seed,
+        dump_path=f"validation_seqs_{args.target_step}.pkl",
+    )
+    print(f"dumped {len(seqs)} sequences to validation_seqs_{args.target_step}.pkl")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ntm_tracker_tpu")
+    p.add_argument(
+        "--platform", choices=["cpu", "tpu"], default=None,
+        help="force a JAX backend (set before any computation; needed on "
+        "hosts where the TPU plugin overrides JAX_PLATFORMS)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train-offsets", help="primary tracker training")
+    _add_model_flags(t)
+    _add_train_flags(t)
+    t.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
+    t.add_argument("--sequences_dir", required=True)
+    t.add_argument("--vgg_weights", default="")
+    t.set_defaults(fn=cmd_train_offsets)
+
+    pp = sub.add_parser("preprocess", help="build the cropped dataset")
+    pp.add_argument("--annotation_dir", required=True)
+    pp.add_argument("--image_dir", required=True)
+    pp.add_argument("--output_dir", required=True)
+    pp.add_argument("--cropbox_grid", type=int, default=8)
+    pp.add_argument("--bbox_grid", type=int, default=6)
+    pp.add_argument("--focus", type=float, default=3.0)
+    pp.add_argument("--deform_threshold", type=float, default=0.5)
+    pp.add_argument("--zoom_threshold", type=float, default=0.5)
+    pp.add_argument("--num_workers", type=int, default=7)
+    pp.set_defaults(fn=cmd_preprocess)
+
+    d = sub.add_parser("dnc-repeat-copy", help="DNC repeat-copy training")
+    d.add_argument("--hidden_size", type=int, default=64)
+    d.add_argument("--memory_size", type=int, default=16)
+    d.add_argument("--word_size", type=int, default=16)
+    d.add_argument("--num_write_heads", type=int, default=1)
+    d.add_argument("--num_read_heads", type=int, default=1)
+    d.add_argument("--clip_value", type=float, default=20)
+    d.add_argument("--max_grad_norm", type=float, default=50)
+    d.add_argument("--learning_rate", type=float, default=1e-4)
+    d.add_argument("--optimizer_epsilon", type=float, default=1e-10)
+    d.add_argument("--batch_size", type=int, default=16)
+    d.add_argument("--num_bits", type=int, default=4)
+    d.add_argument("--min_length", type=int, default=1)
+    d.add_argument("--max_length", type=int, default=2)
+    d.add_argument("--min_repeats", type=int, default=1)
+    d.add_argument("--max_repeats", type=int, default=2)
+    d.add_argument("--num_training_iterations", type=int, default=100000)
+    d.add_argument("--report_interval", type=int, default=100)
+    d.add_argument("--checkpoint_interval", type=int, default=-1)
+    d.add_argument("--checkpoint_dir", default="/tmp/ntm_tracker_tpu/dnc")
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_dnc_repeat_copy)
+
+    c = sub.add_parser("copy-paste", help="NTM copy-paste sanity training")
+    _add_model_flags(c)
+    _add_train_flags(c)
+    c.add_argument("--width", type=int, default=3)
+    c.set_defaults(fn=cmd_copy_paste)
+
+    v = sub.add_parser("track-vot", help="VOT-protocol streaming tracking")
+    _add_model_flags(v)
+    _add_train_flags(v)
+    v.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
+    v.add_argument("--vgg_weights", default="")
+    v.add_argument("--workdir", default=".")
+    v.set_defaults(fn=cmd_track_vot)
+
+    val = sub.add_parser("validate", help="replay pickled validation sequences")
+    _add_model_flags(val)
+    _add_train_flags(val)
+    val.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
+    val.add_argument("--vgg_weights", default="")
+    val.add_argument("--pickle_path", required=True)
+    val.set_defaults(fn=cmd_validate)
+
+    f = sub.add_parser("find-validation-batch")
+    _add_train_flags(f)
+    f.add_argument("--sequences_dir", required=True)
+    f.add_argument("--target_step", type=int, default=1700)
+    f.set_defaults(fn=cmd_find_validation_batch)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Validation replay: run the streaming tracker over pickled validation
+sequences, reconstructing ground-truth regions by inverting each frame's
+stored crop transformation (reference validate_tracker.py:1-40).
+
+Reports the per-frame IoU between tracked and annotated regions — the
+reference defines bb_iou (test_tracker.py:59-83) but never aggregates it;
+we do, since it is the natural accuracy metric for the replay."""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Tuple
+
+import numpy as np
+
+from ntm_tracker_tpu.data import geometry
+
+
+def get_image(frame_path: str) -> Tuple[str, Tuple[float, float, float, float]]:
+    """Read a frame record and decode the annotated region back to image
+    coordinates (validate_tracker.py:12-24). Returns (image_path, (x,y,w,h))
+    in normalized image coordinates."""
+    with open(frame_path + ".txt") as f:
+        parts = f.readline().strip().split(",")
+    cy1, cx1, cy2, cx2 = (float(v) for v in parts[0:4])
+    y1, x1, y2, x2 = (float(v) for v in parts[4:8])
+    img_filename = parts[8]
+    inv = np.linalg.inv(geometry.calculate_transformation([cy1, cx1, cy2, cx2]))
+    y1, x1, y2, x2 = geometry.apply_transformation([y1, x1, y2, x2], inv)
+    return img_filename, (x1, y1, x2 - x1, y2 - y1)
+
+
+def replay_sequences(
+    seqs, cfg, vgg_params, params, core=None, log=print
+) -> List[List[float]]:
+    """Replay each (seq_path, frame_names) pair; returns per-sequence IoUs."""
+    from PIL import Image
+
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+    core = core or make_core(cfg)
+    all_ious: List[List[float]] = []
+    for idx, (seq_path, frame_names) in enumerate(seqs):
+        imagepath, region = get_image(os.path.join(seq_path, frame_names[0]))
+        img = np.asarray(Image.open(imagepath).convert("RGB"))
+        tracker = StreamingTracker(cfg, vgg_params, params, core)
+        tracker.init(img, region)
+        ious: List[float] = []
+        for frame_name in frame_names[1:]:
+            imagepath, gt_region = get_image(os.path.join(seq_path, frame_name))
+            img = np.asarray(Image.open(imagepath).convert("RGB"))
+            x, y, w, h = tracker.track(img)
+            gx, gy, gw, gh = gt_region
+            H, W = img.shape[:2]
+            iou = geometry.bb_iou(
+                [x, y, x + w, y + h],
+                [gx * W, gy * H, (gx + gw) * W, (gy + gh) * H]
+                if max(abs(gx), abs(gy), gw, gh) <= 2.0
+                else [gx, gy, gx + gw, gy + gh],
+            )
+            ious.append(iou)
+        log(f"seq {idx}: mean IoU {np.mean(ious) if ious else float('nan'):.3f}")
+        all_ious.append(ious)
+    return all_ious
+
+
+def validate_tracker(args) -> int:
+    """CLI glue: load the pickle, build the model, replay."""
+    import jax
+
+    from ntm_tracker_tpu.cli import _load_vgg, _tracker_config
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    cfg = _tracker_config(args, args.core)
+    vgg_params = _load_vgg(args)
+    core = make_core(cfg)
+    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
+    if args.ckpt_path:
+        params = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}
+        )["params"]
+    with open(args.pickle_path, "rb") as f:
+        seqs = pickle.load(f)
+    ious = replay_sequences(seqs, cfg, vgg_params, params, core)
+    flat = [i for s in ious for i in s]
+    print(f"overall mean IoU over {len(flat)} frames: {np.mean(flat):.4f}")
+    return 0
