@@ -29,6 +29,9 @@ class NTMConfig:
     write_head_size: int = 1
     write_first: bool = False
     init_scale: float = 0.05  # direct_offset_output.py:42
+    # use the fused Pallas addressing/update kernel for the post-controller
+    # memory math (TPU only; jnp path is the reference semantics)
+    use_pallas: bool = False
 
     @property
     def num_heads(self) -> int:

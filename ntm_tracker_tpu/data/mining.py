@@ -1,0 +1,209 @@
+"""Dataset statistics and sequence mining (the reference's older,
+pickle-based dataset path: sequence_generator.py, feature_matcher.py,
+ilsvrc_visualizer.py — SURVEY.md §2 row 25).
+
+  get_statistics          <- ilsvrc_visualizer.py:9-41
+  vgg_layer_sizes         <- feature_matcher.py:9-15 (computed analytically,
+                             no graph construction needed)
+  prior_box_iou_maps      <- feature_matcher.py:17-71 (vectorized numpy
+                             instead of the reference's per-pixel loops)
+  objframe_statistics     <- sequence_generator.py:24-74
+  gen_sequences           <- sequence_generator.py:76-154 (single-object,
+                             IoU>threshold subsequence segmentation)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import xml.etree.ElementTree as ET
+from multiprocessing import Pool
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def get_statistics(image_dirs: Sequence[str], anno_dirs: Sequence[str]) -> list:
+    """Walk annotation trees; one record per frame:
+    (anno_path, image_path, (width, height), [obj dicts])."""
+    statistics = []
+    for image_dir, anno_dir in zip(image_dirs, anno_dirs):
+        for root, _dirs, files in os.walk(anno_dir):
+            for filename in sorted(files):
+                if not filename.endswith(".xml"):
+                    continue
+                anno_full_path = os.path.join(root, filename)
+                rel = anno_full_path[len(anno_dir) + 1 :]
+                image_full_path = os.path.join(image_dir, rel[:-3] + "JPEG")
+                xmlroot = ET.parse(anno_full_path).getroot()
+                sizenode = xmlroot.find("size")
+                size = (
+                    float(sizenode.find("width").text),
+                    float(sizenode.find("height").text),
+                )
+                frame = []
+                for child in xmlroot:
+                    if child.tag != "object":
+                        continue
+                    obj = {}
+                    for grandchild in child:
+                        if grandchild.tag == "bndbox":
+                            obj["bbox"] = {x.tag: float(x.text) for x in grandchild}
+                        else:
+                            obj[grandchild.tag] = grandchild.text
+                    frame.append(obj)
+                statistics.append((anno_full_path, image_full_path, size, frame))
+    return statistics
+
+
+def vgg_layer_sizes(input_size: int = 224) -> Dict[str, Tuple[int, int, int, int]]:
+    """Feature-map shapes per VGG-16 conv layer at `input_size` — replaces
+    the reference's build-a-graph-and-inspect approach."""
+    from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
+
+    sizes = {}
+    hw = input_size
+    for name, out_ch, has_pool in VGG16_PREFIX:
+        short = name.split("/")[-1]
+        sizes[short] = (None, hw, hw, out_ch)
+        if has_pool:
+            hw //= 2
+    # pool5/fc sizes for completeness (vgg_16 endpoints)
+    sizes["conv5_1"] = sizes["conv5_2"] = sizes["conv5_3"] = (None, hw // 2, hw // 2, 512)
+    sizes["pool5"] = (None, hw // 4, hw // 4, 512)
+    return sizes
+
+
+def prior_box_iou_maps(
+    layer_dims: Dict[str, tuple],
+    layers: Sequence[str],
+    img_size: Tuple[float, float],
+    bbox: Sequence[Tuple[float, float]],
+    threshold: float = 0.5,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Per-layer IoU of every grid prior box with the gt bbox; returns
+    (binary heat_maps at `threshold`, float iou_maps) like
+    feature_matcher.matches."""
+    heat_maps, ious = [], []
+    im_w, im_h = img_size
+    (bx0, by0), (bx1, by1) = bbox
+    barea = (bx1 - bx0) * (by1 - by0)
+    for layer_name in layers:
+        _, height, width, _ = layer_dims[layer_name]
+        xs = np.arange(width, dtype=np.float64)
+        ys = np.arange(height, dtype=np.float64)
+        px0 = xs * im_w / width
+        px1 = (xs + 1) * im_w / width
+        py0 = ys * im_h / height
+        py1 = (ys + 1) * im_h / height
+        ix = np.maximum(
+            np.minimum(px1, bx1)[None, :] - np.maximum(px0, bx0)[None, :], 0
+        )
+        iy = np.maximum(
+            np.minimum(py1, by1)[:, None] - np.maximum(py0, by0)[:, None], 0
+        )
+        inter = iy * ix  # [H,W]
+        parea = (px1 - px0)[None, :] * (py1 - py0)[:, None]
+        union = parea + barea - inter
+        iou = np.where(inter > 0, inter / union, 0.0)
+        ious.append(iou)
+        heat_maps.append((iou > threshold).astype(np.float64))
+    return heat_maps, ious
+
+
+_VGG_SIZES = None
+_LAYERS = ["conv4_3"]
+
+
+def _distrib_match(obj_frame):
+    global _VGG_SIZES
+    if _VGG_SIZES is None:
+        _VGG_SIZES = vgg_layer_sizes()
+    seq_dir, frame_name, obj_name, frame_size, bbox = obj_frame
+    _, ious = prior_box_iou_maps(_VGG_SIZES, _LAYERS, frame_size, bbox)
+    return (seq_dir, frame_name, obj_name, frame_size, bbox, ious)
+
+
+def objframe_statistics(
+    image_dirs: Sequence[str],
+    anno_dirs: Sequence[str],
+    num_workers: int = 7,
+    raw_statistics=None,
+) -> list:
+    """Flatten per-frame annotations into per-object records and match each
+    against the conv4_3 prior grid (sequence_generator.py:24-74)."""
+    if raw_statistics is None:
+        raw_statistics = get_statistics(image_dirs, anno_dirs)
+    obj_frames = []
+    for xml_path, frame_path, frame_size, objs in raw_statistics:
+        seq_dir, frame_jpg = os.path.split(frame_path)
+        frame_name, _ = os.path.splitext(frame_jpg)
+        for obj in objs:
+            obj_name = seq_dir + "_" + obj["trackid"]
+            b = obj["bbox"]
+            bbox = [(b["xmin"], b["ymin"]), (b["xmax"], b["ymax"])]
+            obj_frames.append((seq_dir, frame_name, obj_name, frame_size, bbox))
+    if num_workers <= 1:
+        return [_distrib_match(f) for f in obj_frames]
+    with Pool(num_workers) as pool:
+        return pool.map(_distrib_match, obj_frames, chunksize=1000)
+
+
+def gen_sequences(obj_frame_statistics: list, iou_threshold: float = 0.5) -> list:
+    """Segment per-object frame runs into viable single-object subsequences
+    (sequence_generator.py:76-154): a frame survives iff some prior box
+    overlaps the gt above threshold; gaps in frame numbering or failed
+    frames split the sequence.
+
+    Returns [(seq_dir, obj_name, subseq_id, seq_length, [frames])] where a
+    frame is (frame_path, frame_size, bbox, gt_masks)."""
+    obj_frame_statistics = sorted(obj_frame_statistics, key=lambda x: x[2] + "_" + x[1])
+    last_obj = None
+    last_seq = None
+    last_frame = None
+    ret = []
+    seq: list = []
+    subseq_id = 0
+    for seq_dir, frame_name, obj_name, frame_size, bbox, ious in obj_frame_statistics:
+        if not (last_obj and last_obj == obj_name):
+            if len(seq) > 0:
+                ret.append((last_seq, last_obj, subseq_id, len(seq), seq))
+            seq = []
+            subseq_id = 0
+            last_frame = None
+        if last_frame:
+            assert int(frame_name) > int(last_frame)
+            if int(frame_name) - int(last_frame) > 1:
+                if len(seq) > 0:
+                    ret.append((seq_dir, obj_name, subseq_id, len(seq), seq))
+                    seq = []
+                    subseq_id += 1
+        count = sum(int(np.sum(iou > iou_threshold)) for iou in ious)
+        if count > 0:
+            gt = [(iou > 0.5) for iou in ious]
+            seq.append(
+                (os.path.join(seq_dir, frame_name + ".JPEG"), frame_size, bbox, gt)
+            )
+        else:
+            if len(seq) > 0:
+                ret.append((seq_dir, obj_name, subseq_id, len(seq), seq))
+                seq = []
+                subseq_id += 1
+        last_seq = seq_dir
+        last_obj = obj_name
+        last_frame = frame_name
+    if len(seq) > 0:
+        ret.append((last_seq, last_obj, subseq_id, len(seq), seq))
+    return ret
+
+
+def mine_and_dump(
+    image_dirs, anno_dirs, out_path: str = "generated_sequences.pkl",
+    iou_threshold: float = 0.5, num_workers: int = 7,
+) -> list:
+    """sequence_generator.main: statistics -> sequences -> pickle."""
+    stats = objframe_statistics(image_dirs, anno_dirs, num_workers)
+    seqs = gen_sequences(stats, iou_threshold)
+    with open(out_path, "wb") as f:
+        pickle.dump(seqs, f)
+    return seqs

@@ -111,14 +111,17 @@ def ntm_cell_step(
     inputs: jax.Array,
     state: NTMState,
     compute_dtype=None,
+    with_debug: bool = False,
 ) -> Tuple[jax.Array, jax.Array, NTMState]:
     """One NTM step.
 
     Args:
       inputs: [batch, input_size] serialized token.
       state: {'M' [B,N,D], 'w' [B,H,N], 'read' [B,R,D], 'controller_state'}.
+      with_debug: also return the dict of every addressing intermediate
+        (the reference's `debug` output, ntm_cell.py:230-250) — jnp path only.
     Returns:
-      (output [B,out] softmaxed, logit [B,out], new_state).
+      (output [B,out] softmaxed, logit [B,out], new_state[, debug]).
     """
     M_prev, w_prev, read_prev = state["M"], state["w"], state["read"]
     B = inputs.shape[0]
@@ -148,6 +151,24 @@ def ntm_cell_step(
         splits.append(memory_controls[:, off : off + sizes[name]])
         off += sizes[name]
     k, beta, g, sw, gamma, erase, add = splits
+
+    if cfg.use_pallas:
+        from ntm_tracker_tpu.ops.pallas.addressing import fused_ntm_addressing
+
+        M, w, read = fused_ntm_addressing(
+            k.reshape(B, H, D), beta, g,
+            sw.reshape(B, H, cfg.shift_space), gamma,
+            erase.reshape(B, cfg.write_head_size, D),
+            add.reshape(B, cfg.write_head_size, D),
+            M_prev, w_prev,
+            read_heads=R, write_first=cfg.write_first,
+        )
+        logit = (
+            ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
+        ).astype(jnp.float32) + params["out_b"]
+        output = jax.nn.softmax(logit, axis=-1)
+        new_state = {"M": M, "w": w, "read": read, "controller_state": ctrl_state}
+        return output, logit, new_state
 
     # addressing (ntm_cell.py:133-176)
     k = jnp.tanh(k.reshape(B, H, D))
@@ -186,4 +207,13 @@ def ntm_cell_step(
     output = jax.nn.softmax(logit, axis=-1)
 
     new_state = {"M": M, "w": w, "read": read, "controller_state": ctrl_state}
+    if with_debug:
+        debug = {
+            "k": k, "gamma": gamma, "add": add, "erase": erase, "beta": beta,
+            "g": g, "sw": sw, "similarity": similarity,
+            "w_content_focused": w_content, "w_gated": w_gated,
+            "w_conv": w_conv, "w": w, "w_read": w_read, "w_write": w_write,
+            "M": M, "M_prev": M_prev, "M_write": M_write, "M_erase": M_erase,
+        }
+        return output, logit, new_state, debug
     return output, logit, new_state
