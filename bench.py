@@ -63,6 +63,7 @@ def main():
         throughput, _ = bench_batch(B=4, iters=3, warmup=1)
         p50 = None
         lat_ms = float("nan")
+        device_ms = float("nan")
     else:
         best = 0.0
         for B in (128, 256, 512):
@@ -82,7 +83,15 @@ def main():
             offsets, state = step_rest(crop1, state)
             jax.block_until_ready(offsets)
             lats.append(time.perf_counter() - t0)
+        # round-trip latency includes the host<->device link (on a tunneled
+        # dev chip that dominates); also report pipelined per-frame device
+        # time, the steady-state streaming number
         lat_ms = float(np.percentile(lats, 50) * 1e3)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            offsets, state = step_rest(crop1, state)
+        jax.block_until_ready(offsets)
+        device_ms = (time.perf_counter() - t0) / 50 * 1e3
 
     result = {
         "metric": "tracked_frames_per_sec_per_chip",
@@ -90,6 +99,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(float(throughput) / 1000.0, 3),
         "p50_frame_latency_ms": round(lat_ms, 3) if lat_ms == lat_ms else None,
+        "pipelined_frame_ms_b1": round(device_ms, 3) if device_ms == device_ms else None,
         "platform": platform,
     }
     print(json.dumps(result))

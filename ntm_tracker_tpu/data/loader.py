@@ -47,13 +47,35 @@ def load_frame_batch(
     gt_width: int = 8,
     reverse_image: bool = False,
     decode_resize_hw=(720, 1280),
+    use_native: bool = True,
 ) -> FrameBatch:
     """Load B*L frame records + images (host side).
 
-    reverse_image mirrors the reference's horizontal-flip augmentation
+    Record parsing (.txt/.bin) goes through the native C++ thread-pool
+    loader when available (ntm_tracker_tpu/native/record_loader.cpp),
+    falling back to the Python reader. reverse_image mirrors the
+    reference's horizontal-flip augmentation
     (direct_offset_output.py:186-187,203-204): x offsets negate; the image
     flip itself happens device-side after cropping.
     """
+    if use_native:
+        try:
+            from ntm_tracker_tpu.data.native_loader import load_records_native
+
+            crops, _bboxes, offsets, gts, img_paths = load_records_native(
+                frame_paths, gt_width
+            )
+            imgs = np.stack(
+                [_decode_image(p, decode_resize_hw) for p in img_paths]
+            )
+            xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
+            return FrameBatch(
+                images=imgs, cropboxes=crops, gts=gts,
+                y_offsets=offsets[:, 0].copy(), x_offsets=np.asarray(xo),
+            )
+        except RuntimeError:
+            pass  # no native toolchain; fall through to the Python reader
+
     imgs, crops, gts, yo, xo = [], [], [], [], []
     for p in frame_paths:
         rec = read_frame_record(p, gt_width)

@@ -1,0 +1,46 @@
+"""Build-and-cache for the native components.
+
+Compiles <name>.cpp next to this file into a shared library under
+~/.cache/ntm_tracker_tpu (keyed by source hash), loads it with ctypes.
+Callers must handle RuntimeError and fall back to pure Python — the
+framework never hard-requires the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+_CACHE: dict[str, ctypes.CDLL] = {}
+
+
+def load_library(name: str) -> ctypes.CDLL:
+    if name in _CACHE:
+        return _CACHE[name]
+    src = Path(__file__).parent / f"{name}.cpp"
+    code = src.read_bytes()
+    digest = hashlib.sha256(code).hexdigest()[:16]
+    cache_dir = Path(
+        os.environ.get("NTM_TRACKER_CACHE", os.path.expanduser("~/.cache/ntm_tracker_tpu"))
+    )
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    so_path = cache_dir / f"{name}-{digest}.so"
+    if not so_path.exists():
+        tmp = so_path.with_suffix(".so.tmp")
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            str(src), "-o", str(tmp),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            detail = getattr(e, "stderr", str(e))
+            raise RuntimeError(f"native build failed for {name}: {detail}") from e
+        os.replace(tmp, so_path)
+    lib = ctypes.CDLL(str(so_path))
+    _CACHE[name] = lib
+    return lib

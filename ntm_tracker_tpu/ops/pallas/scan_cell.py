@@ -1,0 +1,293 @@
+"""Whole-sequence fused NTM kernel: T cell steps in ONE pallas_call.
+
+Motivation (measured on v5e): the lax.scan path costs ~25-50us per cell
+step, almost all dispatch + HBM round-trips of ~30 small ops; the
+single-step fused kernel (addressing.py) cannot beat XLA because the
+boundary crossings remain. This kernel eliminates them: the LSTM weights,
+head projections and the full recurrent state live in VMEM for the whole
+sequence, and the token stream is DMA-pipelined through the grid.
+
+Mechanics:
+  * grid = (T,); Mosaic executes grid steps sequentially on the core.
+  * the token input block indexes grid step t -> automatic double-buffered
+    HBM->VMEM prefetch of tokens.
+  * every weight/input-state ref uses a CONSTANT index_map -> loaded into
+    VMEM once and reused across all T steps.
+  * the recurrent state lives in OUTPUT refs with constant index_map
+    (VMEM accumulators): initialized from the input state at t==0, updated
+    in place each step, flushed to HBM once at the end.
+  * per-step logits are written to an output block indexed by t.
+
+Semantics match ntm_cell_step + lax.scan (forward only — for training use
+the jnp path; this kernel targets inference/serving, where it is the
+latency-critical 65-steps-per-frame loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
+
+
+def _step_kernel(
+    # inputs (constant index_map unless noted)
+    x_ref,        # [1, B, IN]  token at grid step t (t-indexed)
+    lstm_w_ref,   # [L_pad, KIN, 4H]  stacked per-layer kernels (padded)
+    lstm_b_ref,   # [L_pad, 4H]
+    heads_w_ref,  # [Hc, P]
+    heads_b_ref,  # [1, P]
+    out_w_ref,    # [Hc, O]
+    out_b_ref,    # [1, O]
+    M0_ref,       # [B, D, N]
+    w0_ref,       # [B, H, N]
+    read0_ref,    # [B, R*D]
+    c0_ref,       # [L, B, Hc]
+    h0_ref,       # [L, B, Hc]
+    # outputs
+    logits_ref,   # [1, B, O] (t-indexed)
+    M_ref,        # [B, D, N]   accumulator
+    w_ref,        # [B, H, N]   accumulator
+    read_ref,     # [B, R*D]    accumulator
+    c_ref,        # [L, B, Hc]  accumulator
+    h_ref,        # [L, B, Hc]  accumulator
+    *,
+    cfg_static: Tuple,
+):
+    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes) = cfg_static
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _init():
+        M_ref[:] = M0_ref[:]
+        w_ref[:] = w0_ref[:]
+        read_ref[:] = read0_ref[:]
+        c_ref[:] = c0_ref[:]
+        h_ref[:] = h0_ref[:]
+
+    x = x_ref[0]                                  # [B, IN]
+    B = x.shape[0]
+
+    # ---- stacked LSTM controller (BasicLSTMCell, forget_bias=0) ---------
+    inp = jnp.concatenate([x, read_ref[:]], axis=1)  # [B, IN + R*D]
+    KIN = lstm_w_ref.shape[1]
+    for l in range(L):
+        h_l = h_ref[l]
+        c_l = c_ref[l]
+        li = jnp.concatenate([inp, h_l], axis=1)  # [B, in_l + Hc]
+        # pad to the stacked kernel's KIN rows (zeros match the padding)
+        if li.shape[1] < KIN:
+            li = jnp.pad(li, ((0, 0), (0, KIN - li.shape[1])))
+        gates = (
+            jnp.dot(li, lstm_w_ref[l], preferred_element_type=f32)
+            + lstm_b_ref[l][None, :]
+        )
+        i_g = gates[:, 0 * Hc : 1 * Hc]
+        j_g = gates[:, 1 * Hc : 2 * Hc]
+        f_g = gates[:, 2 * Hc : 3 * Hc]
+        o_g = gates[:, 3 * Hc : 4 * Hc]
+        new_c = c_l * jax.nn.sigmoid(f_g) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        c_ref[l] = new_c
+        h_ref[l] = new_h
+        inp = new_h
+    ctrl_out = inp                                 # [B, Hc]
+
+    # ---- fused head-parameter unpack -------------------------------------
+    # NOTE: everything below slices LANES of 2-D tensors instead of
+    # reshaping — Mosaic supports lane slicing but not lane-splitting
+    # shape casts like [B, H*D] -> [B, H, D].
+    controls = (
+        jnp.dot(ctrl_out, heads_w_ref[:], preferred_element_type=f32)
+        + heads_b_ref[0][None, :]
+    )
+    o = 0
+    k_raw = controls[:, o : o + sizes["k"]]; o += sizes["k"]
+    beta_raw = controls[:, o : o + sizes["beta"]]; o += sizes["beta"]
+    g_raw = controls[:, o : o + sizes["g"]]; o += sizes["g"]
+    sw_raw = controls[:, o : o + sizes["sw"]]; o += sizes["sw"]
+    gamma_raw = controls[:, o : o + sizes["gamma"]]; o += sizes["gamma"]
+    erase_raw = controls[:, o : o + sizes["erase"]]; o += sizes["erase"]
+    add_raw = controls[:, o : o + sizes["add"]]; o += sizes["add"]
+
+    Mt = M_ref[:]                                  # [B, D, N]
+    m_inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(Mt * Mt, axis=1), 1e-12))  # [B,N]
+
+    beta = jax.nn.softplus(beta_raw)               # [B,H]
+    g = jax.nn.sigmoid(g_raw)                      # [B,H]
+    gamma = jax.nn.softplus(gamma_raw) + 1.0       # [B,H]
+
+    # ---- per-head addressing (k/w held as [B,D] / [B,N] slices) ----------
+    w_heads = []
+    for h in range(H):
+        k_h = jnp.tanh(k_raw[:, h * D : (h + 1) * D])          # [B,D]
+        k_inv = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(k_h * k_h, axis=1, keepdims=True), 1e-12)
+        )                                                       # [B,1]
+        sim = jnp.zeros((B, N), f32)
+        for d in range(D):
+            sim = sim + k_h[:, d][:, None] * Mt[:, d, :]
+        sim = sim * k_inv * m_inv                               # [B,N]
+
+        w_c = jax.nn.softmax(sim * beta[:, h][:, None], axis=-1)
+        g_h = g[:, h][:, None]
+        w_g = w_c * g_h + w_ref[:, h, :] * (1.0 - g_h)
+
+        sw_h = jax.nn.softmax(sw_raw[:, h * S : (h + 1) * S], axis=-1)
+        w_conv = jnp.zeros_like(w_g)
+        for j, s in enumerate(shifts):
+            w_conv = w_conv + sw_h[:, j][:, None] * pltpu.roll(
+                w_g, (-s) % N, axis=1
+            )
+        powed = jnp.power(w_conv, gamma[:, h][:, None])
+        w_h = powed / (jnp.sum(powed, axis=1, keepdims=True) + 1e-3)
+        w_heads.append(w_h)
+
+    for h in range(H):
+        w_ref[:, h, :] = w_heads[h]
+
+    # ---- erase/add update -------------------------------------------------
+    erase = jax.nn.sigmoid(erase_raw)              # [B, W*D]
+    add = jnp.tanh(add_raw)                        # [B, W*D]
+    rows = []
+    for d in range(D):
+        er = jnp.ones((B, N), f32)
+        ad = jnp.zeros((B, N), f32)
+        for wh in range(W):
+            ww = w_heads[R + wh]                   # [B,N]
+            er = er * (1.0 - ww * erase[:, wh * D + d][:, None])
+            ad = ad + ww * add[:, wh * D + d][:, None]
+        rows.append(Mt[:, d, :] * er + ad)
+    for d in range(D):
+        M_ref[:, d, :] = rows[d]
+
+    # ---- read -------------------------------------------------------------
+    src_rows = rows if write_first else [Mt[:, d, :] for d in range(D)]
+    read_cols = []
+    for r in range(R):
+        for d in range(D):
+            read_cols.append(
+                jnp.sum(w_heads[r] * src_rows[d], axis=1, keepdims=True)
+            )                                      # [B,1]
+    read_ref[:] = jnp.concatenate(read_cols, axis=1)  # [B, R*D]
+
+    # ---- output head -------------------------------------------------------
+    logits_ref[0] = (
+        jnp.dot(ctrl_out, out_w_ref[:], preferred_element_type=f32)
+        + out_b_ref[0][None, :]
+    )
+
+
+def ntm_scan_fused(
+    params: Dict[str, Any],
+    cfg: NTMConfig,
+    tokens: jax.Array,
+    state: Dict[str, Any],
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Run T NTM cell steps in one kernel.
+
+    Args:
+      tokens: [B, T, IN]; state: the ntm_cell state dict.
+    Returns:
+      (logits [B, T, output_dim], final state dict) — identical semantics to
+      scanning ntm_cell_step (jnp path), forward only.
+    """
+    B, T, IN = tokens.shape
+    H, R, W = cfg.num_heads, cfg.read_head_size, cfg.write_head_size
+    D, N, S = cfg.mem_dim, cfg.mem_size, cfg.shift_space
+    Hc, L = cfg.controller_hidden_size, cfg.controller_num_layers
+    from ntm_tracker_tpu.models.ntm_cell import head_param_sizes
+
+    sizes = head_param_sizes(cfg)
+    shifts = tuple(circular_convolution_shifts(S))
+
+    # stack per-layer LSTM kernels into one [L, KIN, 4H] (pad layer-0 rows)
+    kins = [IN + R * D + Hc] + [2 * Hc] * (L - 1)
+    KIN = max(kins)
+    lstm_w = jnp.stack(
+        [
+            jnp.pad(p["kernel"], ((0, KIN - p["kernel"].shape[0]), (0, 0)))
+            for p in params["controller"]
+        ]
+    ).astype(jnp.float32)
+    lstm_b = jnp.stack([p["bias"] for p in params["controller"]]).astype(jnp.float32)
+
+    c0 = jnp.stack([c for c, _ in state["controller_state"]])
+    h0 = jnp.stack([h for _, h in state["controller_state"]])
+
+    cfg_static = (H, R, W, D, N, S, Hc, L, shifts, cfg.write_first, sizes)
+    kern = functools.partial(_step_kernel, cfg_static=cfg_static)
+
+    const3 = lambda a, b, c: pl.BlockSpec(
+        (a, b, c), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    const2 = lambda a, b: pl.BlockSpec(
+        (a, b), lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    P = sum(sizes.values())
+    O = cfg.output_dim
+    logits, M, w, read, c, h = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, IN), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            const3(L, KIN, 4 * Hc),
+            const2(L, 4 * Hc),
+            const2(Hc, P),
+            const2(1, P),
+            const2(Hc, O),
+            const2(1, O),
+            const3(B, D, N),
+            const3(B, H, N),
+            const2(B, R * D),
+            const3(L, B, Hc),
+            const3(L, B, Hc),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, O), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            const3(B, D, N),
+            const3(B, H, N),
+            const2(B, R * D),
+            const3(L, B, Hc),
+            const3(L, B, Hc),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, O), jnp.float32),
+            jax.ShapeDtypeStruct((B, D, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, R * D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Hc), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Hc), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.swapaxes(tokens.astype(jnp.float32), 0, 1),
+        lstm_w,
+        lstm_b,
+        params["heads_w"].astype(jnp.float32),
+        params["heads_b"].astype(jnp.float32)[None, :],
+        params["out_w"].astype(jnp.float32),
+        params["out_b"].astype(jnp.float32)[None, :],
+        jnp.swapaxes(state["M"].astype(jnp.float32), 1, 2),
+        state["w"].astype(jnp.float32),
+        state["read"].astype(jnp.float32).reshape(B, R * D),
+        c0.astype(jnp.float32),
+        h0.astype(jnp.float32),
+    )
+    final_state = {
+        "M": jnp.swapaxes(M, 1, 2),
+        "w": w,
+        "read": read.reshape(B, R, D),
+        "controller_state": [(c[l], h[l]) for l in range(L)],
+    }
+    return jnp.swapaxes(logits, 0, 1), final_state
