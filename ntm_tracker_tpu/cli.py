@@ -109,6 +109,39 @@ def _load_vgg(args):
     return vgg.init_vgg_params(jax.random.PRNGKey(0))
 
 
+def _make_experiment(args, cfg, vgg_params):
+    """Build the experiment object for the selected training command."""
+    from ntm_tracker_tpu.train.experiments import HeatmapExperiment, OffsetExperiment
+
+    kind = getattr(args, "experiment", "offsets")
+    if kind == "offsets":
+        return OffsetExperiment(cfg, vgg_params, image_mode="raw")
+    # heatmap variants: output_dim = num_features (frame) or 1 (sequential)
+    import dataclasses as _dc
+
+    serialization = getattr(args, "serialization", "frame")
+    # heatmap grid follows gt_width (7x7 or 8x8 in the reference's variants,
+    # main.py:54,80): a centered stride-2 grid on the 28x28 conv4_3 map
+    gw = getattr(args, "gt_width", 8)
+    if gw != 8:
+        start = (28 - 2 * (gw - 1)) // 2
+        pts = tuple(
+            (start + 2 * y, start + 2 * x) for y in range(gw) for x in range(gw)
+        )
+        cfg = _dc.replace(cfg, num_features=gw * gw, feature_points=pts)
+    out_dim = 1 if serialization == "sequential" else cfg.num_features
+    cfg = _dc.replace(
+        cfg,
+        ntm=_dc.replace(cfg.ntm, output_dim=out_dim),
+        dnc=_dc.replace(cfg.dnc, output_dim=out_dim),
+    )
+    return HeatmapExperiment(
+        cfg, vgg_params, image_mode="raw",
+        serialization=serialization,
+        compress_dim=getattr(args, "compress_dim", 0),
+    )
+
+
 def cmd_train_offsets(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -117,7 +150,6 @@ def cmd_train_offsets(args) -> int:
     from ntm_tracker_tpu.data.loader import PrefetchIterator, batch_iterator
     from ntm_tracker_tpu.data.sequences import get_valid_sequences
     from ntm_tracker_tpu.parallel.mesh import make_mesh, parallel_train_step, shard_batch
-    from ntm_tracker_tpu.train.experiments import OffsetExperiment
     from ntm_tracker_tpu.train.harness import CheckpointManager, MetricLogger, train_loop
 
     cfg = _tracker_config(args, args.core)
@@ -127,7 +159,7 @@ def cmd_train_offsets(args) -> int:
     print("real log dir:", real_log_dir)
 
     vgg_params = _load_vgg(args)
-    exp = OffsetExperiment(cfg, vgg_params, image_mode="raw")
+    exp = _make_experiment(args, cfg, vgg_params)
     params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
 
     ckpt = CheckpointManager(os.path.join(real_log_dir, "ckpt"))
@@ -351,7 +383,23 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     t.add_argument("--sequences_dir", required=True)
     t.add_argument("--vgg_weights", default="")
-    t.set_defaults(fn=cmd_train_offsets)
+    t.set_defaults(fn=cmd_train_offsets, experiment="offsets")
+
+    th = sub.add_parser(
+        "train-heatmap",
+        help="heatmap-output experiments (ntm_sevenbyseven / ntm_8by8 / "
+        "ntm_sequential of the reference's main.py)",
+    )
+    _add_model_flags(th)
+    _add_train_flags(th)
+    th.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
+    th.add_argument("--sequences_dir", required=True)
+    th.add_argument("--vgg_weights", default="")
+    th.add_argument("--serialization", choices=["frame", "sequential"],
+                    default="frame")
+    th.add_argument("--compress_dim", type=int, default=0,
+                    help="1x1-conv input compressor output channels (0=off)")
+    th.set_defaults(fn=cmd_train_offsets, experiment="heatmap")
 
     pp = sub.add_parser("preprocess", help="build the cropped dataset")
     pp.add_argument("--annotation_dir", required=True)

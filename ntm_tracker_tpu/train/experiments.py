@@ -149,6 +149,68 @@ def synthetic_offset_batch(
     }
 
 
+@dataclasses.dataclass
+class HeatmapExperiment(OffsetExperiment):
+    """Heatmap-output variants (ntm_sevenbyseven / ntm_8by8 / ntm_sequential,
+    main.py:1646-2297, :979-1291): the NTM emits per-location logits and the
+    loss is softmax-CE against the gt heatmap at the gathered steps.
+
+    serialization='frame':      64 tokens + delimiter per frame, predictions
+                                at delimiter steps (8by8 structure).
+    serialization='sequential': per-feature two-step stream, predictions at
+                                feature-delimiter steps (output_dim=1).
+    compress_dim>0 adds the learned 1x1-conv input compressor; its weight
+    lives in params['compressor'] and trains with the core.
+    """
+
+    serialization: str = "frame"
+    compress_dim: int = 0
+
+    def init(self, rng: jax.Array):
+        from ntm_tracker_tpu.train.zoo import init_compressor
+
+        k1, k2 = jax.random.split(rng)
+        depth = self.compress_dim or self.cfg.feature_depth
+        if self.serialization == "sequential":
+            input_size = depth + 3  # feature-delim + frame-delim + target
+        else:
+            input_size = depth + 2
+        core_params = self.core.init_params(k1, input_size)
+        params = {"core": core_params}
+        if self.compress_dim:
+            params["compressor"] = init_compressor(
+                k2, self.cfg.feature_depth, self.compress_dim
+            )
+        opt = self.optimizer()
+        return params, opt.init(params)
+
+    def loss_fn(self, params: Any, batch: Dict[str, jax.Array]):
+        from ntm_tracker_tpu.train.serialize import heatmap_loss
+        from ntm_tracker_tpu.train.zoo import (
+            compress_features,
+            sequential_ce_loss,
+            serialize_sequential_tokens,
+        )
+
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        features = self.crops_to_tokens(crops)
+        if self.compress_dim:
+            features = compress_features(features, params["compressor"])
+        B = features.shape[0]
+        gts = batch["gts"].reshape(B, L, cfg.num_features)
+        if self.serialization == "sequential":
+            tokens = serialize_sequential_tokens(features, gts[:, 0, :])
+            logits, _ = self.core.unroll(params["core"], tokens)
+            loss = sequential_ce_loss(logits, gts, cfg.num_features)
+        else:
+            tokens = serialize_tokens(features, gts[:, 0, :])
+            logits, _ = self.core.unroll(params["core"], tokens)
+            loss = heatmap_loss(logits, gts, cfg.num_features)
+        return loss, {"loss": loss}
+
+
 # ---------------------------------------------------------------------------
 # copy-paste sanity task (main.py:1540-1644): present a random bit pattern,
 # then a delimiter, then ask the NTM to reproduce it. Validates the memory
