@@ -22,8 +22,8 @@ max_gradient_norm, validation_interval, ...).
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
+
+
 import os
 import sys
 from datetime import datetime
@@ -342,6 +342,116 @@ def cmd_track_vot(args) -> int:
     return 0
 
 
+def cmd_lstm_only(args) -> int:
+    """LSTM-only baseline training on the heatmap task (main.py:695-778)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ntm_tracker_tpu.data.loader import batch_iterator
+    from ntm_tracker_tpu.data.sequences import get_valid_sequences
+    from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
+    from ntm_tracker_tpu.train.optim import reference_optimizer
+    from ntm_tracker_tpu.train.zoo import (
+        compress_features,
+        init_compressor,
+        init_lstm_baseline,
+        lstm_baseline_loss,
+    )
+
+    cfg = _tracker_config(args, "ntm")
+    vgg_params = _load_vgg(args)
+    F = cfg.num_features
+    ks = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 2)
+    params = {
+        "compressor": init_compressor(ks[0], cfg.feature_depth, args.compress_dim),
+        "lstm": init_lstm_baseline(
+            ks[1], F, args.compress_dim, args.hidden_size, args.num_layers
+        ),
+    }
+    opt = reference_optimizer(args.learning_rate, args.decay, args.momentum,
+                              1e-10, args.max_gradient_norm)
+    opt_state = opt.init(params)
+
+    from ntm_tracker_tpu.data.image_ops import preprocess_frame
+
+    def loss_fn(p, images, cropboxes, gts):
+        crops = jax.vmap(
+            lambda im, cb: preprocess_frame(im, cb, resize_hw=cfg.data.resize_hw,
+                                            crop_size=cfg.data.crop_size)
+        )(images, cropboxes)
+        feats = extract_features(vgg16_features(vgg_params, crops))
+        L = cfg.train.sequence_length
+        B = feats.shape[0] // L
+        feats = compress_features(
+            feats.reshape(B, L, F, cfg.feature_depth), p["compressor"]
+        )
+        gts = gts.reshape(B, L, F)
+        return lstm_baseline_loss(p["lstm"], feats, gts[:, 0, :], gts)
+
+    @jax.jit
+    def step(p, s, images, cropboxes, gts):
+        loss, g = jax.value_and_grad(loss_fn)(p, images, cropboxes, gts)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    _, train_seqs, _ = get_valid_sequences(args.sequences_dir, cfg.train.sequence_length)
+    for i, fb in enumerate(
+        batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
+                       seed=cfg.train.seed, epochs=cfg.train.num_epochs)
+    ):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(fb.images, jnp.float32),
+            jnp.asarray(fb.cropboxes), jnp.asarray(fb.gts),
+        )
+        if i % args.log_interval == 0:
+            print(f"{i}: loss {float(loss):.5f}")
+    return 0
+
+
+def cmd_sanity_check(args) -> int:
+    """Cosine-similarity heatmap sanity check (main.py:1425-1538): verify the
+    VGG features (raw / compressed / PCA'd) can reproduce the gt heatmap
+    without any training; writes similarity-vs-gt PNG grids."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntm_tracker_tpu.data.image_ops import preprocess_frame
+    from ntm_tracker_tpu.data.loader import load_frame_batch
+    from ntm_tracker_tpu.data.sequences import get_valid_sequences, sevenbyseven_get_batch
+    from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
+    from ntm_tracker_tpu.train.zoo import sanity_check_pca, sanity_check_similarity
+    from ntm_tracker_tpu.utils.viz import save_imgs
+
+    cfg = _tracker_config(args, "ntm")
+    vgg_params = _load_vgg(args)
+    _, train_seqs, _ = get_valid_sequences(args.sequences_dir, cfg.train.sequence_length)
+    frame_names, _ = sevenbyseven_get_batch(0, cfg.train.batch_size, train_seqs)
+    fb = load_frame_batch(frame_names, args.gt_width)
+    crops = jax.vmap(
+        lambda im, cb: preprocess_frame(jnp.asarray(im, jnp.float32), cb,
+                                        resize_hw=cfg.data.resize_hw,
+                                        crop_size=cfg.data.crop_size)
+    )(jnp.asarray(fb.images, jnp.float32), jnp.asarray(fb.cropboxes))
+    feats = extract_features(vgg16_features(vgg_params, crops))
+    L = cfg.train.sequence_length
+    B = feats.shape[0] // L
+    F = cfg.num_features
+    feats = feats.reshape(B, L, F, cfg.feature_depth)
+    gts = jnp.asarray(fb.gts).reshape(B, L, F)
+    if args.pca:
+        sim = sanity_check_pca(np.asarray(feats), gts, args.compress_dim)
+    else:
+        sim = sanity_check_similarity(feats, gts)
+    side = int(round(F ** 0.5))
+    grid = lambda x: np.asarray(x).reshape(B, L, side, side, 1) * 255.0
+    path = save_imgs([grid(sim), grid(gts * F)], "sanity_check", args.log_dir)
+    print("similarity-vs-gt grid written to", path)
+    return 0
+
+
 def cmd_validate(args) -> int:
     from ntm_tracker_tpu.tracking.validate import validate_tracker
 
@@ -449,6 +559,24 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--vgg_weights", default="")
     v.add_argument("--workdir", default=".")
     v.set_defaults(fn=cmd_track_vot)
+
+    lo = sub.add_parser("lstm-only", help="LSTM baseline on the heatmap task")
+    _add_model_flags(lo)
+    _add_train_flags(lo)
+    lo.add_argument("--sequences_dir", required=True)
+    lo.add_argument("--vgg_weights", default="")
+    lo.add_argument("--compress_dim", type=int, default=128)
+    lo.set_defaults(fn=cmd_lstm_only)
+
+    sc = sub.add_parser("sanity-check",
+                        help="cosine-similarity heatmap reproduction check")
+    _add_model_flags(sc)
+    _add_train_flags(sc)
+    sc.add_argument("--sequences_dir", required=True)
+    sc.add_argument("--vgg_weights", default="")
+    sc.add_argument("--pca", action="store_true")
+    sc.add_argument("--compress_dim", type=int, default=128)
+    sc.set_defaults(fn=cmd_sanity_check)
 
     val = sub.add_parser("validate", help="replay pickled validation sequences")
     _add_model_flags(val)
