@@ -177,7 +177,41 @@ def cmd_train_offsets(args) -> int:
 
     mesh = make_mesh()
     pstep = parallel_train_step(exp.make_train_step(), mesh, donate_argnums=())
-    eval_jit = jax.jit(exp.make_eval_step())
+    eval_base = jax.jit(exp.make_eval_step())
+
+    if getattr(args, "save_imgs", False):
+        # PNG dashboards of crops / gt offsets / predictions at validation
+        # time (the reference wrote one EVERY step, direct_offset_output.py:348
+        # — here it is validation-cadence and opt-in)
+        from ntm_tracker_tpu.models.vgg import VGG_MEAN
+        from ntm_tracker_tpu.utils.viz import save_imgs
+
+        counter = {"n": 0}
+
+        def eval_jit(p, b):
+            aux = eval_base(p, b)
+            if "pred_offsets" in aux:
+                L = cfg.train.sequence_length
+                crops = np.asarray(exp.images_to_crops(
+                    b["images"], b["cropboxes"]
+                )) + VGG_MEAN
+                B = crops.shape[0] // L
+                sz = crops.shape[1]
+                offsets = np.stack(
+                    [np.asarray(b["y_offsets"]), np.asarray(b["x_offsets"])], -1
+                ).reshape(B, L, 2)
+                preds = np.concatenate(
+                    [np.zeros((B, 1, 2)), np.asarray(aux["pred_offsets"])], axis=1
+                )
+                save_imgs(
+                    [np.clip(crops, 0, 255).astype(np.uint8).reshape(B, L, sz, sz, 3),
+                     offsets, preds],
+                    f"step_{counter['n']}_validation", real_log_dir,
+                )
+                counter["n"] += 1
+            return aux
+    else:
+        eval_jit = eval_base
 
     def to_device(fb):
         return shard_batch(mesh, {
@@ -493,6 +527,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     t.add_argument("--sequences_dir", required=True)
     t.add_argument("--vgg_weights", default="")
+    t.add_argument("--save_imgs", action="store_true",
+                   help="write crop/gt/prediction PNG grids at validation")
     t.set_defaults(fn=cmd_train_offsets, experiment="offsets")
 
     th = sub.add_parser(

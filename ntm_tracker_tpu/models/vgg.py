@@ -162,6 +162,36 @@ def extract_features(feature_map: jax.Array, points: Sequence[Tuple[int, int]] =
     return feature_map[:, ys, xs, :]
 
 
+def project_receptive_field(
+    y: int, x: int, layer: str = "conv4_3", input_size: int = 224, clamp: bool = True
+):
+    """Input-space receptive-field box of feature pixel (y, x) at `layer`
+    (projectRF, receptive_field_sizes.py:38-102): walk the layers backward,
+    expanding [lo, hi] by each kernel/stride/pad.
+
+    Returns ((ymin, xmin), (ymax, xmax)) inclusive pixel coords; clamped to
+    the image like the reference's `rectify` (:132-133)."""
+    net_def = [
+        (3, 1, 1, "conv1_1"), (3, 1, 1, "conv1_2"), (2, 2, 0, "pool1"),
+        (3, 1, 1, "conv2_1"), (3, 1, 1, "conv2_2"), (2, 2, 0, "pool2"),
+        (3, 1, 1, "conv3_1"), (3, 1, 1, "conv3_2"), (3, 1, 1, "conv3_3"),
+        (2, 2, 0, "pool3"),
+        (3, 1, 1, "conv4_1"), (3, 1, 1, "conv4_2"), (3, 1, 1, "conv4_3"),
+    ]
+    idx = next(i for i, (_, _, _, n) in enumerate(net_def) if n == layer)
+    y0 = y1 = y
+    x0 = x1 = x
+    for k, s, p, _name in reversed(net_def[: idx + 1]):
+        y0 = y0 * s - p
+        x0 = x0 * s - p
+        y1 = y1 * s - p + (k - 1)
+        x1 = x1 * s - p + (k - 1)
+    if clamp:
+        y0, x0 = max(y0, 0), max(x0, 0)
+        y1, x1 = min(y1, input_size - 1), min(x1, input_size - 1)
+    return ((y0, x0), (y1, x1))
+
+
 def receptive_field(net_def=None, input_size: int = 224):
     """Receptive field / absolute stride / blob size per layer
     (receptive_field_sizes.py:20-30). Dev utility kept for parity."""

@@ -93,3 +93,24 @@ class TestVGG:
         assert last[3] == "conv4_3"
         assert last[2] == 28
         assert last[1] == 8
+
+
+class TestProjectRF:
+    def test_conv43_receptive_field_span(self):
+        from ntm_tracker_tpu.models.vgg import project_receptive_field, receptive_field
+
+        # conv4_3 has RF 92 and absolute stride 8 (calcRF math)
+        rows = receptive_field(input_size=224)
+        rf, stride = rows[-1][0], rows[-1][1]
+        assert rf == 92 and stride == 8
+        (y0, x0), (y1, x1) = project_receptive_field(14, 14, "conv4_3", clamp=False)
+        assert y1 - y0 + 1 == rf and x1 - x0 + 1 == rf
+        # stride: one feature step moves the box by 8 input pixels
+        (y0b, _), _ = project_receptive_field(15, 14, "conv4_3", clamp=False)
+        assert y0b - y0 == stride
+
+    def test_clamped_at_border(self):
+        from ntm_tracker_tpu.models.vgg import project_receptive_field
+
+        (y0, x0), (y1, x1) = project_receptive_field(0, 0, "conv4_3")
+        assert y0 == 0 and x0 == 0 and y1 < 92
