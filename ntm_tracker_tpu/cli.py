@@ -5,6 +5,9 @@ reference's per-script tf.app.flags blocks:
 
   train-offsets     <- direct_offset_output.py (--core dnc gives
                        direct_offset_output_with_dnc.py)
+  train-heatmap     <- main.py ntm_sevenbyseven/ntm_8by8/ntm_sequential
+  lstm-only         <- main.py lstm_only baseline
+  sanity-check      <- main.py sanity_check_compressor (+--pca)
   preprocess        <- preprocess.py
   dnc-repeat-copy   <- dnc/train.py
   track-vot         <- test_tracker.py (VOT file protocol)
@@ -38,6 +41,8 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--write_head_size", type=int, default=1)
     p.add_argument("--write_first", action="store_true")
     p.add_argument("--init_scale", type=float, default=0.05)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmul/conv compute (params stay fp32)")
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -67,8 +72,11 @@ def _tracker_config(args, core: str):
         TrainConfig,
     )
 
+    import jax.numpy as jnp
+
     return TrackerConfig(
         core=core,
+        compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         ntm=NTMConfig(
             output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
             controller_hidden_size=args.hidden_size,
@@ -115,11 +123,13 @@ def _make_experiment(args, cfg, vgg_params):
 
     kind = getattr(args, "experiment", "offsets")
     if kind == "offsets":
-        return OffsetExperiment(cfg, vgg_params, image_mode="raw")
+        # the loader already resized to 720x1280 with TF1 sampling semantics
+        # (loader.tf1_resize_bilinear_np), so the device pipeline skips resize
+        return OffsetExperiment(cfg, vgg_params, image_mode="resized")
     # heatmap variants: output_dim = num_features (frame) or 1 (sequential)
     import dataclasses as _dc
 
-    serialization = getattr(args, "serialization", "frame")
+    serialization = getattr(args, "serialization", "sequential")
     # heatmap grid follows gt_width (7x7 or 8x8 in the reference's variants,
     # main.py:54,80): a centered stride-2 grid on the 28x28 conv4_3 map
     gw = getattr(args, "gt_width", 8)
@@ -136,7 +146,7 @@ def _make_experiment(args, cfg, vgg_params):
         dnc=_dc.replace(cfg.dnc, output_dim=out_dim),
     )
     return HeatmapExperiment(
-        cfg, vgg_params, image_mode="raw",
+        cfg, vgg_params, image_mode="resized",
         serialization=serialization,
         compress_dim=getattr(args, "compress_dim", 0),
     )
@@ -175,7 +185,10 @@ def cmd_train_offsets(args) -> int:
     )
     print(f"{len(train_seqs)} train seqs, {len(val_seqs)} val seqs")
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=cfg.train.batch_size)
+    if mesh.devices.size < len(jax.devices()):
+        print(f"NOTE: using {mesh.devices.size}/{len(jax.devices())} devices "
+              f"(batch_size {cfg.train.batch_size} must divide the mesh)")
     pstep = parallel_train_step(exp.make_train_step(), mesh, donate_argnums=())
     eval_base = jax.jit(exp.make_eval_step())
 
@@ -506,9 +519,9 @@ def cmd_find_validation_batch(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    from ntm_tracker_tpu.benchmarks import main as bench_main
 
-    bench.main()
+    bench_main()
     return 0
 
 
@@ -541,8 +554,12 @@ def build_parser() -> argparse.ArgumentParser:
     th.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     th.add_argument("--sequences_dir", required=True)
     th.add_argument("--vgg_weights", default="")
-    th.add_argument("--serialization", choices=["frame", "sequential"],
-                    default="frame")
+    th.add_argument(
+        "--serialization", choices=["sequential", "frame"], default="sequential",
+        help="'sequential' is the reference structure (BOTH ntm_sevenbyseven "
+        "and ntm_8by8 use the per-feature 2F+1 stream, main.py:2040-2135); "
+        "'frame' is a TPU-friendly non-reference variant (64+delimiter "
+        "tokens, heatmap read at frame delimiters)")
     th.add_argument("--compress_dim", type=int, default=0,
                     help="1x1-conv input compressor output channels (0=off)")
     th.set_defaults(fn=cmd_train_offsets, experiment="heatmap")
@@ -553,7 +570,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--output_dir", required=True)
     pp.add_argument("--cropbox_grid", type=int, default=8)
     pp.add_argument("--bbox_grid", type=int, default=6)
-    pp.add_argument("--focus", type=float, default=3.0)
+    pp.add_argument("--focus", type=int, default=4)
     pp.add_argument("--deform_threshold", type=float, default=0.5)
     pp.add_argument("--zoom_threshold", type=float, default=0.5)
     pp.add_argument("--num_workers", type=int, default=7)

@@ -32,6 +32,11 @@ class NTMConfig:
     # use the fused Pallas addressing/update kernel for the post-controller
     # memory math (TPU only; jnp path is the reference semantics)
     use_pallas: bool = False
+    # False (default) reproduces the reference's EXECUTED content addressing,
+    # which l2-normalizes each mem_dim row ACROSS slots (ops.py:147-150 — an
+    # upstream quirk its own golden test contradicts). True uses proper
+    # slot-vector cosine for new models.
+    slotwise_cosine: bool = False
 
     @property
     def num_heads(self) -> int:
@@ -61,12 +66,16 @@ class DataConfig:
 
     cropbox_grid: int = 8
     bbox_grid: int = 6
-    focus: float = 3.0          # sigma = bbox_grid / focus (preprocess.py:238)
+    # preprocess.py:522 default focus=4 (an INT: under Python 2 the
+    # first-frame sigma is bbox_grid/focus = 6//4 = 1, and later frames use
+    # the generate_gt default focus=3 -> sigma 2; geometry.generate_gt
+    # reproduces the integer-division semantics)
+    focus: int = 4
     gt_width: int = 8           # ground-truth heatmap side (direct_offset_output.py:44)
     crop_size: int = 224
     resize_hw: Tuple[int, int] = (720, 1280)
-    deform_threshold: float = 0.5
-    zoom_threshold: float = 0.5
+    deform_threshold: float = 0.1  # preprocess.py:523
+    zoom_threshold: float = 0.1    # preprocess.py:524
 
 
 @dataclasses.dataclass(frozen=True)

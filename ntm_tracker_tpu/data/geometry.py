@@ -154,15 +154,22 @@ def discrete_gauss(center=(0.5, 0.5), shape=(7, 7), sigma: float = 0.75) -> np.n
     return h
 
 
-def generate_gt(normalbbox: Box, cropbox_grid: int, bbox_grid: int, focus: float = 3) -> np.ndarray:
+def generate_gt(normalbbox: Box, cropbox_grid: int, bbox_grid: int, focus=3) -> np.ndarray:
     """Gaussian gt heatmap for a transformed bbox; sigma = bbox_grid/focus.
 
-    NOTE the reference quirk: only the FIRST frame passes FLAGS.focus; later
-    frames use the default focus=3 (preprocess.py:291-292 vs :308-309)."""
+    Reference quirks reproduced here: (a) only the FIRST frame passes
+    FLAGS.focus (an INT, default 4); later frames use the default focus=3
+    (preprocess.py:291-292 vs :308-309); (b) preprocess.py has no
+    `from __future__ import division`, so with int operands the sigma is
+    FLOOR-divided under Python 2 (6//4=1 for the first frame, 6//3=2 after).
+    Pass a float focus to opt out of the floor."""
     y1, x1, y2, x2 = normalbbox
     cx = (x1 + x2) / 2.0
     cy = (y1 + y2) / 2.0
-    sigma = bbox_grid / focus
+    if isinstance(bbox_grid, (int, np.integer)) and isinstance(focus, (int, np.integer)):
+        sigma = bbox_grid // focus
+    else:
+        sigma = bbox_grid / focus
     return discrete_gauss((cx, cy), (cropbox_grid, cropbox_grid), sigma)
 
 

@@ -31,15 +31,38 @@ class FrameBatch(NamedTuple):
     x_offsets: np.ndarray  # [B*L] float32
 
 
+def tf1_resize_bilinear_np(image: np.ndarray, out_hw) -> np.ndarray:
+    """Numpy twin of image_ops.tf1_resize_bilinear (TF1 legacy grid:
+    src = i * in/out, NOT half-pixel centered) for the host decode path, so
+    the sampling semantics match the reference end-to-end regardless of
+    where the resize runs."""
+    H, W = image.shape[:2]
+    out_h, out_w = out_hw
+    if (H, W) == (out_h, out_w):
+        return image.astype(np.float32)
+    ys = np.arange(out_h, dtype=np.float64) * (H / out_h)
+    xs = np.arange(out_w, dtype=np.float64) * (W / out_w)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    fy = (ys - np.floor(ys)).astype(np.float32)[:, None, None]
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    fx = (xs - np.floor(xs)).astype(np.float32)[None, :, None]
+    img = image.astype(np.float32)
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _decode_image(path: str, resize_hw=None) -> np.ndarray:
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
     if resize_hw is not None:
-        # host-side fallback resize (bilinear); the canonical path resizes
-        # on device with TF1 semantics (image_ops.tf1_resize_bilinear)
-        img = img.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
-    return np.asarray(img, dtype=np.uint8)
+        # TF1-semantics resize (matches the reference's in-graph
+        # resize_images, direct_offset_output.py:195); returns float32
+        return tf1_resize_bilinear_np(img, resize_hw)
+    return img
 
 
 def load_frame_batch(
@@ -55,9 +78,20 @@ def load_frame_batch(
     loader when available (ntm_tracker_tpu/native/record_loader.cpp),
     falling back to the Python reader. reverse_image mirrors the
     reference's horizontal-flip augmentation
-    (direct_offset_output.py:186-187,203-204): x offsets negate; the image
-    flip itself happens device-side after cropping.
+    (direct_offset_output.py:186-187,203-204): x offsets negate, and the
+    crop is horizontally flipped — realized here by flipping the decoded
+    frame and mirroring the cropbox's x extent, which is sample-exact
+    equivalent to the reference's flip-after-crop under the corner-aligned
+    crop_and_resize grid. (The frame-0 gt indicator channel is NOT flipped
+    — the reference doesn't flip it either.)
     """
+
+    def _flip(images, cropboxes):
+        images = np.ascontiguousarray(images[:, :, ::-1])
+        c = cropboxes.copy()
+        c[:, 1], c[:, 3] = 1.0 - cropboxes[:, 3], 1.0 - cropboxes[:, 1]
+        return images, c
+
     if use_native:
         try:
             from ntm_tracker_tpu.data.native_loader import load_records_native
@@ -69,6 +103,8 @@ def load_frame_batch(
                 [_decode_image(p, decode_resize_hw) for p in img_paths]
             )
             xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
+            if reverse_image:
+                imgs, crops = _flip(imgs, crops)
             return FrameBatch(
                 images=imgs, cropboxes=crops, gts=gts,
                 y_offsets=offsets[:, 0].copy(), x_offsets=np.asarray(xo),
@@ -84,9 +120,13 @@ def load_frame_batch(
         gts.append(rec["gt"])
         yo.append(rec["y_offset"])
         xo.append(-rec["x_offset"] if reverse_image else rec["x_offset"])
+    images = np.stack(imgs)
+    cropboxes = np.asarray(crops, np.float32)
+    if reverse_image:
+        images, cropboxes = _flip(images, cropboxes)
     return FrameBatch(
-        images=np.stack(imgs),
-        cropboxes=np.asarray(crops, np.float32),
+        images=images,
+        cropboxes=cropboxes,
         gts=np.stack(gts).astype(np.float32),
         y_offsets=np.asarray(yo, np.float32),
         x_offsets=np.asarray(xo, np.float32),

@@ -37,6 +37,7 @@ from ntm_tracker_tpu.config import NTMConfig
 from ntm_tracker_tpu.ops.lstm import init_lstm_params, multi_lstm_step, zero_lstm_state
 from ntm_tracker_tpu.ops.memory import (
     batched_circular_convolution,
+    batched_slotwise_cosine_similarity,
     batched_smooth_cosine_similarity,
     sharpen,
 )
@@ -152,7 +153,9 @@ def ntm_cell_step(
         off += sizes[name]
     k, beta, g, sw, gamma, erase, add = splits
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and not with_debug:
+        # (with_debug needs the intermediates, so it always takes the jnp
+        # path below, even when the kernel is enabled)
         from ntm_tracker_tpu.ops.pallas.addressing import fused_ntm_addressing
 
         M, w, read = fused_ntm_addressing(
@@ -162,6 +165,7 @@ def ntm_cell_step(
             add.reshape(B, cfg.write_head_size, D),
             M_prev, w_prev,
             read_heads=R, write_first=cfg.write_first,
+            slotwise=cfg.slotwise_cosine,
         )
         logit = (
             ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
@@ -172,7 +176,12 @@ def ntm_cell_step(
 
     # addressing (ntm_cell.py:133-176)
     k = jnp.tanh(k.reshape(B, H, D))
-    similarity = batched_smooth_cosine_similarity(M_prev, k)
+    cos_fn = (
+        batched_slotwise_cosine_similarity
+        if cfg.slotwise_cosine
+        else batched_smooth_cosine_similarity
+    )
+    similarity = cos_fn(M_prev, k)
     beta = jax.nn.softplus(beta)[..., None]
     w_content = jax.nn.softmax(similarity * beta, axis=-1)
     g = jax.nn.sigmoid(g)[..., None]

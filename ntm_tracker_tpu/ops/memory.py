@@ -36,7 +36,7 @@ def _l2_normalize(x: jax.Array, axis: int) -> jax.Array:
 
 
 def batched_smooth_cosine_similarity(memory: jax.Array, keys: jax.Array) -> jax.Array:
-    """Cosine similarity of every key against every memory slot.
+    """Key/memory similarity with the reference's EXECUTED normalization.
 
     Args:
       memory: [batch, mem_size, mem_dim]
@@ -44,9 +44,28 @@ def batched_smooth_cosine_similarity(memory: jax.Array, keys: jax.Array) -> jax.
     Returns:
       [batch, num_heads, mem_size]
 
-    Matches ops.py:135-158: both operands are TF-l2_normalized (1e-12 floor)
-    along mem_dim, then contracted on the MXU.
+    IMPORTANT reference quirk (ops.py:147-156): the reference transposes
+    memory to [B, mem_dim, mem_size] FIRST and then l2_normalizes axis 2 —
+    i.e. each mem_dim ROW is normalized across the 128 slots, NOT each slot
+    vector. Keys are normalized along mem_dim as expected. This is almost
+    certainly an upstream bug (the reference's own golden test expects
+    proper slot-vector cosine and would fail against its implementation),
+    but it is what every reference checkpoint was trained with, so we
+    reproduce it exactly. `batched_slotwise_cosine_similarity` below is the
+    intended math.
     """
+    mem_n = _l2_normalize(memory, axis=1)  # normalize ACROSS slots (quirk)
+    key_n = _l2_normalize(keys, axis=2)
+    return jnp.einsum(
+        "bhd,bnd->bhn", key_n, mem_n, preferred_element_type=jnp.float32
+    )
+
+
+def batched_slotwise_cosine_similarity(memory: jax.Array, keys: jax.Array) -> jax.Array:
+    """True cosine similarity (each memory SLOT vector normalized) — the
+    math ops.py:135-158 documents and its golden test (ops_test.py:6-37)
+    expects, though the reference's code does not compute it. Offered as the
+    sane alternative for new models."""
     mem_n = _l2_normalize(memory, axis=2)
     key_n = _l2_normalize(keys, axis=2)
     return jnp.einsum(

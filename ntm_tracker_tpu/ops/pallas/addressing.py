@@ -55,6 +55,7 @@ def _kernel(
     read_heads: int,
     write_first: bool,
     shifts: Tuple[int, ...],
+    slotwise: bool,
 ):
     B, H, D = k_ref.shape
     N = Mt_ref.shape[2]
@@ -65,15 +66,22 @@ def _kernel(
     Mt = Mt_ref[:]                                   # [B,D,N]
     k = jnp.tanh(k_ref[:])                           # [B,H,D]
 
-    # --- cosine similarity (TF l2_normalize, 1e-12 floor) ---------------
+    # --- similarity (TF l2_normalize, 1e-12 floor) ----------------------
+    # slotwise=False reproduces the reference quirk: each mem_dim row of the
+    # memory is normalized ACROSS slots (ops.py:147-150)
     k_inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, axis=2), 1e-12))  # [B,H]
-    m_sq = jnp.sum(Mt * Mt, axis=1)                  # [B,N]
-    m_inv = jax.lax.rsqrt(jnp.maximum(m_sq, 1e-12))  # [B,N]
-    # sim[b,h,n] = (sum_d k[b,h,d] * Mt[b,d,n]) * k_inv[b,h] * m_inv[b,n]
+    if slotwise:
+        m_sq = jnp.sum(Mt * Mt, axis=1)              # [B,N]
+        m_inv = jax.lax.rsqrt(jnp.maximum(m_sq, 1e-12))
+        Mtn = Mt * m_inv[:, None, :]
+    else:
+        m_sq = jnp.sum(Mt * Mt, axis=2)              # [B,D]
+        m_inv = jax.lax.rsqrt(jnp.maximum(m_sq, 1e-12))
+        Mtn = Mt * m_inv[:, :, None]
     sim = jnp.zeros((B, H, N), f32)
     for d in range(D):
-        sim = sim + k[:, :, d][:, :, None] * Mt[:, d, :][:, None, :]
-    sim = sim * k_inv[:, :, None] * m_inv[:, None, :]
+        sim = sim + k[:, :, d][:, :, None] * Mtn[:, d, :][:, None, :]
+    sim = sim * k_inv[:, :, None]
 
     # --- content focus + interpolation + shift + sharpen ----------------
     beta = jax.nn.softplus(beta_ref[:])[..., None]
@@ -122,7 +130,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("read_heads", "write_first", "interpret")
+    jax.jit, static_argnames=("read_heads", "write_first", "slotwise", "interpret")
 )
 def fused_ntm_addressing(
     k: jax.Array,
@@ -137,6 +145,7 @@ def fused_ntm_addressing(
     *,
     read_heads: int,
     write_first: bool = False,
+    slotwise: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused replacement for ntm_cell.py:133-215. Returns (M, w, read).
@@ -152,7 +161,8 @@ def fused_ntm_addressing(
     shifts = tuple(circular_convolution_shifts(sw.shape[-1]))
 
     kern = functools.partial(
-        _kernel, read_heads=R, write_first=write_first, shifts=shifts
+        _kernel, read_heads=R, write_first=write_first, shifts=shifts,
+        slotwise=slotwise,
     )
 
     # batch-block the grid so VMEM stays bounded (each block holds the full

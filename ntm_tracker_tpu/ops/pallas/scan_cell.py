@@ -61,7 +61,7 @@ def _step_kernel(
     *,
     cfg_static: Tuple,
 ):
-    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes) = cfg_static
+    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cfg_static
     t = pl.program_id(0)
     f32 = jnp.float32
 
@@ -119,7 +119,14 @@ def _step_kernel(
     add_raw = controls[:, o : o + sizes["add"]]; o += sizes["add"]
 
     Mt = M_ref[:]                                  # [B, D, N]
-    m_inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(Mt * Mt, axis=1), 1e-12))  # [B,N]
+    # slotwise=False reproduces the reference's executed normalization
+    # (each mem_dim row normalized ACROSS slots, ops.py:147-150)
+    if slotwise:
+        m_inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(Mt * Mt, axis=1), 1e-12))  # [B,N]
+        Mtn = Mt * m_inv[:, None, :]
+    else:
+        m_inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(Mt * Mt, axis=2), 1e-12))  # [B,D]
+        Mtn = Mt * m_inv[:, :, None]
 
     beta = jax.nn.softplus(beta_raw)               # [B,H]
     g = jax.nn.sigmoid(g_raw)                      # [B,H]
@@ -134,8 +141,8 @@ def _step_kernel(
         )                                                       # [B,1]
         sim = jnp.zeros((B, N), f32)
         for d in range(D):
-            sim = sim + k_h[:, d][:, None] * Mt[:, d, :]
-        sim = sim * k_inv * m_inv                               # [B,N]
+            sim = sim + k_h[:, d][:, None] * Mtn[:, d, :]
+        sim = sim * k_inv                                       # [B,N]
 
         w_c = jax.nn.softmax(sim * beta[:, h][:, None], axis=-1)
         g_h = g[:, h][:, None]
@@ -224,7 +231,8 @@ def ntm_scan_fused(
     c0 = jnp.stack([c for c, _ in state["controller_state"]])
     h0 = jnp.stack([h for _, h in state["controller_state"]])
 
-    cfg_static = (H, R, W, D, N, S, Hc, L, shifts, cfg.write_first, sizes)
+    cfg_static = (H, R, W, D, N, S, Hc, L, shifts, cfg.write_first, sizes,
+                  cfg.slotwise_cosine)
     kern = functools.partial(_step_kernel, cfg_static=cfg_static)
 
     const3 = lambda a, b, c: pl.BlockSpec(

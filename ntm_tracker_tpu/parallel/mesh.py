@@ -22,10 +22,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis: str = DATA_AXIS,
+    batch_size: Optional[int] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    If batch_size is given, the mesh is trimmed to the largest device count
+    that divides it (sharding requires divisibility; batch_size=1 on an
+    8-chip host must not crash — it just runs single-device)."""
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        if n < len(devices):
+            devices = devices[:n]
     return Mesh(np.asarray(devices), (axis,))
 
 

@@ -73,7 +73,9 @@ def train_repeat_copy(
     )
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        tf_rmsprop(cfg.learning_rate, decay=0.9, momentum=0.9,
+        # tf.train.RMSPropOptimizer defaults: decay=0.9, momentum=0.0
+        # (dnc/train.py:123-124 passes only lr and epsilon)
+        tf_rmsprop(cfg.learning_rate, decay=0.9, momentum=0.0,
                    epsilon=cfg.optimizer_epsilon),
     )
     opt_state = opt.init(params)

@@ -151,19 +151,23 @@ def synthetic_offset_batch(
 
 @dataclasses.dataclass
 class HeatmapExperiment(OffsetExperiment):
-    """Heatmap-output variants (ntm_sevenbyseven / ntm_8by8 / ntm_sequential,
-    main.py:1646-2297, :979-1291): the NTM emits per-location logits and the
+    """Heatmap-output variants: the NTM emits per-location logits and the
     loss is softmax-CE against the gt heatmap at the gathered steps.
 
-    serialization='frame':      64 tokens + delimiter per frame, predictions
-                                at delimiter steps (8by8 structure).
-    serialization='sequential': per-feature two-step stream, predictions at
-                                feature-delimiter steps (output_dim=1).
+    serialization='sequential': the REFERENCE structure — ntm_sevenbyseven,
+                                ntm_8by8 and ntm_sequential all use the
+                                per-feature 2F+1 token stream with scalar
+                                outputs at feature-delimiter steps
+                                (main.py:1646-2297, :979-1291, :2040-2135).
+    serialization='frame':      TPU-friendly NON-reference variant — 64
+                                tokens + one delimiter per frame, the
+                                F-dim heatmap read at delimiter steps
+                                (20x fewer sequential steps; same loss).
     compress_dim>0 adds the learned 1x1-conv input compressor; its weight
     lives in params['compressor'] and trains with the core.
     """
 
-    serialization: str = "frame"
+    serialization: str = "sequential"
     compress_dim: int = 0
 
     def init(self, rng: jax.Array):

@@ -255,8 +255,12 @@ def find_validation_batch(
     seed: int = 42,
     dump_path: Optional[str] = None,
 ):
-    """Replay the training loop's RNG schedule to recover which validation
-    batch was used at `target_step` (determinism helper)."""
+    """Replay the REFERENCE's training-loop RNG schedule (one shared
+    random.Random alternating train/val shuffles, main.py:2299-2320) to
+    recover which validation batch a reference run used at `target_step`.
+    NOTE: this framework's own train loop uses independent RNG streams for
+    the train iterator and validation batches, so this helper reconstructs
+    reference runs, not ntm_tracker_tpu runs."""
     from ntm_tracker_tpu.data.sequences import get_valid_sequences
 
     rng = _random.Random(seed)

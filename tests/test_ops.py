@@ -25,14 +25,20 @@ from ntm_tracker_tpu.ops import (
 
 
 class TestBatchedSmoothCosineSimilarity:
-    def test_golden_values(self):
+    def test_golden_values_slotwise(self):
         # golden values from ops_test.py:29-34 (computed with torch
-        # nn.SmoothCosineSimilarity in the reference's docstring)
+        # nn.SmoothCosineSimilarity in the reference's docstring). NOTE:
+        # these match PROPER slot-vector cosine — the reference's own
+        # implementation (which normalizes across slots, ops.py:147-150)
+        # does NOT reproduce its own golden test. We keep the golden test
+        # against the slotwise variant and oracle-test the quirk variant.
+        from ntm_tracker_tpu.ops.memory import batched_slotwise_cosine_similarity
+
         memory = jnp.array(
             [[[1, 2, 3], [2, 2, 2], [3, 2, 1], [0, 2, 4]]], dtype=jnp.float32
         )
         keys = jnp.array([[[2, 2, 2], [1, 2, 3]]], dtype=jnp.float32)
-        sim = batched_smooth_cosine_similarity(memory, keys)
+        sim = batched_slotwise_cosine_similarity(memory, keys)
         expected = np.array(
             [[
                 [0.92574867671153, 0.99991667361053, 0.92574867671153, 0.77454667246876],
@@ -40,6 +46,30 @@ class TestBatchedSmoothCosineSimilarity:
             ]]
         )
         np.testing.assert_allclose(np.asarray(sim), expected, rtol=2e-4)
+
+    def test_executed_reference_quirk_oracle(self):
+        """batched_smooth_cosine_similarity must reproduce the reference's
+        EXECUTED semantics: transpose memory to [B,D,N] then l2_normalize
+        axis 2 (across slots), keys normalized across mem_dim."""
+        rng = np.random.RandomState(0)
+        memory = rng.randn(2, 6, 4).astype(np.float32)  # [B,N,D]
+        keys = rng.randn(2, 3, 4).astype(np.float32)    # [B,H,D]
+        got = np.asarray(
+            batched_smooth_cosine_similarity(jnp.array(memory), jnp.array(keys))
+        )
+        mt = memory.transpose(0, 2, 1)                  # [B,D,N]
+        mt = mt / np.sqrt(np.maximum((mt ** 2).sum(2, keepdims=True), 1e-12))
+        kn = keys / np.sqrt(np.maximum((keys ** 2).sum(2, keepdims=True), 1e-12))
+        want = np.einsum("bhd,bdn->bhn", kn, mt)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # and it is NOT the proper cosine (self-similarity != 1): key equal
+        # to a slot vector does not give 1 under the quirk
+        mem1 = np.tile(np.array([[1.0, 2.0, 3.0]], np.float32), (4, 1))[None]
+        key1 = np.array([[[1.0, 2.0, 3.0]]], np.float32)
+        q = np.asarray(
+            batched_smooth_cosine_similarity(jnp.array(mem1), jnp.array(key1))
+        )
+        assert abs(q[0, 0, 0] - 1.0) > 1e-3
 
     def test_zero_memory_no_nan(self):
         memory = jnp.zeros((2, 4, 3))
