@@ -65,6 +65,18 @@ def _decode_image(path: str, resize_hw=None) -> np.ndarray:
     return img
 
 
+def _decode_images_parallel(paths: Sequence[str], resize_hw, workers: int = 8) -> np.ndarray:
+    """Decode+resize a batch with a thread pool (PIL decode and the numpy
+    resize both release the GIL for their hot loops); the 720x1280 upscale
+    of a full batch is the loader's dominant cost otherwise."""
+    if len(paths) <= 1:
+        return np.stack([_decode_image(p, resize_hw) for p in paths])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(paths))) as ex:
+        return np.stack(list(ex.map(lambda p: _decode_image(p, resize_hw), paths)))
+
+
 def load_frame_batch(
     frame_paths: Sequence[str],
     gt_width: int = 8,
@@ -99,9 +111,7 @@ def load_frame_batch(
             crops, _bboxes, offsets, gts, img_paths = load_records_native(
                 frame_paths, gt_width
             )
-            imgs = np.stack(
-                [_decode_image(p, decode_resize_hw) for p in img_paths]
-            )
+            imgs = _decode_images_parallel(img_paths, decode_resize_hw)
             xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
             if reverse_image:
                 imgs, crops = _flip(imgs, crops)
@@ -112,15 +122,15 @@ def load_frame_batch(
         except RuntimeError:
             pass  # no native toolchain; fall through to the Python reader
 
-    imgs, crops, gts, yo, xo = [], [], [], [], []
+    crops, gts, yo, xo, img_paths = [], [], [], [], []
     for p in frame_paths:
         rec = read_frame_record(p, gt_width)
-        imgs.append(_decode_image(rec["image_path"], decode_resize_hw))
+        img_paths.append(rec["image_path"])
         crops.append(rec["cropbox"])
         gts.append(rec["gt"])
         yo.append(rec["y_offset"])
         xo.append(-rec["x_offset"] if reverse_image else rec["x_offset"])
-    images = np.stack(imgs)
+    images = _decode_images_parallel(img_paths, decode_resize_hw)
     cropboxes = np.asarray(crops, np.float32)
     if reverse_image:
         images, cropboxes = _flip(images, cropboxes)

@@ -47,6 +47,12 @@ def ntm_tracker_unroll(
         (ntm_tracker_new.py:15-16).
     Returns:
       (outputs [B,T,out], logits [B,T,out], final_state)
+
+    Perf notes (v5e, B=8, T=1300 grad step): remat=True is ~1.8x FASTER
+    than remat=False (33ms vs 58ms) — recomputing the cheap cell forward
+    beats streaming 1300 steps of saved activations through HBM. unroll=13
+    shaves a further ~6% (31.3ms) at the cost of ~13x scan-body compile
+    time; expose it for long production runs.
     """
     B = inputs.shape[0]
     if state is None:
