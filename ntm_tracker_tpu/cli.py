@@ -122,10 +122,12 @@ def _make_experiment(args, cfg, vgg_params):
     from ntm_tracker_tpu.train.experiments import HeatmapExperiment, OffsetExperiment
 
     kind = getattr(args, "experiment", "offsets")
+    # host path pre-resizes with TF1 sampling semantics (loader.
+    # tf1_resize_bilinear_np) -> device skips resize; --device_resize ships
+    # raw frames and runs the identical TF1 grid on device instead
+    mode = "raw" if getattr(args, "device_resize", False) else "resized"
     if kind == "offsets":
-        # the loader already resized to 720x1280 with TF1 sampling semantics
-        # (loader.tf1_resize_bilinear_np), so the device pipeline skips resize
-        return OffsetExperiment(cfg, vgg_params, image_mode="resized")
+        return OffsetExperiment(cfg, vgg_params, image_mode=mode)
     # heatmap variants: output_dim = num_features (frame) or 1 (sequential)
     import dataclasses as _dc
 
@@ -146,7 +148,7 @@ def _make_experiment(args, cfg, vgg_params):
         dnc=_dc.replace(cfg.dnc, output_dim=out_dim),
     )
     return HeatmapExperiment(
-        cfg, vgg_params, image_mode="resized",
+        cfg, vgg_params, image_mode=mode,
         serialization=serialization,
         compress_dim=getattr(args, "compress_dim", 0),
     )
@@ -226,9 +228,13 @@ def cmd_train_offsets(args) -> int:
     else:
         eval_jit = eval_base
 
+    dev_resize = getattr(args, "device_resize", False)
+
     def to_device(fb):
         return shard_batch(mesh, {
-            "images": fb.images.astype(np.float32),
+            # raw mode ships uint8 and casts on device (preprocess_frame
+            # does astype(float32)); resized mode is already float32
+            "images": fb.images if dev_resize else fb.images.astype(np.float32),
             "cropboxes": fb.cropboxes,
             "gts": fb.gts,
             "y_offsets": fb.y_offsets,
@@ -239,7 +245,8 @@ def cmd_train_offsets(args) -> int:
         batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
                        shuffle=True, seed=cfg.train.seed,
                        reverse_image=args.reverse_image,
-                       epochs=cfg.train.num_epochs),
+                       epochs=cfg.train.num_epochs,
+                       decode_resize_hw=None if dev_resize else (720, 1280)),
         prefetch=2, device_put=to_device,
     )
 
@@ -248,7 +255,9 @@ def cmd_train_offsets(args) -> int:
             to_device(fb)
             for fb in batch_iterator(val_seqs, cfg.train.batch_size,
                                      args.gt_width, shuffle=True,
-                                     seed=cfg.train.seed, epochs=1)
+                                     seed=cfg.train.seed, epochs=1,
+                                     decode_resize_hw=None if dev_resize
+                                     else (720, 1280))
         )
 
     params, opt_state, steps = train_loop(
@@ -542,6 +551,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--vgg_weights", default="")
     t.add_argument("--save_imgs", action="store_true",
                    help="write crop/gt/prediction PNG grids at validation")
+    t.add_argument("--device_resize", action="store_true",
+                   help="ship native-size uint8 frames and do the 720x1280 "
+                   "TF1 resize on device (same sampling semantics, much "
+                   "less host->device transfer; needs uniform frame sizes "
+                   "per batch)")
     t.set_defaults(fn=cmd_train_offsets, experiment="offsets")
 
     th = sub.add_parser(

@@ -181,9 +181,14 @@ def batch_iterator(
     seed: int = 42,
     reverse_image: bool = False,
     epochs: int = 1,
+    decode_resize_hw=(720, 1280),
 ):
     """Yield FrameBatch per training step, like the reference's epoch loop
-    (direct_offset_output.py:292-353)."""
+    (direct_offset_output.py:292-353).
+
+    decode_resize_hw=None ships native-size uint8 frames and leaves the
+    TF1-semantics 720x1280 resize to the device (image_mode='raw') — 4-16x
+    less host->device transfer; requires uniform frame sizes per batch."""
     from ntm_tracker_tpu.data.sequences import sevenbyseven_get_batch
     import random as _random
 
@@ -196,6 +201,16 @@ def batch_iterator(
         index = 0
         while index < usable:
             frame_names, index = sevenbyseven_get_batch(index, batch_size, seqs)
-            yield load_frame_batch(
-                frame_names, gt_width, reverse_image=reverse_image
-            )
+            try:
+                yield load_frame_batch(
+                    frame_names, gt_width, reverse_image=reverse_image,
+                    decode_resize_hw=decode_resize_hw,
+                )
+            except ValueError as e:
+                if decode_resize_hw is None and "stack" in str(e).lower():
+                    raise ValueError(
+                        "device_resize needs uniform frame sizes within a "
+                        "batch; use host resize (decode_resize_hw set) for "
+                        "mixed-resolution batches"
+                    ) from e
+                raise
