@@ -372,7 +372,7 @@ def cmd_track_vot(args) -> int:
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
     if args.ckpt_path:
         restored = CheckpointManager(args.ckpt_path).restore(
-            template={"params": params}
+            template={"params": params}, partial=True
         )
         params = restored["params"]
 
@@ -381,7 +381,10 @@ def cmd_track_vot(args) -> int:
     imagefile = handle.frame()
     if not imagefile:
         return 0
-    tracker = StreamingTracker(cfg, vgg_params, params, core)
+    tracker = StreamingTracker(
+        cfg, vgg_params, params, core,
+        delimiter_first=getattr(args, "delimiter_first", False),
+    )
     img = np.asarray(Image.open(imagefile).convert("RGB"))
     tracker.init(img, (selection.x, selection.y, selection.width, selection.height))
     count = 1
@@ -625,6 +628,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     v.add_argument("--vgg_weights", default="")
     v.add_argument("--workdir", default=".")
+    v.add_argument("--delimiter_first", action="store_true",
+                   help="use the reference's streaming token order "
+                   "(delimiter prepended; train/inference mismatch)")
     v.set_defaults(fn=cmd_track_vot)
 
     lo = sub.add_parser("lstm-only", help="LSTM baseline on the heatmap task")
@@ -651,6 +657,7 @@ def build_parser() -> argparse.ArgumentParser:
     val.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     val.add_argument("--vgg_weights", default="")
     val.add_argument("--pickle_path", required=True)
+    val.add_argument("--delimiter_first", action="store_true")
     val.set_defaults(fn=cmd_validate)
 
     f = sub.add_parser("find-validation-batch")

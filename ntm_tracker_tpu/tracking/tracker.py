@@ -37,6 +37,7 @@ def build_frame_step(
     vgg_params: Any,
     params: Any,
     donate_state: bool = True,
+    delimiter_first: bool = False,
 ):
     """Create the jitted whole-frame step.
 
@@ -44,6 +45,14 @@ def build_frame_step(
       -> (offsets [B,2], new state).
     The `first` variant carries the frame-0 gt indicator channel
     (test_tracker.py:384-394).
+
+    delimiter_first=False (default) matches the TRAINING serialization:
+    [64 feature tokens, delimiter], prediction read at the delimiter step —
+    the same step type the loss gathers (direct_offset_output.py:581-593).
+    delimiter_first=True reproduces the reference's streaming protocol
+    (test_tracker.py:400-404), which prepends the delimiter and reads the
+    prediction at the last FEATURE token — a train/inference mismatch in
+    the reference that measurably hurts tracking; kept for parity.
     """
     F = cfg.num_features
     C = cfg.feature_depth
@@ -73,7 +82,10 @@ def build_frame_step(
         tgt = jnp.zeros((B, F, 1)) if gt is None else gt.reshape(B, F, 1)
         feat = jnp.concatenate([toks, jnp.zeros((B, F, 1)), tgt], axis=2)
         delim = jnp.zeros((B, 1, C + 2)).at[:, 0, C].set(1.0)
-        stream = jnp.concatenate([delim, feat], axis=1)  # [B, F+1, C+2]
+        if delimiter_first:
+            stream = jnp.concatenate([delim, feat], axis=1)  # [B, F+1, C+2]
+        else:
+            stream = jnp.concatenate([feat, delim], axis=1)
 
         if use_fused:
             from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
@@ -113,12 +125,14 @@ class StreamingTracker:
     vgg_params: Any
     params: Any
     core: MemoryCore = None  # type: ignore[assignment]
+    delimiter_first: bool = False  # True = reference streaming protocol
 
     def __post_init__(self):
         if self.core is None:
             self.core = make_core(self.cfg)
         self._step_first, self._step_rest = build_frame_step(
-            self.cfg, self.core, self.vgg_params, self.params, donate_state=True
+            self.cfg, self.core, self.vgg_params, self.params,
+            donate_state=True, delimiter_first=self.delimiter_first,
         )
         d = self.cfg.data
         # mean-subtract BEFORE cropping (test_tracker.py:350-354)

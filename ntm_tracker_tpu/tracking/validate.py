@@ -32,7 +32,8 @@ def get_image(frame_path: str) -> Tuple[str, Tuple[float, float, float, float]]:
 
 
 def replay_sequences(
-    seqs, cfg, vgg_params, params, core=None, log=print
+    seqs, cfg, vgg_params, params, core=None, log=print,
+    delimiter_first: bool = False,
 ) -> List[List[float]]:
     """Replay each (seq_path, frame_names) pair; returns per-sequence IoUs."""
     from PIL import Image
@@ -45,7 +46,8 @@ def replay_sequences(
     for idx, (seq_path, frame_names) in enumerate(seqs):
         imagepath, region = get_image(os.path.join(seq_path, frame_names[0]))
         img = np.asarray(Image.open(imagepath).convert("RGB"))
-        tracker = StreamingTracker(cfg, vgg_params, params, core)
+        tracker = StreamingTracker(cfg, vgg_params, params, core,
+                                   delimiter_first=delimiter_first)
         tracker.init(img, region)
         ious: List[float] = []
         for frame_name in frame_names[1:]:
@@ -80,11 +82,12 @@ def validate_tracker(args) -> int:
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
     if args.ckpt_path:
         params = CheckpointManager(args.ckpt_path).restore(
-            template={"params": params}
+            template={"params": params}, partial=True
         )["params"]
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
-    ious = replay_sequences(seqs, cfg, vgg_params, params, core)
+    ious = replay_sequences(seqs, cfg, vgg_params, params, core,
+                            delimiter_first=getattr(args, "delimiter_first", False))
     flat = [i for s in ious for i in s]
     print(f"overall mean IoU over {len(flat)} frames: {np.mean(flat):.4f}")
     return 0

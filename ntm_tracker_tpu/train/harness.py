@@ -62,16 +62,33 @@ class CheckpointManager:
         with open(os.path.join(self._dir, "save_path.txt"), "w") as f:
             f.write(os.path.join(self._dir, str(step)))
 
-    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+    def restore(
+        self, step: Optional[int] = None, template: Any = None, partial: bool = False
+    ) -> Any:
+        """Restore a checkpoint. With partial=True the template may cover a
+        subtree of what was saved (e.g. params only, skipping opt_state) —
+        the inference-time contract (test_tracker.py restores weights only)."""
         import orbax.checkpoint as ocp
 
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
-        if template is not None:
+        if template is not None and not partial:
             return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return self._mgr.restore(step)
+        raw = self._mgr.restore(step)
+        if template is None:
+            return raw
+
+        def extract(tmpl, value):
+            if isinstance(tmpl, dict):
+                return {k: extract(v, value[k]) for k, v in tmpl.items()}
+            if isinstance(tmpl, (list, tuple)):
+                out = [extract(t, v) for t, v in zip(tmpl, value)]
+                return type(tmpl)(out) if isinstance(tmpl, tuple) else out
+            return value
+
+        return extract(template, raw)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
