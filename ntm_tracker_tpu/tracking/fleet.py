@@ -1,0 +1,182 @@
+"""Fleet tracking: many simultaneous tracks in one batched device step.
+
+The serving-scale counterpart of StreamingTracker: N independent tracks
+share ONE jitted frame step (crops [N,224,224,3] -> offsets [N,2] + batched
+state), so the chip amortizes the VGG + NTM work across the fleet — this is
+exactly the configuration the headline benchmark measures (~5000 tracked
+frames/s/chip at N=256). Host-side crop/decode geometry stays per-track
+(cheap numpy).
+
+Tracks are slot-based: `add(image, region)` claims a slot, `step(images)`
+advances every active track one frame, `remove(i)` frees a slot (its state
+is reset to the learnable initial state so it can be reused). The batch
+width is fixed at construction (static shapes for jit); inactive slots are
+fed zero crops and their outputs ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntm_tracker_tpu.config import TrackerConfig
+from ntm_tracker_tpu.data import geometry
+from ntm_tracker_tpu.data.image_ops import crop_and_resize
+from ntm_tracker_tpu.models.core import MemoryCore, make_core
+from ntm_tracker_tpu.models.vgg import VGG_MEAN
+from ntm_tracker_tpu.tracking.tracker import build_frame_step
+
+
+@dataclasses.dataclass
+class _Track:
+    image_size: Tuple[int, int]
+    normalized_bbox: Any = None
+    cropbox: Any = None
+    transformation: Any = None
+
+
+class FleetTracker:
+    """N-slot batched streaming tracker."""
+
+    def __init__(
+        self,
+        cfg: TrackerConfig,
+        vgg_params: Any,
+        params: Any,
+        capacity: int = 16,
+        core: Optional[MemoryCore] = None,
+        delimiter_first: bool = False,
+    ):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.core = core or make_core(cfg)
+        self.params = params
+        self._step_first, self._step_rest = build_frame_step(
+            cfg, self.core, vgg_params, params,
+            donate_state=False, delimiter_first=delimiter_first,
+        )
+        d = cfg.data
+        self._crop_jit = jax.jit(
+            lambda imgs, boxes: crop_and_resize(
+                imgs.astype(jnp.float32) - jnp.asarray(VGG_MEAN),
+                boxes, (d.crop_size, d.crop_size),
+            )
+        )
+        self.state = self.core.init_state(params, capacity)
+        self._tracks: List[Optional[_Track]] = [None] * capacity
+
+    # -- slot management ----------------------------------------------------
+    def _slot_geometry(self, t: _Track, region_xywh):
+        x1, y1, w, h = region_xywh
+        normalized = x1 < 1 and y1 < 1 and w < 1 and h < 1
+        bbox = (y1, x1, y1 + h, x1 + w)
+        width, height = t.image_size
+        t.normalized_bbox = (
+            bbox if normalized else geometry.normalize_bbox((width, height), bbox)
+        )
+        d = self.cfg.data
+        t.cropbox = geometry.calculate_cropbox(
+            t.normalized_bbox, d.cropbox_grid, d.bbox_grid
+        )
+        t.transformation = geometry.calculate_transformation(t.cropbox)
+
+    def add(self, image: np.ndarray, region_xywh) -> int:
+        """Claim a slot and present the target-indicated first frame."""
+        slot = next(
+            (i for i, t in enumerate(self._tracks) if t is None), None
+        )
+        if slot is None:
+            raise RuntimeError("fleet is full")
+        h, w, _ = image.shape
+        t = _Track(image_size=(w, h))
+        self._slot_geometry(t, region_xywh)
+        self._tracks[slot] = t
+
+        d = self.cfg.data
+        crop = self._crop_jit(
+            jnp.asarray(image[None]), jnp.asarray([t.cropbox], jnp.float32)
+        )[0]
+        batch_np = np.zeros(
+            (self.capacity, d.crop_size, d.crop_size, 3), np.float32
+        )
+        batch_np[slot] = np.asarray(crop)
+        batch_crops = jnp.asarray(batch_np)
+
+        gt_side = int(round(self.cfg.num_features ** 0.5))
+        gt = geometry.generate_gt(
+            geometry.apply_transformation(t.normalized_bbox, t.transformation),
+            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
+            # float bbox grid: same sigma as the reference for the
+            # canonical 8/6 config (6.0/3 == 6//3 == 2) but avoids the
+            # int-division zero for tiny test grids
+        ).astype(np.float32)
+        gts = np.zeros((self.capacity, self.cfg.num_features), np.float32)
+        gts[slot] = gt.reshape(-1)
+
+        # run the first-frame step; merge only this slot's state
+        fresh = self.core.init_state(self.params, self.capacity)
+        _, stepped = self._step_first(batch_crops, jnp.asarray(gts), fresh)
+        self.state = jax.tree.map(
+            lambda cur, new: cur.at[slot].set(new[slot])
+            if hasattr(cur, "at") else cur,
+            self.state, stepped,
+        )
+        return slot
+
+    def remove(self, slot: int) -> None:
+        self._tracks[slot] = None
+        fresh = self.core.init_state(self.params, self.capacity)
+        self.state = jax.tree.map(
+            lambda cur, new: cur.at[slot].set(new[slot])
+            if hasattr(cur, "at") else cur,
+            self.state, fresh,
+        )
+
+    @property
+    def active(self) -> List[int]:
+        return [i for i, t in enumerate(self._tracks) if t is not None]
+
+    # -- stepping -------------------------------------------------------------
+    def step(self, images: Dict[int, np.ndarray]) -> Dict[int, tuple]:
+        """Advance every track one frame. images: slot -> HxWx3 frame
+        (frames may differ in size across slots). Returns slot -> region."""
+        d = self.cfg.data
+        crop_list = []
+        for i in range(self.capacity):
+            t = self._tracks[i]
+            if t is None or i not in images:
+                crop_list.append(
+                    np.zeros((d.crop_size, d.crop_size, 3), np.float32)
+                )
+                continue
+            img = images[i]
+            c = self._crop_jit(
+                jnp.asarray(img[None]), jnp.asarray([t.cropbox], jnp.float32)
+            )[0]
+            crop_list.append(np.asarray(c))
+        # per-track crops are already 224x224: feed them as a batch with the
+        # identity box (the crop geometry already happened per track)
+        batch = jnp.asarray(np.stack(crop_list))
+        offsets, self.state = self._step_rest(batch, self.state)
+        offsets = np.asarray(offsets)
+
+        out: Dict[int, tuple] = {}
+        init_bbox = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
+        for i in self.active:
+            if i not in images:
+                continue
+            t = self._tracks[i]
+            dy, dx = offsets[i]
+            new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
+            y1, x1, y2, x2 = geometry.apply_transformation(
+                new_bbox, np.linalg.inv(t.transformation)
+            )
+            w, h = t.image_size
+            region = (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)
+            self._slot_geometry(t, region)
+            out[i] = region
+        return out

@@ -180,7 +180,10 @@ class StreamingTracker:
         gt_side = int(round(self.cfg.num_features ** 0.5))
         gt = geometry.generate_gt(
             geometry.apply_transformation(self.normalized_bbox, self.transformation),
-            gt_side, max(1, gt_side * d.bbox_grid // d.cropbox_grid),
+            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
+            # float bbox grid: same sigma as the reference for the
+            # canonical 8/6 config (6.0/3 == 6//3 == 2) but avoids the
+            # int-division zero for tiny test grids
         ).astype(np.float32)
         state = self.core.init_state(self.params, 1)
         _, self.state = self._step_first(
