@@ -401,6 +401,54 @@ def cmd_track_vot(args) -> int:
     return 0
 
 
+def cmd_train_wholeframe(args) -> int:
+    """ntm()/ntm_two_step() on the pickle-based mined dataset
+    (main.py:780-977 + default_get_batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ntm_tracker_tpu.data.pickle_dataset import (
+        default_get_batch,
+        load_generated_sequences,
+        load_wholeframe_batch,
+    )
+    from ntm_tracker_tpu.train.experiments import WholeFrameExperiment
+
+    cfg = _tracker_config(args, "ntm")
+    vgg_params = _load_vgg(args)
+    exp = WholeFrameExperiment(
+        cfg, vgg_params, endpoint=args.feature_layer,
+        two_step=args.two_step, compress_dim=args.compress_dim,
+    )
+    params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
+    step = jax.jit(exp.make_train_step())
+
+    seqs = load_generated_sequences(args.pickle_path, cfg.train.sequence_length)
+    print(f"{len(seqs)} sequences after length filtering")
+    import random as _random
+
+    rng = _random.Random(cfg.train.seed)
+    stepno = 0
+    for epoch in range(cfg.train.num_epochs):
+        rng.shuffle(seqs)
+        index = 0
+        usable = len(seqs) // cfg.train.batch_size * cfg.train.batch_size
+        while index < usable:
+            frame_names, gts, index = default_get_batch(
+                index, cfg.train.batch_size, cfg.train.sequence_length, seqs
+            )
+            images = load_wholeframe_batch(frame_names, cfg.data.crop_size)
+            batch = {"images": jnp.asarray(images), "gts": jnp.asarray(gts)}
+            params, opt_state, m = step(params, opt_state, batch)
+            if stepno % args.log_interval == 0:
+                print(f"{stepno}: loss {float(m['loss']):.5f}")
+            stepno += 1
+    print(f"trained {stepno} steps")
+    return 0
+
+
 def cmd_lstm_only(args) -> int:
     """LSTM-only baseline training on the heatmap task (main.py:695-778)."""
     import jax
@@ -632,6 +680,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the reference's streaming token order "
                    "(delimiter prepended; train/inference mismatch)")
     v.set_defaults(fn=cmd_track_vot)
+
+    wf = sub.add_parser(
+        "train-wholeframe",
+        help="whole-feature-map experiments ntm()/ntm_two_step() on the "
+        "pickle-based mined dataset (sequence mining via data/mining.py)")
+    _add_model_flags(wf)
+    _add_train_flags(wf)
+    wf.add_argument("--pickle_path", default="generated_sequences.pkl")
+    wf.add_argument("--vgg_weights", default="")
+    wf.add_argument("--feature_layer", default="pool5",
+                    help="'pool5' (7x7 grid, the reference default for "
+                    "these experiments) or a conv endpoint like "
+                    "'conv4/conv4_3'")
+    wf.add_argument("--two_step", action="store_true",
+                    help="present/ask protocol (ntm_two_step)")
+    wf.add_argument("--compress_dim", type=int, default=128)
+    wf.set_defaults(fn=cmd_train_wholeframe)
 
     lo = sub.add_parser("lstm-only", help="LSTM baseline on the heatmap task")
     _add_model_flags(lo)

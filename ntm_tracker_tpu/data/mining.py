@@ -68,9 +68,8 @@ def vgg_layer_sizes(input_size: int = 224) -> Dict[str, Tuple[int, int, int, int
         sizes[short] = (None, hw, hw, out_ch)
         if has_pool:
             hw //= 2
-    # pool5/fc sizes for completeness (vgg_16 endpoints)
-    sizes["conv5_1"] = sizes["conv5_2"] = sizes["conv5_3"] = (None, hw // 2, hw // 2, 512)
-    sizes["pool5"] = (None, hw // 4, hw // 4, 512)
+    # hw is now the post-pool5 grid (7 at 224 input)
+    sizes["pool5"] = (None, hw, hw, 512)
     return sizes
 
 

@@ -42,7 +42,10 @@ VGG16_PREFIX: List[Tuple[str, int, bool]] = [
     ("conv3/conv3_3", 256, True),
     ("conv4/conv4_1", 512, False),
     ("conv4/conv4_2", 512, False),
-    ("conv4/conv4_3", 512, False),
+    ("conv4/conv4_3", 512, True),
+    ("conv5/conv5_1", 512, False),
+    ("conv5/conv5_2", 512, False),
+    ("conv5/conv5_3", 512, True),
 ]
 
 # VGG preprocessing mean, RGB (direct_offset_output.py:58-59)
@@ -74,7 +77,14 @@ def load_params_npz(path: str) -> Dict[str, Dict[str, jax.Array]]:
     data = np.load(path)
     params = {}
     for name, out_ch, _ in VGG16_PREFIX:
-        w = data[f"vgg_16/{name}/weights"]
+        key = f"vgg_16/{name}/weights"
+        if key not in data:
+            # conv5 is only needed for the pool5 endpoint; tolerate
+            # conv1-conv4_3-only archives
+            if name.startswith("conv5"):
+                continue
+            raise KeyError(key)
+        w = data[key]
         b = data[f"vgg_16/{name}/biases"]
         assert w.shape[-1] == out_ch, (name, w.shape)
         params[name] = {"weights": jnp.asarray(w, jnp.float32),
@@ -86,9 +96,13 @@ def load_params_torch(state_dict) -> Dict[str, Dict[str, jax.Array]]:
     """Map a torchvision vgg16 state_dict (features.N.weight, OIHW) onto the
     slim-prefix layout. Useful when only torch weights are on disk."""
     # torchvision vgg16 'features' conv indices for the conv1..conv4_3 prefix
-    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     params = {}
     for (name, out_ch, _), ti in zip(VGG16_PREFIX, torch_idx):
+        if f"features.{ti}.weight" not in state_dict:
+            if name.startswith("conv5"):
+                continue  # pool5 endpoint unavailable, prefix still usable
+            raise KeyError(f"features.{ti}.weight")
         w = np.asarray(state_dict[f"features.{ti}.weight"])  # [O,I,H,W]
         b = np.asarray(state_dict[f"features.{ti}.bias"])
         assert w.shape[0] == out_ch, (name, w.shape)
@@ -129,14 +143,24 @@ def vgg16_features(
     """Run the VGG prefix on mean-subtracted images [B,H,W,3] (NHWC).
 
     Returns the ReLU activation at `endpoint` ([B,28,28,512] for conv4_3 at
-    224 input). With freeze=True the result is stop_gradient-ed — the
+    224 input; endpoint="pool5" gives [B,7,7,512] — the grid the reference's
+    sevenbyseven/whole-frame experiments consume via --feature_layer,
+    main.py:55-56). With freeze=True the result is stop_gradient-ed — the
     reference's frozen-graph import makes VGG constants
     (direct_offset_output.py:417-422)."""
+    want_pool5 = endpoint == "pool5"
+    stop_at = "conv5/conv5_3" if want_pool5 else endpoint
     x = images
     for name, _, has_pool in VGG16_PREFIX:
+        if name not in params:
+            raise KeyError(
+                f"VGG params missing {name!r} (needed for endpoint {endpoint!r})"
+            )
         p = params[name]
         x = _conv_relu(x, p["weights"], p["biases"], compute_dtype)
-        if name == endpoint:
+        if name == stop_at:
+            if want_pool5:
+                x = _max_pool_2x2(x)
             break
         if has_pool:
             x = _max_pool_2x2(x)

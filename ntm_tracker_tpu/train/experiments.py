@@ -242,3 +242,99 @@ def copy_paste_loss(params, cfg: NTMConfig, inputs, labels):
     p = jax.nn.sigmoid(logits)
     eps = 1e-7
     return -jnp.mean(labels * jnp.log(p + eps) + (1 - labels) * jnp.log(1 - p + eps))
+
+
+@dataclasses.dataclass
+class WholeFrameExperiment:
+    """The original ntm()/ntm_two_step() experiments (main.py:780-977):
+    whole feature map presented per frame (optionally via the two-step
+    present/ask protocol), CE against softmax(gt heatmap), fed by the
+    pickle-based mined dataset (data/pickle_dataset.py).
+
+    endpoint='pool5' gives the 7x7 (49-feature) grid these experiments ran
+    on; a learned 1x1-conv compressor shrinks channels before flattening
+    (main.py:710-715 — always on in the reference)."""
+
+    cfg: TrackerConfig
+    vgg_params: Any
+    endpoint: str = "pool5"
+    two_step: bool = False
+    compress_dim: int = 128
+    core: MemoryCore = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        from ntm_tracker_tpu.data.mining import vgg_layer_sizes
+
+        sizes = vgg_layer_sizes(self.cfg.data.crop_size)
+        key = self.endpoint.split("/")[-1]
+        _, h, w, _ = sizes[key]
+        self.num_features = h * w
+        out_dim = self.num_features
+        cfg_core = dataclasses.replace(
+            self.cfg,
+            ntm=dataclasses.replace(self.cfg.ntm, output_dim=out_dim),
+            dnc=dataclasses.replace(self.cfg.dnc, output_dim=out_dim),
+        )
+        self.cfg = cfg_core
+        if self.core is None:
+            self.core = make_core(cfg_core)
+
+    def init(self, rng: jax.Array):
+        from ntm_tracker_tpu.train.zoo import init_compressor
+
+        k1, k2 = jax.random.split(rng)
+        F = self.num_features
+        input_size = F * self.compress_dim + F  # flat features + indicator
+        if self.two_step:
+            input_size += 1  # the ask/present switch bit
+        params = {
+            "core": self.core.init_params(k1, input_size),
+            "compressor": init_compressor(
+                k2, self.cfg.feature_depth, self.compress_dim
+            ),
+        }
+        opt = self.optimizer()
+        return params, opt.init(params)
+
+    def optimizer(self):
+        t = self.cfg.train
+        return reference_optimizer(
+            t.learning_rate, t.decay, t.momentum, 1e-10, t.max_gradient_norm
+        )
+
+    def loss_fn(self, params, batch):
+        from ntm_tracker_tpu.train.zoo import (
+            compress_features,
+            whole_frame_ce_loss,
+            whole_frame_tokens,
+        )
+
+        L = self.cfg.train.sequence_length
+        ep = self.endpoint if "/" in self.endpoint else self.endpoint
+        feats = vgg16_features(
+            self.vgg_params, batch["images"],
+            endpoint="pool5" if self.endpoint == "pool5" else self.endpoint,
+            compute_dtype=self.cfg.compute_dtype,
+        )
+        BL, h, w, C = feats.shape
+        B = BL // L
+        feats = feats.reshape(B, L, h * w, C)
+        feats = compress_features(feats, params["compressor"])
+        gts = batch["gts"].reshape(B, L, self.num_features)
+        tokens = whole_frame_tokens(feats, gts[:, 0, :], self.two_step)
+        logits, _ = self.core.unroll(params["core"], tokens)
+        loss = whole_frame_ce_loss(logits, gts, self.two_step)
+        return loss, {"loss": loss}
+
+    def make_train_step(self):
+        opt = self.optimizer()
+
+        def train_step(params, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss}
+
+        return train_step
