@@ -229,6 +229,10 @@ def cmd_train_offsets(args) -> int:
         eval_jit = eval_base
 
     dev_resize = getattr(args, "device_resize", False)
+    if dev_resize and getattr(args, "reverse_image", False):
+        print("NOTE: --reverse_image flips before the resize on the raw "
+              "path (TF1 grid is not flip-equivariant); using host resize")
+        dev_resize = False
 
     def to_device(fb):
         return shard_batch(mesh, {
@@ -425,6 +429,18 @@ def cmd_train_wholeframe(args) -> int:
     params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
     step = jax.jit(exp.make_train_step())
 
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    real_log_dir = os.path.abspath(
+        os.path.join(args.log_dir, str(datetime.now()) + args.tag)
+    )
+    ckpt = CheckpointManager(os.path.join(real_log_dir, "ckpt"))
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}, partial=True
+        )
+        params = restored["params"]
+
     seqs = load_generated_sequences(args.pickle_path, cfg.train.sequence_length)
     print(f"{len(seqs)} sequences after length filtering")
     import random as _random
@@ -444,8 +460,11 @@ def cmd_train_wholeframe(args) -> int:
             params, opt_state, m = step(params, opt_state, batch)
             if stepno % args.log_interval == 0:
                 print(f"{stepno}: loss {float(m['loss']):.5f}")
+            if stepno and stepno % args.validation_interval == 0:
+                ckpt.save(stepno, {"params": params, "opt_state": opt_state})
             stepno += 1
-    print(f"trained {stepno} steps")
+    ckpt.save(stepno, {"params": params, "opt_state": opt_state})
+    print(f"trained {stepno} steps; checkpoint in {real_log_dir}/ckpt")
     return 0
 
 
@@ -563,6 +582,20 @@ def cmd_validate(args) -> int:
     from ntm_tracker_tpu.tracking.validate import validate_tracker
 
     return validate_tracker(args)
+
+
+def cmd_mine_sequences(args) -> int:
+    """Sequence mining: annotations -> prior-box IoU matching ->
+    generated_sequences.pkl (sequence_generator.py main)."""
+    from ntm_tracker_tpu.data.mining import mine_and_dump
+
+    seqs = mine_and_dump(
+        args.image_dirs.split(","), args.annotation_dirs.split(","),
+        out_path=args.output_pickle, iou_threshold=args.iou_threshold,
+        num_workers=args.num_workers, layers=args.layers.split(","),
+    )
+    print(f"generated {len(seqs)} sequences -> {args.output_pickle}")
+    return 0
 
 
 def cmd_find_validation_batch(args) -> int:
@@ -689,10 +722,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_train_flags(wf)
     wf.add_argument("--pickle_path", default="generated_sequences.pkl")
     wf.add_argument("--vgg_weights", default="")
-    wf.add_argument("--feature_layer", default="pool5",
-                    help="'pool5' (7x7 grid, the reference default for "
-                    "these experiments) or a conv endpoint like "
-                    "'conv4/conv4_3'")
+    wf.add_argument("--feature_layer", default="conv4/conv4_3",
+                    help="feature endpoint; must match the grid the gt "
+                    "masks were mined on (mine-sequences --layers): "
+                    "'conv4/conv4_3' (28x28, the mining default) or "
+                    "'pool5' (7x7)")
     wf.add_argument("--two_step", action="store_true",
                     help="present/ask protocol (ntm_two_step)")
     wf.add_argument("--compress_dim", type=int, default=128)
@@ -724,6 +758,22 @@ def build_parser() -> argparse.ArgumentParser:
     val.add_argument("--pickle_path", required=True)
     val.add_argument("--delimiter_first", action="store_true")
     val.set_defaults(fn=cmd_validate)
+
+    ms = sub.add_parser("mine-sequences",
+                        help="mine single-object subsequences from VID "
+                        "annotations into generated_sequences.pkl")
+    ms.add_argument("--image_dirs", required=True,
+                    help="comma-separated image roots")
+    ms.add_argument("--annotation_dirs", required=True,
+                    help="comma-separated annotation roots")
+    ms.add_argument("--output_pickle", default="generated_sequences.pkl")
+    ms.add_argument("--iou_threshold", type=float, default=0.5)
+    ms.add_argument("--layers", default="conv4_3",
+                    help="comma-separated prior grids to match (conv4_3, "
+                    "pool5, ...); must match train-wholeframe "
+                    "--feature_layer")
+    ms.add_argument("--num_workers", type=int, default=7)
+    ms.set_defaults(fn=cmd_mine_sequences)
 
     f = sub.add_parser("find-validation-batch")
     _add_train_flags(f)

@@ -207,7 +207,7 @@ def batch_iterator(
                     decode_resize_hw=decode_resize_hw,
                 )
             except ValueError as e:
-                if decode_resize_hw is None and "stack" in str(e).lower():
+                if decode_resize_hw is None and ("stack" in str(e).lower() or "same shape" in str(e).lower()):
                     raise ValueError(
                         "device_resize needs uniform frame sizes within a "
                         "batch; use host resize (decode_resize_hw set) for "

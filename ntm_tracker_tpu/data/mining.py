@@ -198,9 +198,12 @@ def gen_sequences(obj_frame_statistics: list, iou_threshold: float = 0.5) -> lis
 
 def mine_and_dump(
     image_dirs, anno_dirs, out_path: str = "generated_sequences.pkl",
-    iou_threshold: float = 0.5, num_workers: int = 7,
+    iou_threshold: float = 0.5, num_workers: int = 7, layers=None,
 ) -> list:
     """sequence_generator.main: statistics -> sequences -> pickle."""
+    global _LAYERS
+    if layers is not None:
+        _LAYERS = list(layers)
     stats = objframe_statistics(image_dirs, anno_dirs, num_workers)
     seqs = gen_sequences(stats, iou_threshold)
     with open(out_path, "wb") as f:

@@ -161,8 +161,21 @@ class FleetTracker:
         # per-track crops are already 224x224: feed them as a batch with the
         # identity box (the crop geometry already happened per track)
         batch = jnp.asarray(np.stack(crop_list))
+        prev_state = self.state
         offsets, self.state = self._step_rest(batch, self.state)
         offsets = np.asarray(offsets)
+
+        # active tracks NOT given a frame this step must keep their previous
+        # recurrent state (the batched step advanced every slot, feeding the
+        # omitted ones a zero crop they should never see)
+        skipped = [i for i in self.active if i not in images]
+        if skipped:
+            idx = jnp.asarray(skipped)
+            self.state = jax.tree.map(
+                lambda new, old: new.at[idx].set(old[idx])
+                if hasattr(new, "at") else new,
+                self.state, prev_state,
+            )
 
         out: Dict[int, tuple] = {}
         init_bbox = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)

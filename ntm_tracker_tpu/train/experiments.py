@@ -269,7 +269,8 @@ class WholeFrameExperiment:
         key = self.endpoint.split("/")[-1]
         _, h, w, _ = sizes[key]
         self.num_features = h * w
-        out_dim = self.num_features
+        # two_step adds the "background" output bit (main.py:891)
+        out_dim = self.num_features + (1 if self.two_step else 0)
         cfg_core = dataclasses.replace(
             self.cfg,
             ntm=dataclasses.replace(self.cfg.ntm, output_dim=out_dim),
@@ -309,17 +310,26 @@ class WholeFrameExperiment:
             whole_frame_tokens,
         )
 
+        from ntm_tracker_tpu.models.vgg import VGG_MEAN
+
         L = self.cfg.train.sequence_length
-        ep = self.endpoint if "/" in self.endpoint else self.endpoint
+        # read_imgs subtracts the VGG mean after the 224 resize (main.py:311)
+        images = batch["images"].astype(jnp.float32) - jnp.asarray(VGG_MEAN)
         feats = vgg16_features(
-            self.vgg_params, batch["images"],
-            endpoint="pool5" if self.endpoint == "pool5" else self.endpoint,
+            self.vgg_params, images,
+            endpoint=self.endpoint,
             compute_dtype=self.cfg.compute_dtype,
         )
         BL, h, w, C = feats.shape
         B = BL // L
         feats = feats.reshape(B, L, h * w, C)
         feats = compress_features(feats, params["compressor"])
+        if batch["gts"].shape[-1] != self.num_features:
+            raise ValueError(
+                f"gt masks have {batch['gts'].shape[-1]} features but "
+                f"endpoint {self.endpoint!r} yields {self.num_features}; "
+                "mine-sequences --layers must match --feature_layer"
+            )
         gts = batch["gts"].reshape(B, L, self.num_features)
         tokens = whole_frame_tokens(feats, gts[:, 0, :], self.two_step)
         logits, _ = self.core.unroll(params["core"], tokens)

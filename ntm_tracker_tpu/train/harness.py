@@ -84,8 +84,23 @@ class CheckpointManager:
             if isinstance(tmpl, dict):
                 return {k: extract(v, value[k]) for k, v in tmpl.items()}
             if isinstance(tmpl, (list, tuple)):
+                if hasattr(tmpl, "_fields") and isinstance(value, dict):
+                    # orbax StandardSave stores NamedTuples as field dicts
+                    return type(tmpl)(
+                        *(extract(t, value[f]) for t, f in zip(tmpl, tmpl._fields))
+                    )
+                if isinstance(value, dict):
+                    # plain sequences may come back as {'0': ..., '1': ...}
+                    value = [value[str(i)] for i in range(len(tmpl))]
+                if len(tmpl) != len(value):
+                    raise ValueError(
+                        f"partial restore: template sequence of length "
+                        f"{len(tmpl)} vs saved {len(value)}"
+                    )
                 out = [extract(t, v) for t, v in zip(tmpl, value)]
-                return type(tmpl)(out) if isinstance(tmpl, tuple) else out
+                if isinstance(tmpl, tuple):
+                    return type(tmpl)(*out) if hasattr(tmpl, "_fields") else tuple(out)
+                return out
             return value
 
         return extract(template, raw)

@@ -126,21 +126,36 @@ def whole_frame_tokens(features: jax.Array, target: jax.Array, two_step: bool) -
 def whole_frame_ce_loss(
     logits: jax.Array, gts: jax.Array, two_step: bool
 ) -> jax.Array:
-    """CE(logits, softmax(gt)) / (L * B * (2 if two_step)) (main.py:844-850).
-    For the two-step stream the 2L-1 outputs are compared against gts
-    repeated per presented step (frame t answer arrives on its ask-step)."""
-    B, T, F = logits.shape
+    """CE(logits, softmax(labels)) with the reference's exact label layout.
+
+    two_step=False (ntm(), main.py:844-850): labels = softmax(gt) per frame,
+    denominator L*B; logits [B,L,F].
+
+    two_step=True (ntm_two_step(), main.py:916-956): output dim is F+1 (the
+    extra "background" bit); the 2L-1 steps get labels
+      frame-0 step      -> [0...0, 1]   (background)
+      present step t>=1 -> [0...0, 1]   (background)
+      ask step t>=1     -> [gt_t,  0]
+    softmaxed, with denominator (2L-1)*B; logits [B, 2L-1, F+1].
+    """
+    B = logits.shape[0]
     L = gts.shape[1]
+    F = gts.shape[2]
     if two_step:
-        # outputs: [f0, f1-present, f1-ask, f2-present, f2-ask, ...]
-        # the reference flattens ALL outputs against per-frame gts repeated
-        # to match — we mirror by aligning each output step to its frame
-        frame_of_step = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.repeat(jnp.arange(1, L, dtype=jnp.int32), 2)]
+        background = jnp.concatenate(
+            [jnp.zeros((B, L - 1, F)), jnp.ones((B, L - 1, 1))], axis=2
         )
-        labels = gts[:, frame_of_step, :]
-        denom = L * B * 2
+        gt_aug = jnp.concatenate(
+            [gts[:, 1:, :], jnp.zeros((B, L - 1, 1))], axis=2
+        )
+        pairs = jnp.stack([background, gt_aug], axis=2).reshape(
+            B, 2 * (L - 1), F + 1
+        )
+        first = jnp.concatenate(
+            [jnp.zeros((B, 1, F)), jnp.ones((B, 1, 1))], axis=2
+        )
+        labels = jnp.concatenate([first, pairs], axis=1)  # [B, 2L-1, F+1]
+        denom = (2 * L - 1) * B
     else:
         labels = gts
         denom = L * B

@@ -82,3 +82,18 @@ class TestFleet:
 
         with pytest.raises(RuntimeError, match="full"):
             fleet.add(img, (10.0, 10.0, 20.0, 16.0))
+
+
+def test_skipped_track_state_preserved():
+    """An active track omitted from step()'s images must keep its state."""
+    cfg, vgg, core, params = setup()
+    rng = np.random.RandomState(2)
+    img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+    fleet = FleetTracker(cfg, vgg, params, capacity=2, core=core)
+    s0 = fleet.add(img, (30.0, 20.0, 20.0, 16.0))
+    s1 = fleet.add(img, (50.0, 30.0, 20.0, 16.0))
+    m_before = np.asarray(fleet.state["M"][s1]).copy()
+    fleet.step({s0: img})  # s1 active but not stepped
+    np.testing.assert_array_equal(np.asarray(fleet.state["M"][s1]), m_before)
+    # stepped track's state DID change
+    assert not np.allclose(np.asarray(fleet.state["M"][s0]), m_before)

@@ -94,3 +94,17 @@ class TestTrainLoop:
         assert calls["ckpt"] == [0, 10, 20]
         metrics = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
         assert len(metrics) >= 5
+
+
+def test_partial_restore_handles_namedtuples(tmp_path):
+    import collections
+
+    Pair = collections.namedtuple("Pair", ["a", "b"])
+    mgr = CheckpointManager(str(tmp_path / "nt"))
+    state = {"params": {"w": jnp.ones(3)}, "opt": Pair(jnp.zeros(2), jnp.ones(2))}
+    mgr.save(1, state)
+    restored = mgr.restore(
+        template={"opt": Pair(jnp.zeros(2), jnp.zeros(2))}, partial=True
+    )
+    assert isinstance(restored["opt"], tuple)
+    np.testing.assert_array_equal(np.asarray(restored["opt"][1]), np.ones(2))

@@ -73,7 +73,10 @@ class TestWholeFrame:
         assert toks.shape == (B, 2 * L - 1, 1 + F * C + F)
 
     def test_two_step_loss(self):
-        logits = jnp.array(np.random.RandomState(2).randn(B, 2 * L - 1, F), jnp.float32)
+        # two_step outputs have the +1 background dim (main.py:891)
+        logits = jnp.array(
+            np.random.RandomState(2).randn(B, 2 * L - 1, F + 1), jnp.float32
+        )
         loss = zoo.whole_frame_ce_loss(logits, gts(), two_step=True)
         assert np.isfinite(float(loss))
 
@@ -137,3 +140,26 @@ class TestFindValidationBatch:
         c = zoo.find_validation_batch(str(tmp_path), target_step=300,
                                       min_length=20, seed=7)
         assert [s for s, _ in c] != [] # well-formed
+
+
+class TestTwoStepLoss:
+    def test_reference_label_layout(self):
+        """two_step labels: frame-0 & present steps get the background bit,
+        ask steps get the gt (main.py:916-939); denom (2L-1)*B."""
+        import jax
+
+        B, L, F = 2, 3, 4
+        rng = np.random.RandomState(0)
+        g = jnp.array(rng.rand(B, L, F), jnp.float32)
+        logits = jnp.array(rng.randn(B, 2 * L - 1, F + 1), jnp.float32)
+        got = float(zoo.whole_frame_ce_loss(logits, g, two_step=True))
+        # manual oracle
+        labels = np.zeros((B, 2 * L - 1, F + 1), np.float32)
+        labels[:, 0, F] = 1.0  # frame 0 -> background
+        for t in range(1, L):
+            labels[:, 2 * t - 1, F] = 1.0          # present step
+            labels[:, 2 * t, :F] = np.asarray(g)[:, t]  # ask step
+        sm = np.exp(labels) / np.exp(labels).sum(-1, keepdims=True)
+        lp = np.asarray(jax.nn.log_softmax(logits, -1))
+        want = -np.sum(sm * lp) / ((2 * L - 1) * B)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
