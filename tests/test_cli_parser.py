@@ -1,0 +1,36 @@
+"""CLI smoke: every subcommand parses with its minimal flags."""
+
+import pytest
+
+from ntm_tracker_tpu.cli import build_parser
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["train-offsets", "--sequences_dir", "x"],
+        ["train-heatmap", "--sequences_dir", "x", "--serialization", "frame"],
+        ["train-wholeframe", "--pickle_path", "x.pkl", "--two_step"],
+        ["lstm-only", "--sequences_dir", "x"],
+        ["sanity-check", "--sequences_dir", "x", "--pca"],
+        ["preprocess", "--annotation_dir", "a", "--image_dir", "i",
+         "--output_dir", "o"],
+        ["mine-sequences", "--image_dirs", "a,b", "--annotation_dirs", "c,d"],
+        ["dnc-repeat-copy", "--num_training_iterations", "5"],
+        ["copy-paste", "--width", "4"],
+        ["track-vot", "--workdir", "w", "--core", "dnc", "--delimiter_first"],
+        ["validate", "--pickle_path", "p.pkl"],
+        ["find-validation-batch", "--sequences_dir", "x"],
+        ["bench"],
+        ["--platform", "cpu", "train-offsets", "--sequences_dir", "x",
+         "--device_resize", "--save_imgs", "--bf16", "--core", "dnc"],
+    ],
+)
+def test_subcommand_parses(argv):
+    args = build_parser().parse_args(argv)
+    assert callable(args.fn)
+
+
+def test_unknown_command_rejected():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["not-a-command"])

@@ -151,3 +151,32 @@ class TestWeightedSoftmax:
         np.testing.assert_allclose(
             np.asarray(ws), np.asarray(jax.nn.softmax(acts, axis=-1)), rtol=1e-5
         )
+
+
+class TestLSTMOracle:
+    def test_basic_lstm_cell_gate_order(self):
+        """TF BasicLSTMCell contract: gates split as (i, j, f, o) from
+        concat([x, h]) @ W + b; c' = c*sig(f+fb) + sig(i)*tanh(j);
+        h' = tanh(c')*sig(o). Oracle in numpy."""
+        from ntm_tracker_tpu.ops.lstm import lstm_cell_step
+
+        rng = np.random.RandomState(0)
+        B, IN, H = 2, 3, 4
+        kernel = rng.randn(IN + H, 4 * H).astype(np.float32)
+        bias = rng.randn(4 * H).astype(np.float32)
+        x = rng.randn(B, IN).astype(np.float32)
+        c = rng.randn(B, H).astype(np.float32)
+        h = rng.randn(B, H).astype(np.float32)
+
+        out, (new_c, new_h) = lstm_cell_step(
+            {"kernel": jnp.array(kernel), "bias": jnp.array(bias)},
+            jnp.array(x), (jnp.array(c), jnp.array(h)), forget_bias=0.0,
+        )
+        gates = np.concatenate([x, h], 1) @ kernel + bias
+        i, j, f, o = np.split(gates, 4, axis=1)
+        sig = lambda v: 1 / (1 + np.exp(-v))
+        want_c = c * sig(f) + sig(i) * np.tanh(j)
+        want_h = np.tanh(want_c) * sig(o)
+        np.testing.assert_allclose(np.asarray(new_c), want_c, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_h), want_h, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), want_h, rtol=1e-5)
