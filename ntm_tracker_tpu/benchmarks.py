@@ -29,7 +29,7 @@ def main():
     rng = np.random.RandomState(0)
 
     def bench_batch(B, iters, warmup=3):
-        step_first, step_rest = build_frame_step(
+        _, step_rest = build_frame_step(
             cfg, core, vgg_params, params, donate_state=True
         )
         crops = jnp.asarray(
@@ -50,7 +50,6 @@ def main():
     # throughput at large batch (many concurrent tracks per chip)
     if platform == "cpu":  # CI smoke: tiny sizes
         throughput, _ = bench_batch(B=4, iters=3, warmup=1)
-        p50 = None
         lat_ms = float("nan")
         device_ms = float("nan")
     else:
@@ -60,7 +59,7 @@ def main():
             best = max(best, fps)
         throughput = best
         # p50 per-frame latency at B=1 (single-stream tracking)
-        step_first, step_rest = build_frame_step(
+        _, step_rest = build_frame_step(
             cfg, core, vgg_params, params, donate_state=True
         )
         crop1 = jnp.asarray(rng.rand(1, 224, 224, 3).astype(np.float32))

@@ -58,8 +58,9 @@ def cosine_weights(
         preferred_element_type=jnp.float32,
     )
     similarity = dot / (norm + EPSILON)
-    sharp = similarity * strength_op(strengths)[..., None]
-    return jax.nn.softmax(sharp, axis=-1)
+    from ntm_tracker_tpu.ops.memory import weighted_softmax
+
+    return weighted_softmax(similarity, strengths, strength_op)
 
 
 def temporal_linkage_update(

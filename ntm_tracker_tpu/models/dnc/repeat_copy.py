@@ -99,7 +99,8 @@ class RepeatCopy:
             targ[obs_end : obs_end + rep_len, b, : self.num_bits] = np.tile(
                 pattern, (reps, 1)
             )
-            targ[obs_end + rep_len, b, start_flag_idx] = 1.0
+            end_flag_idx = self.target_size - 1  # target's own last channel
+            targ[obs_end + rep_len, b, end_flag_idx] = 1.0
 
             # mask covers the target span (:334-336)
             mask[obs_end : obs_end + rep_len + 1, b] = 1.0

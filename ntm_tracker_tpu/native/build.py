@@ -30,7 +30,9 @@ def load_library(name: str) -> ctypes.CDLL:
     cache_dir.mkdir(parents=True, exist_ok=True)
     so_path = cache_dir / f"{name}-{digest}.so"
     if not so_path.exists():
-        tmp = so_path.with_suffix(".so.tmp")
+        # pid-unique temp: concurrent cold-cache builds must not interleave
+        # writes into the same file before the atomic publish
+        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
             str(src), "-o", str(tmp),
@@ -41,6 +43,16 @@ def load_library(name: str) -> ctypes.CDLL:
             detail = getattr(e, "stderr", str(e))
             raise RuntimeError(f"native build failed for {name}: {detail}") from e
         os.replace(tmp, so_path)
-    lib = ctypes.CDLL(str(so_path))
+    try:
+        lib = ctypes.CDLL(str(so_path))
+    except OSError as e:
+        # a corrupt/foreign-arch cached .so must trigger the Python
+        # fallback (callers catch RuntimeError), and must not poison the
+        # cache forever
+        try:
+            os.unlink(so_path)
+        except OSError:
+            pass
+        raise RuntimeError(f"native library load failed for {name}: {e}") from e
     _CACHE[name] = lib
     return lib

@@ -62,6 +62,17 @@ bool load_one(const char* path, int gt_elems, float* cropbox, float* bbox,
   std::string bin = std::string(path) + ".bin";
   f = std::fopen(bin.c_str(), "rb");
   if (!f) return false;
+  // the record must be EXACTLY gt_elems doubles — a larger file means the
+  // caller's gt_width disagrees with how the dataset was preprocessed, and
+  // silently truncating would train on scrambled heatmaps (the Python
+  // reader raises on the same mismatch)
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize != static_cast<long>(gt_elems) * 8) {
+    std::fclose(f);
+    return false;
+  }
   std::vector<double> tmp(gt_elems);
   size_t rd = std::fread(tmp.data(), sizeof(double), gt_elems, f);
   std::fclose(f);

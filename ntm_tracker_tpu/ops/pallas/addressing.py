@@ -129,10 +129,105 @@ def _kernel(
     read_out[:] = jnp.stack(cols, axis=2)            # [B,R,D]
 
 
+def _jnp_addressing(
+    k_raw, beta, g, sw, gamma, erase, add, M_prev, w_prev,
+    *, read_heads, write_first, slotwise,
+):
+    """The reference jnp math (ntm_cell.py:133-215) — used as the BACKWARD
+    of the fused kernel (pallas_call has no autodiff rule) and numerically
+    identical to its forward."""
+    from ntm_tracker_tpu.ops.memory import (
+        batched_circular_convolution,
+        batched_slotwise_cosine_similarity,
+        batched_smooth_cosine_similarity,
+        sharpen,
+    )
+
+    R = read_heads
+    k = jnp.tanh(k_raw)
+    cos = (
+        batched_slotwise_cosine_similarity if slotwise
+        else batched_smooth_cosine_similarity
+    )
+    sim = cos(M_prev, k)
+    w_c = jax.nn.softmax(sim * jax.nn.softplus(beta)[..., None], -1)
+    g_s = jax.nn.sigmoid(g)[..., None]
+    w_g = w_c * g_s + w_prev * (1 - g_s)
+    sw_s = jax.nn.softmax(sw, -1)
+    w = sharpen(
+        batched_circular_convolution(w_g, sw_s),
+        (jax.nn.softplus(gamma) + 1.0)[..., None],
+    )
+    e = jax.nn.sigmoid(erase)
+    a = jnp.tanh(add)
+    w_write = w[:, R:, :]
+    M_erase = jnp.prod(1 - w_write[..., None] * e[:, :, None, :], axis=1)
+    M_write = jnp.sum(w_write[..., None] * a[:, :, None, :], axis=1)
+    M = M_prev * M_erase + M_write
+    src = M if write_first else M_prev
+    read = jnp.einsum("brn,bnd->brd", w[:, :R, :], src)
+    return M, w, read
+
+
+@functools.lru_cache(maxsize=None)
+def _vjp_wrapped(read_heads: int, write_first: bool, slotwise: bool, interpret: bool):
+    """custom_vjp closure per static config: Pallas forward, jnp backward.
+    Makes NTMConfig.use_pallas usable under jax.grad (the backward
+    recomputes through the reference jnp math, which matches the kernel's
+    forward to ~2e-6)."""
+
+    def forward(*args):
+        return _pallas_forward(
+            *args, read_heads=read_heads, write_first=write_first,
+            slotwise=slotwise, interpret=interpret,
+        )
+
+    f = jax.custom_vjp(forward)
+
+    def fwd(*args):
+        return forward(*args), args
+
+    def bwd(residuals, cotangents):
+        _, vjp = jax.vjp(
+            lambda *a: _jnp_addressing(
+                *a, read_heads=read_heads, write_first=write_first,
+                slotwise=slotwise,
+            ),
+            *residuals,
+        )
+        return vjp(cotangents)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(
     jax.jit, static_argnames=("read_heads", "write_first", "slotwise", "interpret")
 )
 def fused_ntm_addressing(
+    k: jax.Array,
+    beta: jax.Array,
+    g: jax.Array,
+    sw: jax.Array,
+    gamma: jax.Array,
+    erase: jax.Array,
+    add: jax.Array,
+    M_prev: jax.Array,
+    w_prev: jax.Array,
+    *,
+    read_heads: int,
+    write_first: bool = False,
+    slotwise: bool = False,
+    interpret: bool = False,
+):
+    """Fused replacement for ntm_cell.py:133-215 with a jnp-math custom VJP.
+    See _pallas_forward for the kernel itself."""
+    return _vjp_wrapped(read_heads, write_first, slotwise, interpret)(
+        k, beta, g, sw, gamma, erase, add, M_prev, w_prev
+    )
+
+
+def _pallas_forward(
     k: jax.Array,
     beta: jax.Array,
     g: jax.Array,

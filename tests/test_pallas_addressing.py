@@ -119,3 +119,38 @@ def test_cell_step_pallas_flag_matches_jnp():
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1["M"]), np.asarray(s2["M"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1["read"]), np.asarray(s2["read"]), atol=1e-6)
+
+
+def test_use_pallas_differentiable_via_custom_vjp():
+    """NTMConfig.use_pallas must work under jax.grad: the fused kernel's
+    custom VJP backpropagates through the reference jnp math."""
+    import ntm_tracker_tpu.ops.pallas.addressing as fa
+    from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+
+    cfg = NTMConfig(output_dim=2, mem_size=16, mem_dim=8,
+                    controller_hidden_size=16, read_head_size=2)
+    cfg_p = NTMConfig(**{**cfg.__dict__, "use_pallas": True})
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, 6)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 6))
+
+    orig = fa.fused_ntm_addressing
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    fa.fused_ntm_addressing = interp
+    try:
+        def loss(p, c):
+            _, logits, _ = ntm_tracker_unroll(p, c, x, remat=False)
+            return jnp.sum(jnp.tanh(logits) ** 2)
+
+        g_ref = jax.grad(lambda p: loss(p, cfg))(params)
+        g_pal = jax.grad(lambda p: loss(p, cfg_p))(params)
+    finally:
+        fa.fused_ntm_addressing = orig
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
