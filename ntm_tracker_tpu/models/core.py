@@ -46,6 +46,7 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
             _, logits, final = ntm_tracker.ntm_tracker_unroll(
                 params, ncfg, inputs, state=state, remat=remat,
                 compute_dtype=cfg.compute_dtype,
+                unroll=cfg.train.scan_unroll,
             )
             return logits, final
 
