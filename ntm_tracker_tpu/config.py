@@ -117,6 +117,10 @@ class TrackerConfig:
     feature_points: Optional[Tuple[Tuple[int, int], ...]] = None
     # compute dtype for the cell matmuls; params always float32.
     compute_dtype: jnp.dtype = jnp.float32
+    # streaming inference kernel choice: None = auto (fused Pallas scan at
+    # B=1 on TPU, jnp scan otherwise); False = always the jnp reference
+    # path; True = always the fused kernel (NTM core only).
+    fused_inference: Optional[bool] = None
 
     @property
     def input_depth(self) -> int:

@@ -27,16 +27,6 @@ import numpy as np
 from ntm_tracker_tpu.models.vgg import VGG_MEAN
 
 
-def _gather_bilinear_1d(img: jax.Array, coords: jax.Array, axis: int) -> Tuple:
-    """Split coords into (floor index, ceil index, fraction) clamped to valid."""
-    size = img.shape[axis]
-    lo = jnp.floor(coords)
-    frac = coords - lo
-    lo_i = jnp.clip(lo.astype(jnp.int32), 0, size - 1)
-    hi_i = jnp.clip(lo_i + 1, 0, size - 1)
-    return lo_i, hi_i, frac
-
-
 def tf1_resize_bilinear(image: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """TF-1.x resize_images(..., BILINEAR, align_corners=False) semantics.
 

@@ -150,6 +150,12 @@ def vgg16_features(
     (direct_offset_output.py:417-422)."""
     want_pool5 = endpoint == "pool5"
     stop_at = "conv5/conv5_3" if want_pool5 else endpoint
+    valid = {name for name, _, _ in VGG16_PREFIX} | {"pool5"}
+    if endpoint not in valid:
+        raise ValueError(
+            f"unknown endpoint {endpoint!r}; use one of {sorted(valid)} "
+            "(block-qualified, e.g. 'conv4/conv4_3')"
+        )
     x = images
     for name, _, has_pool in VGG16_PREFIX:
         if name not in params:
@@ -177,6 +183,15 @@ def extract_features(feature_map: jax.Array, points: Sequence[Tuple[int, int]] =
     For the canonical conv43 grid this is a strided slice; arbitrary point
     lists fall back to a gather."""
     pts = list(points)
+    H, W = feature_map.shape[1], feature_map.shape[2]
+    max_y = max(p[0] for p in pts)
+    max_x = max(p[1] for p in pts)
+    if max_y >= H or max_x >= W:
+        raise ValueError(
+            f"feature grid point ({max_y},{max_x}) out of bounds for a "
+            f"{H}x{W} feature map — endpoint and feature_points disagree "
+            "(jnp gather would silently clamp)"
+        )
     if pts == CONV43_POINTS:
         sub = feature_map[:, 6:21:2, 6:21:2, :]  # [B,8,8,C] row-major == point order
         B, h, w, C = sub.shape

@@ -99,12 +99,7 @@ class FleetTracker:
         d = self.cfg.data
         crop = self._crop_jit(
             jnp.asarray(image[None]), jnp.asarray([t.cropbox], jnp.float32)
-        )[0]
-        batch_np = np.zeros(
-            (self.capacity, d.crop_size, d.crop_size, 3), np.float32
         )
-        batch_np[slot] = np.asarray(crop)
-        batch_crops = jnp.asarray(batch_np)
 
         gt_side = int(round(self.cfg.num_features ** 0.5))
         gt = geometry.generate_gt(
@@ -114,16 +109,18 @@ class FleetTracker:
             # canonical 8/6 config (6.0/3 == 6//3 == 2) but avoids the
             # int-division zero for tiny test grids
         ).astype(np.float32)
-        gts = np.zeros((self.capacity, self.cfg.num_features), np.float32)
-        gts[slot] = gt.reshape(-1)
 
-        # run the first-frame step; merge only this slot's state
-        fresh = self.core.init_state(self.params, self.capacity)
-        _, stepped = self._step_first(batch_crops, jnp.asarray(gts), fresh)
+        # run the first-frame step at B=1 (the jit specializes per shape, so
+        # this costs one track's compute, not a full-capacity VGG pass) and
+        # merge that slot's state into the fleet batch
+        fresh1 = self.core.init_state(self.params, 1)
+        _, stepped1 = self._step_first(
+            crop, jnp.asarray(gt.reshape(1, -1)), fresh1
+        )
         self.state = jax.tree.map(
-            lambda cur, new: cur.at[slot].set(new[slot])
+            lambda cur, new: cur.at[slot].set(new[0])
             if hasattr(cur, "at") else cur,
-            self.state, stepped,
+            self.state, stepped1,
         )
         return slot
 
@@ -145,22 +142,23 @@ class FleetTracker:
         """Advance every track one frame. images: slot -> HxWx3 frame
         (frames may differ in size across slots). Returns slot -> region."""
         d = self.cfg.data
-        crop_list = []
-        for i in range(self.capacity):
-            t = self._tracks[i]
-            if t is None or i not in images:
-                crop_list.append(
-                    np.zeros((d.crop_size, d.crop_size, 3), np.float32)
-                )
-                continue
-            img = images[i]
-            c = self._crop_jit(
-                jnp.asarray(img[None]), jnp.asarray([t.cropbox], jnp.float32)
-            )[0]
-            crop_list.append(np.asarray(c))
-        # per-track crops are already 224x224: feed them as a batch with the
-        # identity box (the crop geometry already happened per track)
-        batch = jnp.asarray(np.stack(crop_list))
+        # group same-shaped frames into batched crop calls and keep every
+        # crop on device — no host round trip between cropping and stepping
+        by_shape: Dict[tuple, list] = {}
+        for i in self.active:
+            if i in images:
+                by_shape.setdefault(images[i].shape, []).append(i)
+        zero_crop = jnp.zeros((d.crop_size, d.crop_size, 3), jnp.float32)
+        crop_list: List[Any] = [zero_crop] * self.capacity
+        for shape, slots in by_shape.items():
+            imgs = jnp.asarray(np.stack([images[i] for i in slots]))
+            boxes = jnp.asarray(
+                np.stack([self._tracks[i].cropbox for i in slots]), jnp.float32
+            )
+            crops = self._crop_jit(imgs, boxes)
+            for j, i in enumerate(slots):
+                crop_list[i] = crops[j]
+        batch = jnp.stack(crop_list)
         prev_state = self.state
         offsets, self.state = self._step_rest(batch, self.state)
         offsets = np.asarray(offsets)

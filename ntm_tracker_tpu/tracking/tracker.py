@@ -71,21 +71,23 @@ def build_frame_step(
         toks = tokens_of(crops.astype(jnp.float32))
         # single-stream tracking routes through the whole-sequence fused
         # Pallas kernel (measured 1.54x lower latency at B=1 on v5e); the
-        # batched path keeps the jnp scan, which XLA fuses better at B>=8
-        use_fused = (
-            B == 1
-            and cfg.core == "ntm"
-            and jax.default_backend() == "tpu"
-        )
-        # channel layout [C | delimiter | target]; delimiter token FIRST
-        # (test_tracker.py:400-404)
-        tgt = jnp.zeros((B, F, 1)) if gt is None else gt.reshape(B, F, 1)
-        feat = jnp.concatenate([toks, jnp.zeros((B, F, 1)), tgt], axis=2)
-        delim = jnp.zeros((B, 1, C + 2)).at[:, 0, C].set(1.0)
-        if delimiter_first:
-            stream = jnp.concatenate([delim, feat], axis=1)  # [B, F+1, C+2]
+        # batched path keeps the jnp scan, which XLA fuses better at B>=8.
+        # cfg.fused_inference=False forces the reference-semantics jnp path
+        # (e.g. for checkpoint-parity debugging); True forces the kernel.
+        if cfg.fused_inference is None:
+            use_fused = (
+                B == 1
+                and cfg.core == "ntm"
+                and jax.default_backend() == "tpu"
+            )
         else:
-            stream = jnp.concatenate([feat, delim], axis=1)
+            use_fused = cfg.fused_inference and cfg.core == "ntm"
+        from ntm_tracker_tpu.train.serialize import serialize_streaming_batch
+
+        stream = serialize_streaming_batch(
+            toks, None if gt is None else gt.reshape(B, F),
+            delimiter_first=delimiter_first,
+        )
 
         if use_fused:
             from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused

@@ -42,12 +42,15 @@ def replay_sequences(
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
 
     core = core or make_core(cfg)
+    # ONE tracker for all sequences: init() fully resets the recurrent
+    # state, so the jitted frame program compiles once instead of per
+    # sequence (a fresh StreamingTracker would rebuild the jit closures)
+    tracker = StreamingTracker(cfg, vgg_params, params, core,
+                               delimiter_first=delimiter_first)
     all_ious: List[List[float]] = []
     for idx, (seq_path, frame_names) in enumerate(seqs):
         imagepath, region = get_image(os.path.join(seq_path, frame_names[0]))
         img = np.asarray(Image.open(imagepath).convert("RGB"))
-        tracker = StreamingTracker(cfg, vgg_params, params, core,
-                                   delimiter_first=delimiter_first)
         tracker.init(img, region)
         ious: List[float] = []
         for frame_name in frame_names[1:]:

@@ -53,25 +53,43 @@ def serialize_tokens(
     return jnp.concatenate([toks, target[..., None]], axis=2)
 
 
+def serialize_streaming_batch(
+    features: jax.Array,
+    target_heatmap: jax.Array | None,
+    delimiter_first: bool = True,
+) -> jax.Array:
+    """One frame's F+1 tokens per batch element for ONLINE tracking.
+
+    delimiter_first=True is the reference's streaming order
+    (test_tracker.py:384-405); False matches the training serialization
+    (delimiter last — the default the tracker uses, see
+    tracking/tracker.py). Channel layout [C | delimiter | target] in both.
+
+    Args:
+      features: [B, F, C]; target_heatmap: [B, F] or None.
+    Returns: [B, F+1, C+2]
+    """
+    B, F, C = features.shape
+    if target_heatmap is None:
+        tgt = jnp.zeros((B, F, 1), features.dtype)
+    else:
+        tgt = target_heatmap.reshape(B, F, 1).astype(features.dtype)
+    feat = jnp.concatenate(
+        [features, jnp.zeros((B, F, 1), features.dtype), tgt], axis=2
+    )
+    delim = jnp.zeros((B, 1, C + 2), features.dtype).at[:, 0, C].set(1.0)
+    if delimiter_first:
+        return jnp.concatenate([delim, feat], axis=1)
+    return jnp.concatenate([feat, delim], axis=1)
+
+
 def serialize_streaming_frame(
     features: jax.Array, target_heatmap: jax.Array | None
 ) -> jax.Array:
-    """One frame's 65 tokens for ONLINE tracking, delimiter FIRST
-    (test_tracker.py:384-405): [delimiter; 64 feature tokens], with the gt
-    heatmap in the target channel only on the first frame.
-
-    Args:
-      features: [F, C]; target_heatmap: [F] or None.
-    Returns: [F+1, C+2]
-    """
-    F, C = features.shape
-    if target_heatmap is None:
-        tgt = jnp.zeros((F, 1), features.dtype)
-    else:
-        tgt = target_heatmap.reshape(F, 1).astype(features.dtype)
-    feat = jnp.concatenate([features, jnp.zeros((F, 1), features.dtype), tgt], axis=1)
-    delim = jnp.zeros((1, C + 2), features.dtype).at[0, C].set(1.0)
-    return jnp.concatenate([delim, feat], axis=0)
+    """Unbatched reference streaming order (delimiter first);
+    features [F, C] -> [F+1, C+2]."""
+    tgt = None if target_heatmap is None else target_heatmap[None]
+    return serialize_streaming_batch(features[None], tgt, delimiter_first=True)[0]
 
 
 def gather_delimiter_outputs(logits: jax.Array, num_features: int) -> jax.Array:
