@@ -130,3 +130,32 @@ class TestCopyPaste:
         assert all(
             np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_sharded_inference_matches_single_device():
+    """Batch-sharded frame-step inference over the mesh == unsharded (the
+    serving-scale counterpart of the sharded-training parity test)."""
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ntm_tracker_tpu.tracking.tracker import build_frame_step
+
+    cfg = tiny_cfg("ntm", batch=8, seq_len=2)
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    core = make_core(cfg)
+    params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+    _, step_rest = build_frame_step(cfg, core, vgg, params, donate_state=False)
+
+    crops = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3)) * 30
+    state = core.init_state(params, 8)
+    off_ref, state_ref = step_rest(crops, state)
+
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    crops_sh = jax.device_put(crops, sh)
+    state_sh = jax.tree.map(lambda x: jax.device_put(x, sh), state)
+    off_sh, state_new = step_rest(crops_sh, state_sh)
+
+    np.testing.assert_allclose(np.asarray(off_sh), np.asarray(off_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_new["M"]),
+                               np.asarray(state_ref["M"]), rtol=2e-4, atol=1e-5)
