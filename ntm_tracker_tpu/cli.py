@@ -619,6 +619,8 @@ def cmd_bench(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from ntm_tracker_tpu.config import DataConfig
+
     p = argparse.ArgumentParser(prog="ntm_tracker_tpu")
     p.add_argument(
         "--platform", choices=["cpu", "tpu"], default=None,
@@ -666,11 +668,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--annotation_dir", required=True)
     pp.add_argument("--image_dir", required=True)
     pp.add_argument("--output_dir", required=True)
-    pp.add_argument("--cropbox_grid", type=int, default=8)
-    pp.add_argument("--bbox_grid", type=int, default=6)
-    pp.add_argument("--focus", type=int, default=4)
-    pp.add_argument("--deform_threshold", type=float, default=0.5)
-    pp.add_argument("--zoom_threshold", type=float, default=0.5)
+    pp.add_argument("--cropbox_grid", type=int, default=DataConfig.cropbox_grid)
+    pp.add_argument("--bbox_grid", type=int, default=DataConfig.bbox_grid)
+    pp.add_argument("--focus", type=int, default=DataConfig.focus)
+    pp.add_argument("--deform_threshold", type=float, default=DataConfig.deform_threshold)
+    pp.add_argument("--zoom_threshold", type=float, default=DataConfig.zoom_threshold)
     pp.add_argument("--num_workers", type=int, default=7)
     pp.set_defaults(fn=cmd_preprocess)
 

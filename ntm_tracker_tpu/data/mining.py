@@ -18,42 +18,73 @@ import os
 import pickle
 import xml.etree.ElementTree as ET
 from multiprocessing import Pool
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import numpy as np
 
+from ntm_tracker_tpu.data.preprocess import get_img_path_from_anno_path
 
-def get_statistics(image_dirs: Sequence[str], anno_dirs: Sequence[str]) -> list:
-    """Walk annotation trees; one record per frame:
-    (anno_path, image_path, (width, height), [obj dicts])."""
-    statistics = []
+
+class Corners(NamedTuple):
+    """Axis-aligned pixel bbox, VID XML corner order."""
+
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+
+class ObjectAnnotation(NamedTuple):
+    """One ``<object>`` node of a VID annotation frame."""
+
+    trackid: str
+    bbox: Corners
+
+
+class FrameRecord(NamedTuple):
+    """One annotation XML resolved against its image tree."""
+
+    anno_path: str
+    image_path: str
+    size: Tuple[float, float]  # (width, height)
+    objects: List[ObjectAnnotation]
+
+
+def _parse_statistics_frame(anno_path: str) -> Tuple[Tuple[float, float], List[ObjectAnnotation]]:
+    root = ET.parse(anno_path).getroot()
+    sizenode = root.find("size")
+    size = (float(sizenode.findtext("width")), float(sizenode.findtext("height")))
+    objects = [
+        ObjectAnnotation(
+            trackid=node.findtext("trackid"),
+            bbox=Corners(*(float(node.find("bndbox").findtext(c)) for c in Corners._fields)),
+        )
+        for node in root.iter("object")
+    ]
+    return size, objects
+
+
+def get_statistics(
+    image_dirs: Sequence[str], anno_dirs: Sequence[str]
+) -> List[FrameRecord]:
+    """Walk paired annotation/image trees; one FrameRecord per XML frame."""
+    records: List[FrameRecord] = []
     for image_dir, anno_dir in zip(image_dirs, anno_dirs):
-        for root, _dirs, files in os.walk(anno_dir):
-            for filename in sorted(files):
-                if not filename.endswith(".xml"):
-                    continue
-                anno_full_path = os.path.join(root, filename)
-                rel = anno_full_path[len(anno_dir) + 1 :]
-                image_full_path = os.path.join(image_dir, rel[:-3] + "JPEG")
-                xmlroot = ET.parse(anno_full_path).getroot()
-                sizenode = xmlroot.find("size")
-                size = (
-                    float(sizenode.find("width").text),
-                    float(sizenode.find("height").text),
+        for walk_root, _dirs, files in os.walk(anno_dir):
+            for filename in sorted(f for f in files if f.endswith(".xml")):
+                anno_path = os.path.join(walk_root, filename)
+                size, objects = _parse_statistics_frame(anno_path)
+                records.append(
+                    FrameRecord(
+                        anno_path=anno_path,
+                        image_path=get_img_path_from_anno_path(
+                            anno_path, anno_dir, image_dir
+                        ),
+                        size=size,
+                        objects=objects,
+                    )
                 )
-                frame = []
-                for child in xmlroot:
-                    if child.tag != "object":
-                        continue
-                    obj = {}
-                    for grandchild in child:
-                        if grandchild.tag == "bndbox":
-                            obj["bbox"] = {x.tag: float(x.text) for x in grandchild}
-                        else:
-                            obj[grandchild.tag] = grandchild.text
-                    frame.append(obj)
-                statistics.append((anno_full_path, image_full_path, size, frame))
-    return statistics
+    return records
 
 
 def vgg_layer_sizes(input_size: int = 224) -> Dict[str, Tuple[int, int, int, int]]:
@@ -134,14 +165,14 @@ def objframe_statistics(
     if raw_statistics is None:
         raw_statistics = get_statistics(image_dirs, anno_dirs)
     obj_frames = []
-    for xml_path, frame_path, frame_size, objs in raw_statistics:
-        seq_dir, frame_jpg = os.path.split(frame_path)
+    for record in raw_statistics:
+        seq_dir, frame_jpg = os.path.split(record.image_path)
         frame_name, _ = os.path.splitext(frame_jpg)
-        for obj in objs:
-            obj_name = seq_dir + "_" + obj["trackid"]
-            b = obj["bbox"]
-            bbox = [(b["xmin"], b["ymin"]), (b["xmax"], b["ymax"])]
-            obj_frames.append((seq_dir, frame_name, obj_name, frame_size, bbox))
+        for obj in record.objects:
+            obj_name = seq_dir + "_" + obj.trackid
+            b = obj.bbox
+            bbox = [(b.xmin, b.ymin), (b.xmax, b.ymax)]
+            obj_frames.append((seq_dir, frame_name, obj_name, record.size, bbox))
     if num_workers <= 1:
         return [_distrib_match(f) for f in obj_frames]
     with Pool(num_workers) as pool:

@@ -34,3 +34,21 @@ def test_subcommand_parses(argv):
 def test_unknown_command_rejected():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["not-a-command"])
+
+
+def test_preprocess_defaults_match_dataconfig():
+    """CLI preprocess defaults must equal DataConfig so a dataset built via
+    CLI defaults matches one built from config (reference preprocess.py:522-523
+    uses 0.1/0.1)."""
+    from ntm_tracker_tpu.config import DataConfig
+
+    args = build_parser().parse_args(
+        ["preprocess", "--annotation_dir", "a", "--image_dir", "i",
+         "--output_dir", "o"]
+    )
+    cfg = DataConfig()
+    assert args.deform_threshold == cfg.deform_threshold == 0.1
+    assert args.zoom_threshold == cfg.zoom_threshold == 0.1
+    assert args.cropbox_grid == cfg.cropbox_grid
+    assert args.bbox_grid == cfg.bbox_grid
+    assert args.focus == cfg.focus

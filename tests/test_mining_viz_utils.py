@@ -85,10 +85,13 @@ class TestStatisticsWalk:
         )
         stats = mining.get_statistics([str(tmp_path / "img")], [str(tmp_path / "anno")])
         assert len(stats) == 1
-        _, img_path, size, objs = stats[0]
-        assert size == (64.0, 48.0)
-        assert img_path.endswith("seq/000000.JPEG")
-        assert objs[0]["bbox"] == {"xmax": 20.0, "xmin": 10.0, "ymax": 30.0, "ymin": 15.0}
+        rec = stats[0]
+        assert rec.size == (64.0, 48.0)
+        assert rec.image_path.endswith("seq/000000.JPEG")
+        assert rec.objects[0].trackid == "0"
+        assert rec.objects[0].bbox == mining.Corners(
+            xmin=10.0, ymin=15.0, xmax=20.0, ymax=30.0
+        )
 
 
 class TestViz:
