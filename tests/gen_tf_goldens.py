@@ -1,0 +1,471 @@
+"""Generate EXECUTED-TensorFlow golden fixtures for the parity suite.
+
+Unlike tests/gen_fixtures.py (drift detection against our own outputs),
+every array written here comes out of a TensorFlow session that ran either
+
+  (a) TF library ops the reference depends on (tf.image.crop_and_resize,
+      TF1 resize_images, LSTMBlockCell gate math, tf.train.RMSPropOptimizer
+      + clip_by_global_norm), or
+  (b) the reference's OWN code — /root/reference/ops.py and
+      /root/reference/ntm_cell.py — loaded with a minimal Py2->Py3 /
+      TF1->TF2-compat shim and executed in graph mode with injected
+      parameters, including a >=65-step rollout through the
+      state_placeholder streaming contract (ntm_cell.py:255-282).
+
+The resulting .npz files are committed under tests/fixtures/ so
+tests/test_tf_parity.py runs without TensorFlow installed. Regenerate with:
+
+    python tests/gen_tf_goldens.py
+
+Requirements to regenerate: tensorflow>=2.x with tf.compat.v1, and the
+reference checkout at /root/reference.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import types
+
+import numpy as np
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# oneDNN may reorder float reductions; keep the goldens deterministic.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
+import tensorflow.compat.v1 as tf  # noqa: E402
+
+tf.disable_v2_behavior()
+
+REFERENCE_DIR = os.environ.get("NTM_REFERENCE_DIR", "/root/reference")
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+# ---------------------------------------------------------------------------
+# loading the reference source under TF2's compat layer
+# ---------------------------------------------------------------------------
+
+def _load_patched_module(filename: str, name: str, extra_globals=None):
+    """Exec a reference source file with the minimal shims needed to run
+    2017-era TF1/Py2 code on this machine's TF2 + Py3:
+
+      * ``import tensorflow as tf``  ->  ``tensorflow.compat.v1``
+      * ``xrange`` -> ``range``; the ONE true division the reference relies
+        on Py2 floor semantics for (`-shift_space/2`, ops.py:204) -> ``//``
+        (Py3 ``-3//2 == -2`` matches Py2 ``-3/2``)
+      * ``from utils import *`` dropped (progress-bar helpers, unused by the
+        functions under test)
+      * ``tf.contrib.rnn.{MultiRNNCell,BasicLSTMCell}`` -> graph-mode shims
+        (tf.contrib does not exist in TF2; see _ShimBasicLSTMCell below,
+        which the generator itself cross-checks against
+        tf.raw_ops.LSTMBlockCell)
+
+    The semantics of the reference code are untouched.
+    """
+    path = os.path.join(REFERENCE_DIR, filename)
+    with open(path) as f:
+        src = f.read()
+    src = src.replace("import tensorflow as tf", "import tensorflow.compat.v1 as tf")
+    src = src.replace("-shift_space/2", "-shift_space//2")
+    src = re.sub(r"\bxrange\b", "range", src)
+    src = re.sub(r"^from utils import \*$", "", src, flags=re.M)
+    src = src.replace("tf.contrib.rnn.MultiRNNCell", "_SHIM_MultiRNNCell")
+    src = src.replace("tf.contrib.rnn.BasicLSTMCell", "_SHIM_BasicLSTMCell")
+    module = types.ModuleType(name)
+    module.__file__ = path
+    if extra_globals:
+        module.__dict__.update(extra_globals)
+    sys.modules[name] = module
+    code = compile(src, path, "exec")
+    exec(code, module.__dict__)
+    return module
+
+
+def _patch_nest():
+    """TF2 removed nest.is_sequence (used by the reference's _linear,
+    ntm_cell.py:334); restore it."""
+    from tensorflow.python.util import nest
+
+    if not hasattr(nest, "is_sequence"):
+        nest.is_sequence = nest.is_nested
+
+
+class _ShimBasicLSTMCell:
+    """Graph-mode stand-in for tf.contrib.rnn.BasicLSTMCell(state_is_tuple=
+    False): gates = [x,h] @ kernel + bias split (i,j,f,o);
+    c' = c*sig(f+fb) + sig(i)*tanh(j); h' = tanh(c')*sig(o); state=[c|h].
+    Cross-checked against tf.raw_ops.LSTMBlockCell in _selfcheck_lstm_shim.
+    """
+
+    def __init__(self, num_units, forget_bias=0.0, state_is_tuple=False):
+        assert not state_is_tuple
+        self._num_units = num_units
+        self._forget_bias = forget_bias
+
+    @property
+    def state_size(self):
+        return 2 * self._num_units
+
+    def __call__(self, inputs, state, scope=None):
+        with tf.variable_scope(scope or "basic_lstm_cell"):
+            c = state[:, : self._num_units]
+            h = state[:, self._num_units :]
+            in_dim = int(inputs.shape[1])
+            kernel = tf.get_variable(
+                "kernel", [in_dim + self._num_units, 4 * self._num_units]
+            )
+            bias = tf.get_variable(
+                "bias", [4 * self._num_units], initializer=tf.zeros_initializer()
+            )
+            gates = tf.matmul(tf.concat([inputs, h], 1), kernel) + bias
+            i, j, f, o = tf.split(gates, 4, axis=1)
+            new_c = c * tf.sigmoid(f + self._forget_bias) + tf.sigmoid(i) * tf.tanh(j)
+            new_h = tf.tanh(new_c) * tf.sigmoid(o)
+            return new_h, tf.concat([new_c, new_h], 1)
+
+
+class _ShimMultiRNNCell:
+    """tf.contrib.rnn.MultiRNNCell(state_is_tuple=False): the flat state is
+    the per-cell states concatenated on axis 1; each layer feeds the next."""
+
+    def __init__(self, cells, state_is_tuple=False):
+        assert not state_is_tuple
+        self._cells = list(cells)
+
+    @property
+    def state_size(self):
+        return sum(c.state_size for c in self._cells)
+
+    def zero_state(self, batch_size, dtype):
+        return tf.zeros([batch_size, self.state_size], dtype)
+
+    def __call__(self, inputs, state, scope=None):
+        with tf.variable_scope(scope or "multi_rnn_cell"):
+            out = inputs
+            new_states = []
+            offset = 0
+            for i, cell in enumerate(self._cells):
+                with tf.variable_scope("cell_%d" % i):
+                    s = state[:, offset : offset + cell.state_size]
+                    offset += cell.state_size
+                    out, ns = cell(out, s)
+                    new_states.append(ns)
+            return out, tf.concat(new_states, 1)
+
+
+def _selfcheck_lstm_shim():
+    """Prove the shim's gate math equals TF's own C++ LSTM kernel
+    (tf.raw_ops.LSTMBlockCell, gate order i,c(=j),f,o — the documented
+    BasicLSTMCell-compatible block cell)."""
+    rs = np.random.RandomState(7)
+    B, IN, H = 3, 12, 8
+    x = rs.uniform(-1, 1, (B, IN)).astype(np.float32)
+    c0 = rs.uniform(-1, 1, (B, H)).astype(np.float32)
+    h0 = rs.uniform(-1, 1, (B, H)).astype(np.float32)
+    kernel = rs.uniform(-0.5, 0.5, (IN + H, 4 * H)).astype(np.float32)
+    bias = rs.uniform(-0.1, 0.1, (4 * H,)).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        cell = _ShimBasicLSTMCell(H, forget_bias=0.0, state_is_tuple=False)
+        h_out, state_out = cell(
+            tf.constant(x), tf.constant(np.concatenate([c0, h0], 1))
+        )
+        block = tf.raw_ops.LSTMBlockCell(
+            x=tf.constant(x),
+            cs_prev=tf.constant(c0),
+            h_prev=tf.constant(h0),
+            w=tf.constant(kernel),
+            wci=tf.zeros([H]),
+            wcf=tf.zeros([H]),
+            wco=tf.zeros([H]),
+            b=tf.constant(bias),
+            forget_bias=0.0,
+            cell_clip=-1.0,
+            use_peephole=False,
+        )
+        for v in tf.global_variables():
+            if v.op.name.endswith("kernel"):
+                v.load(kernel, sess)
+            elif v.op.name.endswith("bias"):
+                v.load(bias, sess)
+        shim_h, shim_state = sess.run([h_out, state_out])
+        blk = sess.run(block)
+    blk_cs, blk_h = blk[1], blk[6]
+    np.testing.assert_allclose(shim_h, blk_h, atol=1e-6)
+    np.testing.assert_allclose(shim_state[:, :H], blk_cs, atol=1e-6)
+    print("  lstm shim == tf.raw_ops.LSTMBlockCell  OK")
+    return dict(
+        lstm_x=x, lstm_c=c0, lstm_h=h0, lstm_kernel=kernel, lstm_bias=bias,
+        lstm_new_c=blk_cs, lstm_new_h=blk_h,
+    )
+
+
+# ---------------------------------------------------------------------------
+# section A/B: op-level goldens
+# ---------------------------------------------------------------------------
+
+def gen_op_goldens():
+    out = {}
+    rs = np.random.RandomState(0)
+    _patch_nest()
+    ref_ops = _load_patched_module("ops.py", "_ref_ops")
+
+    # --- the reference's executed content addressing (ops.py:135-158),
+    # including the across-slot l2_normalize quirk ---
+    memory = rs.uniform(-1, 1, (2, 16, 8)).astype(np.float32)
+    keys = rs.uniform(-1, 1, (2, 5, 8)).astype(np.float32)
+    with tf.Graph().as_default(), tf.Session() as sess:
+        sim = ref_ops.batched_smooth_cosine_similarity(
+            tf.constant(memory), tf.constant(keys)
+        )
+        out["ops_cos_memory"] = memory
+        out["ops_cos_keys"] = keys
+        out["ops_cos_out"] = sess.run(sim)
+
+    # --- the reference's circular convolution with Py2 shift offsets
+    # (ops.py:180-242): S=3 -> {-2,-1,0}, S=5 -> {-3,...,1} ---
+    for S in (3, 5):
+        tensor = rs.uniform(0, 1, (2, 5, 16)).astype(np.float32)
+        kern = rs.uniform(0, 1, (2, 5, S)).astype(np.float32)
+        kern /= kern.sum(-1, keepdims=True)
+        with tf.Graph().as_default(), tf.Session() as sess:
+            conv = ref_ops.batched_circular_convolution(
+                tf.constant(tensor), tf.constant(kern)
+            )
+            out[f"ops_conv{S}_tensor"] = tensor
+            out[f"ops_conv{S}_kernel"] = kern
+            out[f"ops_conv{S}_out"] = sess.run(conv)
+
+    # --- tf.image.crop_and_resize (direct_offset_output.py:195-201),
+    # one box per image, including a box spilling outside the frame ---
+    images = rs.uniform(0, 255, (3, 24, 32, 3)).astype(np.float32)
+    boxes = np.array(
+        [
+            [0.1, 0.2, 0.7, 0.9],
+            [-0.3, -0.1, 1.2, 1.4],   # out-of-bounds -> extrapolation 0
+            [0.0, 0.0, 1.0, 1.0],
+        ],
+        np.float32,
+    )
+    with tf.Graph().as_default(), tf.Session() as sess:
+        for hw in ((14, 14), (7, 9)):
+            car = tf.image.crop_and_resize(
+                tf.constant(images), tf.constant(boxes),
+                box_ind=tf.constant([0, 1, 2], tf.int32), crop_size=hw,
+            )
+            out[f"car_out_{hw[0]}x{hw[1]}"] = sess.run(car)
+    out["car_images"] = images
+    out["car_boxes"] = boxes
+
+    # --- TF1 resize_images bilinear, align_corners=False (legacy grid) ---
+    src = rs.uniform(0, 255, (17, 23, 3)).astype(np.float32)
+    with tf.Graph().as_default(), tf.Session() as sess:
+        up = tf.image.resize_images(
+            tf.constant(src), [24, 30], method=tf.image.ResizeMethod.BILINEAR,
+            align_corners=False,
+        )
+        down = tf.image.resize_images(
+            tf.constant(src), [9, 11], method=tf.image.ResizeMethod.BILINEAR,
+            align_corners=False,
+        )
+        out["resize_src"] = src
+        out["resize_up"] = sess.run(up)
+        out["resize_down"] = sess.run(down)
+
+    # --- executed LSTM gate math (TF's own C++ kernel) ---
+    out.update(_selfcheck_lstm_shim())
+
+    # --- tf.train.RMSPropOptimizer(lr, .95, .9) + clip_by_global_norm(5)
+    # multi-step trajectory (direct_offset_output.py:611-626) ---
+    a0 = rs.uniform(-1, 1, (4, 3)).astype(np.float32)
+    b0 = rs.uniform(-1, 1, (5,)).astype(np.float32)
+    ta = rs.uniform(-1, 1, (4, 3)).astype(np.float32)
+    tb = rs.uniform(-1, 1, (5,)).astype(np.float32)
+    steps = 6
+    with tf.Graph().as_default(), tf.Session() as sess:
+        va = tf.get_variable("a", initializer=tf.constant(a0))
+        vb = tf.get_variable("b", initializer=tf.constant(b0))
+        # scale keeps early gradients above the clip threshold so
+        # clip_by_global_norm actually engages on the trajectory
+        loss = 4.0 * (tf.nn.l2_loss(va - ta) + tf.nn.l2_loss(vb - tb))
+        grads, _ = tf.clip_by_global_norm(tf.gradients(loss, [va, vb]), 5.0)
+        opt = tf.train.RMSPropOptimizer(0.01, decay=0.95, momentum=0.9)
+        train_op = opt.apply_gradients(zip(grads, [va, vb]))
+        sess.run(tf.global_variables_initializer())
+        traj_a, traj_b = [], []
+        for _ in range(steps):
+            sess.run(train_op)
+            na, nb = sess.run([va, vb])
+            traj_a.append(na)
+            traj_b.append(nb)
+    out["rms_a0"] = a0
+    out["rms_b0"] = b0
+    out["rms_ta"] = ta
+    out["rms_tb"] = tb
+    out["rms_traj_a"] = np.stack(traj_a)
+    out["rms_traj_b"] = np.stack(traj_b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# section E: the reference NTM cell, executed over a streaming rollout
+# ---------------------------------------------------------------------------
+
+def gen_cell_rollout(
+    *, seed, batch, steps, input_size, mem_size, mem_dim, shift_range,
+    hidden, num_layers, read_heads, write_heads, write_first,
+):
+    """Build the reference NTMCell one-step graph (state_placeholder
+    contract, ntm_cell.py:255-282), inject seeded parameters, and roll it
+    `steps` times feeding the state dict back through placeholders — exactly
+    the reference's streaming inference structure (test_tracker.py:284-299).
+    """
+    _patch_nest()
+    # register under the bare name so the reference's `from ops import ...`
+    # (ntm_cell.py:15) resolves to the patched module
+    _load_patched_module("ops.py", "ops")
+    ref_cell_mod = _load_patched_module(
+        "ntm_cell.py",
+        "_ref_ntm_cell",
+        extra_globals={
+            "_SHIM_MultiRNNCell": _ShimMultiRNNCell,
+            "_SHIM_BasicLSTMCell": _ShimBasicLSTMCell,
+        },
+    )
+
+    rs = np.random.RandomState(seed)
+    num_heads = read_heads + write_heads
+    shift_space = 2 * shift_range + 1
+    total_head = (
+        mem_dim * num_heads + 3 * num_heads + shift_space * num_heads
+        + 2 * mem_dim * write_heads
+    )
+
+    def u(shape, scale):
+        return rs.uniform(-scale, scale, shape).astype(np.float32)
+
+    # parameter values keyed by the JAX pytree layout (models/ntm_cell.py)
+    params = {
+        "out_w": u((hidden, 2), 0.3),
+        "out_b": u((2,), 0.1),
+        "heads_w": u((hidden, total_head), 0.3),
+        "heads_b": u((total_head,), 0.1),
+        "init_M": u((mem_size, mem_dim), 0.5),
+        "init_w": u((num_heads, mem_size), 0.5),
+        "init_read": u((read_heads, mem_dim), 0.5),
+    }
+    in_dim = input_size + read_heads * mem_dim
+    for layer in range(num_layers):
+        d = in_dim if layer == 0 else hidden
+        params[f"ctrl_kernel_{layer}"] = u((d + hidden, 4 * hidden), 0.25)
+        params[f"ctrl_bias_{layer}"] = u((4 * hidden,), 0.05)
+
+    inputs = rs.uniform(-1, 1, (steps, batch, input_size)).astype(np.float32)
+
+    with tf.Graph().as_default() as g, tf.Session() as sess:
+        cell = ref_cell_mod.NTMCell(
+            output_dim=2, mem_size=mem_size, mem_dim=mem_dim,
+            shift_range=shift_range, controller_hidden_size=hidden,
+            controller_num_layers=num_layers, write_head_size=write_heads,
+            read_head_size=read_heads, write_first=write_first,
+        )
+        state_ph = cell.state_placeholder(batch)
+        x_ph = tf.placeholder(tf.float32, [batch, input_size], name="x")
+        (_out, logit, state, debug, _M, _w, _read, _cs) = cell(x_ph, state_ph)
+
+        # map graph variables <- seeded parameter values
+        name_map = {
+            "ntm-cell/addressing/weights": "heads_w",
+            "ntm-cell/addressing/biases": "heads_b",
+            "ntm-cell/weights": "out_w",
+            "ntm-cell/biases": "out_b",
+        }
+        for layer in range(num_layers):
+            prefix = f"ntm-cell/lstm-controller/cell_{layer}/basic_lstm_cell/"
+            name_map[prefix + "kernel"] = f"ctrl_kernel_{layer}"
+            name_map[prefix + "bias"] = f"ctrl_bias_{layer}"
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        assert set(gvars) == set(name_map), (sorted(gvars), sorted(name_map))
+        for vname, pkey in name_map.items():
+            assert tuple(gvars[vname].shape.as_list()) == params[pkey].shape, (
+                vname, gvars[vname].shape, params[pkey].shape)
+            gvars[vname].load(params[pkey], sess)
+
+        # learnable-initial-state squash (ntm_cell.py:292-308)
+        cur = {
+            "M": np.broadcast_to(np.tanh(params["init_M"]), (batch, mem_size, mem_dim)),
+            "w": np.broadcast_to(
+                1.0 / (1.0 + np.exp(-params["init_w"])), (batch, num_heads, mem_size)
+            ),
+            "read": np.broadcast_to(np.tanh(params["init_read"]), (batch, read_heads, mem_dim)),
+            "controller_state": np.zeros((batch, 2 * hidden * num_layers), np.float32),
+        }
+        logits, ckpt_states, dbg0 = [], [], None
+        ckpt_at = sorted({0, steps // 2, steps - 1})
+        for t in range(steps):
+            feeds = {x_ph: inputs[t]}
+            for k in cur:
+                feeds[state_ph[k]] = cur[k]
+            lg, st, dbg = sess.run([logit, state, debug], feeds)
+            logits.append(lg)
+            cur = st
+            if t == 0:
+                dbg0 = dbg
+            if t in ckpt_at:
+                ckpt_states.append(st)
+
+    out = {
+        "inputs": inputs,
+        "logits": np.stack(logits),
+        "ckpt_steps": np.array(ckpt_at, np.int64),
+        "config": np.array(
+            [batch, steps, input_size, mem_size, mem_dim, shift_range,
+             hidden, num_layers, read_heads, write_heads, int(write_first)],
+            np.int64,
+        ),
+    }
+    for key, val in params.items():
+        out["param_" + key] = val
+    for i, st in enumerate(ckpt_states):
+        for k in ("M", "w", "read", "controller_state"):
+            out[f"state{i}_{k}"] = st[k]
+    for k in ("similarity", "w_content_focused", "w_gated", "w_conv", "w"):
+        out["dbg0_" + k] = dbg0[k]
+    return out
+
+
+def main():
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+
+    print("generating op-level goldens ...")
+    ops = gen_op_goldens()
+    np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
+    print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
+
+    print("executing reference NTM cell: flagship config, 65-step rollout ...")
+    flagship = gen_cell_rollout(
+        seed=1, batch=2, steps=65, input_size=30, mem_size=128, mem_dim=20,
+        shift_range=1, hidden=200, num_layers=1, read_heads=4, write_heads=1,
+        write_first=False,
+    )
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_cell.npz"), **flagship
+    )
+    print("  wrote tf_goldens_cell.npz")
+
+    print("executing reference NTM cell: variant config (write_first, "
+          "shift_range=2, 2 write heads, 2 controller layers) ...")
+    variant = gen_cell_rollout(
+        seed=2, batch=2, steps=20, input_size=10, mem_size=32, mem_dim=8,
+        shift_range=2, hidden=32, num_layers=2, read_heads=2, write_heads=2,
+        write_first=True,
+    )
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_cell_variant.npz"), **variant
+    )
+    print("  wrote tf_goldens_cell_variant.npz")
+
+
+if __name__ == "__main__":
+    main()

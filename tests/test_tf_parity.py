@@ -1,0 +1,247 @@
+"""Executed-TensorFlow parity: the 1e-4 fidelity target, proven against
+fixtures produced by RUNNING the reference's own code and the TF library ops
+it depends on (tests/gen_tf_goldens.py).
+
+Fixture provenance (committed .npz, regenerable with TF + /root/reference):
+  tf_goldens_ops.npz          — reference ops.py:135-242 executed in a TF
+                                session (across-slot cosine quirk, Py2 shift
+                                offsets), tf.image.crop_and_resize, TF1
+                                resize_images, tf.raw_ops.LSTMBlockCell gate
+                                math, RMSPropOptimizer+clip trajectories
+  tf_goldens_cell.npz         — reference ntm_cell.py executed 65 steps
+                                through its state_placeholder streaming
+                                contract (ntm_cell.py:255-282) at the
+                                flagship config (128x20, 4r+1w, hidden 200)
+  tf_goldens_cell_variant.npz — write_first=True, shift_range=2, 2 write
+                                heads, 2 controller layers
+
+This file needs only numpy + jax: a shared misreading of the reference
+cannot pass here, because the oracle side actually ran the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+TOL = 1e-4  # the BASELINE.json north-star bound
+
+
+def _load(name):
+    path = os.path.join(FIXTURE_DIR, name)
+    return np.load(path)
+
+
+@pytest.fixture(scope="module")
+def ops_g():
+    return _load("tf_goldens_ops.npz")
+
+
+class TestOpsGoldens:
+    def test_across_slot_cosine_quirk(self, ops_g):
+        """ops.py:135-158 as executed: memory rows l2-normalized ACROSS
+        slots, keys across mem_dim."""
+        from ntm_tracker_tpu.ops.memory import batched_smooth_cosine_similarity
+
+        got = batched_smooth_cosine_similarity(
+            jnp.asarray(ops_g["ops_cos_memory"]), jnp.asarray(ops_g["ops_cos_keys"])
+        )
+        np.testing.assert_allclose(got, ops_g["ops_cos_out"], atol=1e-5)
+
+    @pytest.mark.parametrize("S", [3, 5])
+    def test_circular_convolution_py2_offsets(self, ops_g, S):
+        """ops.py:180-242 as executed: Py2 floor division start offsets
+        ({-2,-1,0} for S=3, {-3..1} for S=5)."""
+        from ntm_tracker_tpu.ops.memory import batched_circular_convolution
+
+        got = batched_circular_convolution(
+            jnp.asarray(ops_g[f"ops_conv{S}_tensor"]),
+            jnp.asarray(ops_g[f"ops_conv{S}_kernel"]),
+        )
+        np.testing.assert_allclose(got, ops_g[f"ops_conv{S}_out"], atol=1e-5)
+
+    @pytest.mark.parametrize("hw", [(14, 14), (7, 9)])
+    def test_crop_and_resize(self, ops_g, hw):
+        from ntm_tracker_tpu.data.image_ops import crop_and_resize
+
+        got = crop_and_resize(
+            jnp.asarray(ops_g["car_images"]), jnp.asarray(ops_g["car_boxes"]), hw
+        )
+        np.testing.assert_allclose(
+            got, ops_g[f"car_out_{hw[0]}x{hw[1]}"], atol=1e-3, rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("which,out_hw", [("up", (24, 30)), ("down", (9, 11))])
+    def test_tf1_resize_bilinear(self, ops_g, which, out_hw):
+        from ntm_tracker_tpu.data.image_ops import tf1_resize_bilinear
+
+        got = tf1_resize_bilinear(jnp.asarray(ops_g["resize_src"]), out_hw)
+        np.testing.assert_allclose(
+            got, ops_g[f"resize_{which}"], atol=1e-3, rtol=1e-5
+        )
+
+    def test_lstm_gate_math(self, ops_g):
+        """Gate math vs TF's own C++ LSTM kernel (tf.raw_ops.LSTMBlockCell,
+        forget_bias=0, BasicLSTMCell-compatible i,j,f,o layout)."""
+        from ntm_tracker_tpu.ops.lstm import lstm_cell_step
+
+        params = {
+            "kernel": jnp.asarray(ops_g["lstm_kernel"]),
+            "bias": jnp.asarray(ops_g["lstm_bias"]),
+        }
+        h, (new_c, new_h) = lstm_cell_step(
+            params,
+            jnp.asarray(ops_g["lstm_x"]),
+            (jnp.asarray(ops_g["lstm_c"]), jnp.asarray(ops_g["lstm_h"])),
+            forget_bias=0.0,
+        )
+        np.testing.assert_allclose(new_c, ops_g["lstm_new_c"], atol=1e-6)
+        np.testing.assert_allclose(new_h, ops_g["lstm_new_h"], atol=1e-6)
+
+    def test_rmsprop_clip_trajectory(self, ops_g):
+        """6 steps of clip_by_global_norm(5) -> RMSProp(0.01,.95,.9) vs the
+        executed tf.train.RMSPropOptimizer (direct_offset_output.py:611-626;
+        TF default epsilon 1e-10)."""
+        from ntm_tracker_tpu.train.optim import reference_optimizer
+
+        params = {"a": jnp.asarray(ops_g["rms_a0"]), "b": jnp.asarray(ops_g["rms_b0"])}
+        targets = {"a": jnp.asarray(ops_g["rms_ta"]), "b": jnp.asarray(ops_g["rms_tb"])}
+        opt = reference_optimizer(
+            learning_rate=0.01, decay=0.95, momentum=0.9, epsilon=1e-10,
+            max_gradient_norm=5.0,
+        )
+        state = opt.init(params)
+        for step in range(ops_g["rms_traj_a"].shape[0]):
+            # loss = 4 * (l2_loss(a-ta) + l2_loss(b-tb)); grad = 4 * (p - t)
+            grads = jax.tree.map(lambda p, t: 4.0 * (p - t), params, targets)
+            updates, state = opt.update(grads, state)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            np.testing.assert_allclose(
+                params["a"], ops_g["rms_traj_a"][step], atol=1e-5,
+                err_msg=f"step {step}",
+            )
+            np.testing.assert_allclose(
+                params["b"], ops_g["rms_traj_b"][step], atol=1e-5,
+                err_msg=f"step {step}",
+            )
+
+
+# ---------------------------------------------------------------------------
+# the executed reference NTMCell rollouts
+# ---------------------------------------------------------------------------
+
+def _unpack_cell_fixture(g):
+    from ntm_tracker_tpu.config import NTMConfig
+
+    (batch, steps, input_size, mem_size, mem_dim, shift_range, hidden,
+     num_layers, read_heads, write_heads, write_first) = [
+        int(x) for x in g["config"]
+    ]
+    cfg = NTMConfig(
+        output_dim=2, mem_size=mem_size, mem_dim=mem_dim,
+        shift_range=shift_range, controller_hidden_size=hidden,
+        controller_num_layers=num_layers, read_head_size=read_heads,
+        write_head_size=write_heads, write_first=bool(write_first),
+        slotwise_cosine=False,
+    )
+    params = {
+        "controller": [
+            {
+                "kernel": jnp.asarray(g[f"param_ctrl_kernel_{layer}"]),
+                "bias": jnp.asarray(g[f"param_ctrl_bias_{layer}"]),
+            }
+            for layer in range(num_layers)
+        ],
+        "heads_w": jnp.asarray(g["param_heads_w"]),
+        "heads_b": jnp.asarray(g["param_heads_b"]),
+        "out_w": jnp.asarray(g["param_out_w"]),
+        "out_b": jnp.asarray(g["param_out_b"]),
+        "init_M": jnp.asarray(g["param_init_M"]),
+        "init_w": jnp.asarray(g["param_init_w"]),
+        "init_read": jnp.asarray(g["param_init_read"]),
+    }
+    return cfg, params, batch, steps
+
+
+def _flat_controller_state(state):
+    """Mirror MultiRNNCell(state_is_tuple=False): concat [c|h] per layer."""
+    return jnp.concatenate([jnp.concatenate([c, h], 1) for c, h in state], 1)
+
+
+@pytest.mark.parametrize(
+    "fixture", ["tf_goldens_cell.npz", "tf_goldens_cell_variant.npz"]
+)
+class TestExecutedReferenceCell:
+    def test_streaming_rollout_matches_tf(self, fixture):
+        """Feed the token stream one step at a time through
+        make_streaming_step (the state_placeholder contract) and compare
+        every logit plus checkpointed full states against the executed
+        reference."""
+        from ntm_tracker_tpu.models.ntm_cell import init_ntm_state
+        from ntm_tracker_tpu.models.ntm_tracker import make_streaming_step
+
+        g = _load(fixture)
+        cfg, params, batch, steps = _unpack_cell_fixture(g)
+        step = jax.jit(make_streaming_step(params, cfg))
+        state = init_ntm_state(params, cfg, batch)
+        ckpt_at = [int(x) for x in g["ckpt_steps"]]
+        worst = 0.0
+        for t in range(steps):
+            _out, logit, state = step(jnp.asarray(g["inputs"][t]), state)
+            diff = float(np.max(np.abs(np.asarray(logit) - g["logits"][t])))
+            worst = max(worst, diff)
+            assert diff <= TOL, f"step {t}: logit diff {diff:.2e} > {TOL}"
+            if t in ckpt_at:
+                i = ckpt_at.index(t)
+                np.testing.assert_allclose(
+                    state["M"], g[f"state{i}_M"], atol=TOL, err_msg=f"M step {t}"
+                )
+                np.testing.assert_allclose(
+                    state["w"], g[f"state{i}_w"], atol=TOL, err_msg=f"w step {t}"
+                )
+                np.testing.assert_allclose(
+                    state["read"], g[f"state{i}_read"], atol=TOL,
+                    err_msg=f"read step {t}",
+                )
+                np.testing.assert_allclose(
+                    _flat_controller_state(state["controller_state"]),
+                    g[f"state{i}_controller_state"], atol=TOL,
+                    err_msg=f"controller step {t}",
+                )
+        # the rollouts should be far inside the target bound
+        assert worst < TOL / 2, f"worst logit diff {worst:.2e}"
+
+    def test_scan_rollout_matches_tf(self, fixture):
+        """The batched lax.scan path (training) must hit the same goldens."""
+        from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+
+        g = _load(fixture)
+        cfg, params, _batch, _steps = _unpack_cell_fixture(g)
+        inputs = jnp.swapaxes(jnp.asarray(g["inputs"]), 0, 1)  # [B,T,D]
+        _outs, logits, _state = jax.jit(
+            lambda p, x: ntm_tracker_unroll(p, cfg, x)
+        )(params, inputs)
+        got = np.swapaxes(np.asarray(logits), 0, 1)  # [T,B,out]
+        np.testing.assert_allclose(got, g["logits"], atol=TOL)
+
+    def test_first_step_intermediates(self, fixture):
+        """Pin the addressing chain at step 0 against the reference's debug
+        dict (similarity -> content focus -> gate -> shift -> sharpen)."""
+        from ntm_tracker_tpu.models.ntm_cell import init_ntm_state, ntm_cell_step
+
+        g = _load(fixture)
+        cfg, params, batch, _steps = _unpack_cell_fixture(g)
+        state = init_ntm_state(params, cfg, batch)
+        _o, _l, _s, debug = ntm_cell_step(
+            params, cfg, jnp.asarray(g["inputs"][0]), state, with_debug=True
+        )
+        for key in ("similarity", "w_content_focused", "w_gated", "w_conv", "w"):
+            np.testing.assert_allclose(
+                debug[key], g["dbg0_" + key], atol=1e-5, err_msg=key
+            )
