@@ -618,6 +618,20 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_convert_vgg(args) -> int:
+    """One-off vgg_16.ckpt -> .npz conversion (the reference's freeze_vgg
+    workflow, freeze_vgg.py:4-16, re-targeted at load_params_npz)."""
+    from ntm_tracker_tpu.tools.convert_vgg import convert_vgg_checkpoint
+
+    shapes = convert_vgg_checkpoint(
+        args.ckpt, args.out, require_conv5=args.require_conv5
+    )
+    for key in sorted(shapes):
+        print(f"  {key}  {shapes[key]}")
+    print(f"wrote {len(shapes)} arrays to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     from ntm_tracker_tpu.config import DataConfig
 
@@ -782,6 +796,16 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--sequences_dir", required=True)
     f.add_argument("--target_step", type=int, default=1700)
     f.set_defaults(fn=cmd_find_validation_batch)
+
+    cv = sub.add_parser(
+        "convert-vgg",
+        help="convert the public slim vgg_16.ckpt to the .npz weight layout",
+    )
+    cv.add_argument("--ckpt", required=True, help="path to vgg_16.ckpt")
+    cv.add_argument("--out", required=True, help="destination .npz")
+    cv.add_argument("--require_conv5", action="store_true",
+                    help="fail unless the conv5 block is present")
+    cv.set_defaults(fn=cmd_convert_vgg)
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=cmd_bench)

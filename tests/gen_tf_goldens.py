@@ -308,6 +308,39 @@ def gen_op_goldens():
     return out
 
 
+def gen_vgg_golden():
+    """Run the slim vgg_16 conv1..conv4_3 architecture (3x3 SAME conv + bias
+    + ReLU, 2x2 max-pool; /root/reference/vgg.py:125-150) through TF's own
+    conv/pool kernels on seeded weights. The weights are regenerated from
+    the seed at test time (tests/fixture_params.py) so only the input image
+    and the conv4_3 activation are committed."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixture_params import seeded_vgg_image, seeded_vgg_params
+
+    from_repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, from_repo)
+    from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
+
+    params = seeded_vgg_params(VGG16_PREFIX)
+    image = seeded_vgg_image()
+    with tf.Graph().as_default(), tf.Session() as sess:
+        x = tf.constant(image)
+        for name, _out_ch, has_pool in VGG16_PREFIX:
+            p = params[name]
+            x = tf.nn.relu(
+                tf.nn.conv2d(x, tf.constant(p["weights"]), [1, 1, 1, 1], "SAME")
+                + tf.constant(p["biases"])
+            )
+            if name == "conv4/conv4_3":
+                break  # endpoint is the ReLU, before its pool
+            if has_pool:
+                x = tf.nn.max_pool2d(x, 2, 2, "VALID")
+        conv43 = sess.run(x)
+    print(f"  vgg conv4_3 golden: shape {conv43.shape}, "
+          f"|act| max {np.abs(conv43).max():.3f}")
+    return {"vgg_image": image, "vgg_conv43": conv43}
+
+
 # ---------------------------------------------------------------------------
 # section E: the reference NTM cell, executed over a streaming rollout
 # ---------------------------------------------------------------------------
@@ -440,6 +473,7 @@ def main():
 
     print("generating op-level goldens ...")
     ops = gen_op_goldens()
+    ops.update(gen_vgg_golden())
     np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
     print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
 

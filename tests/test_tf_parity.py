@@ -104,6 +104,23 @@ class TestOpsGoldens:
         np.testing.assert_allclose(new_c, ops_g["lstm_new_c"], atol=1e-6)
         np.testing.assert_allclose(new_h, ops_g["lstm_new_h"], atol=1e-6)
 
+    def test_vgg_conv43_stack(self, ops_g):
+        """conv1..conv4_3 on seeded weights vs TF's executed conv/pool
+        kernels (slim vgg_16 architecture, reference vgg.py:125-150)."""
+        from fixture_params import seeded_vgg_image, seeded_vgg_params
+
+        from ntm_tracker_tpu.models.vgg import VGG16_PREFIX, vgg16_features
+
+        params = {
+            k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            for k, v in seeded_vgg_params(VGG16_PREFIX).items()
+        }
+        got = vgg16_features(params, jnp.asarray(seeded_vgg_image()))
+        ref = ops_g["vgg_conv43"]
+        assert got.shape == ref.shape
+        scale = float(np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=max(1e-4, 1e-6 * scale))
+
     def test_rmsprop_clip_trajectory(self, ops_g):
         """6 steps of clip_by_global_norm(5) -> RMSProp(0.01,.95,.9) vs the
         executed tf.train.RMSPropOptimizer (direct_offset_output.py:611-626;
