@@ -292,7 +292,15 @@ def cmd_preprocess(args) -> int:
             zoom_threshold=args.zoom_threshold,
         ),
     )
-    n = run_preprocess(job, num_workers=args.num_workers)
+    if args.augment:
+        from ntm_tracker_tpu.data.augment import run_preprocess_augmented
+
+        n = run_preprocess_augmented(
+            job, seq_length=args.max_sequence_length, seed=args.augment_seed,
+            num_workers=args.num_workers,
+        )
+    else:
+        n = run_preprocess(job, num_workers=args.num_workers)
     print(f"generated {n} frames")
     return 0
 
@@ -688,6 +696,15 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--deform_threshold", type=float, default=DataConfig.deform_threshold)
     pp.add_argument("--zoom_threshold", type=float, default=DataConfig.zoom_threshold)
     pp.add_argument("--num_workers", type=int, default=7)
+    pp.add_argument(
+        "--augment", action="store_true",
+        help="write dilated/jittered augmented sub-sequences (the repaired "
+        "version of the reference's dead data_augmentation path, "
+        "preprocess.py:356-474) instead of the plain per-object walk",
+    )
+    pp.add_argument("--max_sequence_length", type=int, default=20,
+                    help="frames per augmented sub-sequence")
+    pp.add_argument("--augment_seed", type=int, default=0)
     pp.set_defaults(fn=cmd_preprocess)
 
     d = sub.add_parser("dnc-repeat-copy", help="DNC repeat-copy training")
