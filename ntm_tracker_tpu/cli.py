@@ -62,6 +62,13 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gt_width", type=int, default=8)
     p.add_argument("--reverse_image", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    # multi-host data parallelism (one process per host; batch_size is the
+    # GLOBAL batch — each host loads batch_size/process_count sequences)
+    p.add_argument("--dist_coordinator", default=None,
+                   help="coordinator host:port for jax.distributed.initialize "
+                   "(omit on single-host or auto-detected clusters)")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
 
 
 def _tracker_config(args, core: str):
@@ -156,6 +163,18 @@ def _make_experiment(args, cfg, vgg_params):
 
 def cmd_train_offsets(args) -> int:
     import jax
+
+    from ntm_tracker_tpu.parallel.distributed import (
+        global_batch_from_local,
+        initialize_distributed,
+        process_shard_sequences,
+    )
+
+    # must run before any computation touches the devices
+    initialize_distributed(
+        args.dist_coordinator, args.dist_num_processes, args.dist_process_id
+    )
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -185,7 +204,19 @@ def cmd_train_offsets(args) -> int:
     _, train_seqs, val_seqs = get_valid_sequences(
         args.sequences_dir, cfg.train.sequence_length
     )
-    print(f"{len(train_seqs)} train seqs, {len(val_seqs)} val seqs")
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # disjoint dataset shard per host; global batch split evenly
+        train_seqs = process_shard_sequences(train_seqs)
+        val_seqs = process_shard_sequences(val_seqs)
+        if cfg.train.batch_size % n_proc:
+            raise SystemExit(
+                f"--batch_size {cfg.train.batch_size} must divide by the "
+                f"{n_proc} processes"
+            )
+    local_bs = cfg.train.batch_size // n_proc
+    print(f"{len(train_seqs)} train seqs, {len(val_seqs)} val seqs"
+          + (f" (process {jax.process_index()}/{n_proc})" if n_proc > 1 else ""))
 
     mesh = make_mesh(batch_size=cfg.train.batch_size)
     if mesh.devices.size < len(jax.devices()):
@@ -199,12 +230,21 @@ def cmd_train_offsets(args) -> int:
         # time (the reference wrote one EVERY step, direct_offset_output.py:348
         # — here it is validation-cadence and opt-in)
         from ntm_tracker_tpu.models.vgg import VGG_MEAN
-        from ntm_tracker_tpu.utils.viz import save_imgs
+        from ntm_tracker_tpu.utils.viz import save_imgs, save_memory_panels
 
         counter = {"n": 0}
+        # memory dashboards: at most ~256 snapshots over the token stream
+        mem_states_fn = jax.jit(lambda p, b: exp.memory_states(p, b))
+        read_heads = (
+            cfg.ntm.read_head_size if args.core == "ntm" else cfg.dnc.num_reads
+        )
 
         def eval_jit(p, b):
             aux = eval_base(p, b)
+            save_memory_panels(
+                mem_states_fn(p, b), read_heads,
+                f"step_{counter['n']}_memory", real_log_dir,
+            )
             if "pred_offsets" in aux:
                 L = cfg.train.sequence_length
                 crops = np.asarray(exp.images_to_crops(
@@ -223,7 +263,7 @@ def cmd_train_offsets(args) -> int:
                      offsets, preds],
                     f"step_{counter['n']}_validation", real_log_dir,
                 )
-                counter["n"] += 1
+            counter["n"] += 1
             return aux
     else:
         eval_jit = eval_base
@@ -234,8 +274,15 @@ def cmd_train_offsets(args) -> int:
               "path (TF1 grid is not flip-equivariant); using host resize")
         dev_resize = False
 
+    # single-host: device_put with the batch sharding; multi-host: assemble
+    # each process's local slice into globally-sharded arrays
+    put = (
+        (lambda b: shard_batch(mesh, b)) if n_proc == 1
+        else (lambda b: global_batch_from_local(mesh, b))
+    )
+
     def to_device(fb):
-        return shard_batch(mesh, {
+        return put({
             # raw mode ships uint8 and casts on device (preprocess_frame
             # does astype(float32)); resized mode is already float32
             "images": fb.images if dev_resize else fb.images.astype(np.float32),
@@ -246,7 +293,7 @@ def cmd_train_offsets(args) -> int:
         })
 
     train_it = PrefetchIterator(
-        batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
+        batch_iterator(train_seqs, local_bs, args.gt_width,
                        shuffle=True, seed=cfg.train.seed,
                        reverse_image=args.reverse_image,
                        epochs=cfg.train.num_epochs,
@@ -257,7 +304,7 @@ def cmd_train_offsets(args) -> int:
     def val_batches():
         return (
             to_device(fb)
-            for fb in batch_iterator(val_seqs, cfg.train.batch_size,
+            for fb in batch_iterator(val_seqs, local_bs,
                                      args.gt_width, shuffle=True,
                                      seed=cfg.train.seed, epochs=1,
                                      decode_resize_hw=None if dev_resize
@@ -532,7 +579,7 @@ def cmd_lstm_only(args) -> int:
 
     _, train_seqs, _ = get_valid_sequences(args.sequences_dir, cfg.train.sequence_length)
     for i, fb in enumerate(
-        batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
+        batch_iterator(train_seqs, local_bs, args.gt_width,
                        seed=cfg.train.seed, epochs=cfg.train.num_epochs)
     ):
         params, opt_state, loss = step(

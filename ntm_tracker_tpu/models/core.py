@@ -30,6 +30,51 @@ class MemoryCore:
     unroll: Callable[..., Tuple[jax.Array, Any]]
     # step(params, x[B,D], state) -> (logit[B,out], state)
     step: Callable[..., Tuple[jax.Array, Any]]
+    # state_view(state) -> {"M" [B,N,D], "w" [B,H,N], "read" [B,R,D]}: the
+    # memory observables both cores expose for dashboards (the reference's
+    # Ms/ws/reads image summaries, main.py:1186-1214)
+    state_view: Callable[[Any], dict] = None  # type: ignore[assignment]
+
+
+def unroll_states(
+    core: MemoryCore,
+    params: Any,
+    inputs: jax.Array,
+    state: Any = None,
+    stride: int = 1,
+) -> Tuple[jax.Array, dict, Any]:
+    """Unroll while recording the memory observables every `stride` steps.
+
+    The reference stacks M/w/read for EVERY step into image summaries
+    (main.py:1186-1214); at T=1300 that is ~0.4 GB per batch-8 eval, so the
+    scan here is chunked: only each chunk's last state is emitted, bounding
+    the record to T/stride snapshots.
+
+    Args:
+      inputs: [B, T, D]; T must be divisible by stride.
+    Returns:
+      (chunk_logits [B, T/stride, out] — the logit at each snapshot step,
+       views {"M": [B, T/stride, N, D], "w": ..., "read": ...},
+       final_state)
+    """
+    B, T, _D = inputs.shape
+    if T % stride != 0:
+        raise ValueError(f"T={T} not divisible by stride={stride}")
+    if state is None:
+        state = core.init_state(params, B)
+    xs = jnp.swapaxes(inputs, 0, 1).reshape(T // stride, stride, B, inputs.shape[2])
+
+    def chunk(carry, x_chunk):
+        def inner(c, x):
+            logit, s = core.step(params, x, c)
+            return s, logit
+
+        new_state, logits = jax.lax.scan(inner, carry, x_chunk)
+        return new_state, (logits[-1], core.state_view(new_state))
+
+    final_state, (logits, views) = jax.lax.scan(chunk, state, xs)
+    views = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), views)
+    return jnp.swapaxes(logits, 0, 1), views, final_state
 
 
 def make_core(cfg: TrackerConfig) -> MemoryCore:
@@ -56,7 +101,10 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
             )
             return logit, new_state
 
-        return MemoryCore(init_params, init_state, unroll, step)
+        def state_view(state):
+            return {"M": state["M"], "w": state["w"], "read": state["read"]}
+
+        return MemoryCore(init_params, init_state, unroll, step, state_view)
 
     elif cfg.core == "dnc":
         dcfg = cfg.dnc
@@ -75,6 +123,14 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
         def step(params, x, state):
             return dnc_mod.dnc_step(params, dcfg, x, state)
 
-        return MemoryCore(init_params, init_state, unroll, step)
+        def state_view(state):
+            acc = state.access_state
+            return {
+                "M": acc.memory,
+                "w": jnp.concatenate([acc.read_weights, acc.write_weights], axis=1),
+                "read": state.access_output,
+            }
+
+        return MemoryCore(init_params, init_state, unroll, step, state_view)
 
     raise ValueError(f"unknown core: {cfg.core!r}")

@@ -92,7 +92,9 @@ def build_frame_step(
         if use_fused:
             from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
 
-            logits_bt, final_state = ntm_scan_fused(params, cfg.ntm, stream, state)
+            logits_bt, final_state = ntm_scan_fused(
+                params, cfg.ntm, stream, state, compute_dtype=cfg.compute_dtype
+            )
             # outputs[-1] = last token's logit (test_tracker.py:274-282)
             return jnp.tanh(logits_bt[:, -1]), final_state
 

@@ -121,6 +121,42 @@ class OffsetExperiment:
 
         return eval_step
 
+    def _tokens(self, params, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Any]:
+        """(token stream, the CORE's param subtree) for this experiment."""
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        features = self.crops_to_tokens(crops)
+        B = features.shape[0]
+        gts = batch["gts"].reshape(B, L, cfg.num_features)
+        return serialize_tokens(features, gts[:, 0, :]), params
+
+    def memory_states(
+        self,
+        params,
+        batch: Dict[str, jax.Array],
+        stride: Optional[int] = None,
+        max_snapshots: int = 256,
+    ):
+        """Memory observables over the token stream for dashboards
+        (the reference's Ms/ws/reads summaries, main.py:1186-1214).
+
+        stride=None picks the largest divisor of the stream length that
+        keeps at most `max_snapshots` snapshots (token-stream lengths differ
+        per serialization). Returns {"M": [B,T/stride,N,D], "w": ...,
+        "read": ...}."""
+        from ntm_tracker_tpu.models.core import unroll_states
+
+        tokens, core_params = self._tokens(params, batch)
+        if stride is None:
+            T = tokens.shape[1]
+            target = max(1, T // max_snapshots)
+            stride = next(s for s in range(target, 0, -1) if T % s == 0)
+        _logits, views, _final = unroll_states(
+            self.core, core_params, tokens, stride=stride
+        )
+        return views
+
 
 def synthetic_offset_batch(
     cfg: TrackerConfig, rng: np.random.RandomState, image_mode: str = "cropped"
@@ -213,6 +249,26 @@ class HeatmapExperiment(OffsetExperiment):
             logits, _ = self.core.unroll(params["core"], tokens)
             loss = heatmap_loss(logits, gts, cfg.num_features)
         return loss, {"loss": loss}
+
+    def _tokens(self, params, batch):
+        from ntm_tracker_tpu.train.zoo import (
+            compress_features,
+            serialize_sequential_tokens,
+        )
+
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        features = self.crops_to_tokens(crops)
+        if self.compress_dim:
+            features = compress_features(features, params["compressor"])
+        B = features.shape[0]
+        gts = batch["gts"].reshape(B, L, cfg.num_features)
+        if self.serialization == "sequential":
+            tokens = serialize_sequential_tokens(features, gts[:, 0, :])
+        else:
+            tokens = serialize_tokens(features, gts[:, 0, :])
+        return tokens, params["core"]
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,66 @@ def save_imgs(imgs: Sequence[np.ndarray], filename: str, savedir: str) -> str:
     return path
 
 
+def memory_panels(
+    M: np.ndarray, w: np.ndarray, read: np.ndarray, read_heads: int
+) -> dict:
+    """Build the reference's memory-over-time summary images
+    (main.py:1186-1214) for ONE batch element.
+
+    Args:
+      M:    [T, N, D] memory snapshots
+      w:    [T, H, N] head weights (read heads first)
+      read: [T, R, D] read vectors
+    Returns dict of 2D arrays:
+      'M'        [N, T*D]   memory timeline (main.py:1188-1190)
+      'w_reads'  [R*N, T]   read-weight trajectories (:1196-1197)
+      'w_writes' [(H-R)*N, T] write-weight trajectories (:1198-1199)
+      'reads'    [R*D, T]   read-vector timeline (:1209-1210)
+    """
+    T, N, D = M.shape
+    H = w.shape[1]
+    R = read_heads
+    return {
+        "M": np.transpose(M, (1, 0, 2)).reshape(N, T * D),
+        "w_reads": np.transpose(w[:, :R, :], (1, 2, 0)).reshape(R * N, T),
+        "w_writes": np.transpose(w[:, R:, :], (1, 2, 0)).reshape((H - R) * N, T),
+        "reads": np.transpose(read, (1, 2, 0)).reshape(R * D, T),
+    }
+
+
+def save_memory_panels(
+    views: dict, read_heads: int, filename: str, savedir: str,
+    batch_index: int = 0,
+) -> str:
+    """Write a PNG of the four memory dashboards for one batch element.
+
+    Args:
+      views: {"M": [B,T,N,D], "w": [B,T,H,N], "read": [B,T,R,D]} as
+        returned by models.core.unroll_states.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    b = batch_index
+    panels = memory_panels(
+        np.asarray(views["M"][b]), np.asarray(views["w"][b]),
+        np.asarray(views["read"][b]), read_heads,
+    )
+    fig, axs = plt.subplots(len(panels), 1, figsize=(10, 12), dpi=140)
+    for ax, (name, img) in zip(axs, panels.items()):
+        ax.imshow(img, aspect="auto", cmap="viridis", interpolation="nearest")
+        ax.set_title(name, fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    os.makedirs(savedir, exist_ok=True)
+    path = os.path.join(savedir, filename + ".png")
+    fig.savefig(path, bbox_inches="tight", pad_inches=0.1)
+    plt.close(fig)
+    return path
+
+
 def label_vot_sequence(data_path: str) -> str:
     """Draw groundtruth.txt polygons onto every frame of a VOT sequence dir;
     writes to <data_path>/labeled/ (vot_visualizer.py)."""

