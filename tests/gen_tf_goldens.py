@@ -54,8 +54,6 @@ def _load_patched_module(filename: str, name: str, extra_globals=None):
       * ``xrange`` -> ``range``; the ONE true division the reference relies
         on Py2 floor semantics for (`-shift_space/2`, ops.py:204) -> ``//``
         (Py3 ``-3//2 == -2`` matches Py2 ``-3/2``)
-      * ``from utils import *`` dropped (progress-bar helpers, unused by the
-        functions under test)
       * ``tf.contrib.rnn.{MultiRNNCell,BasicLSTMCell}`` -> graph-mode shims
         (tf.contrib does not exist in TF2; see _ShimBasicLSTMCell below,
         which the generator itself cross-checks against
@@ -68,8 +66,8 @@ def _load_patched_module(filename: str, name: str, extra_globals=None):
         src = f.read()
     src = src.replace("import tensorflow as tf", "import tensorflow.compat.v1 as tf")
     src = src.replace("-shift_space/2", "-shift_space//2")
+    src = src.replace("tf.mul(", "tf.multiply(")  # TF<1.0 alias (ops.py:291,300)
     src = re.sub(r"\bxrange\b", "range", src)
-    src = re.sub(r"^from utils import \*$", "", src, flags=re.M)
     src = src.replace("tf.contrib.rnn.MultiRNNCell", "_SHIM_MultiRNNCell")
     src = src.replace("tf.contrib.rnn.BasicLSTMCell", "_SHIM_BasicLSTMCell")
     module = types.ModuleType(name)
@@ -205,11 +203,21 @@ def _selfcheck_lstm_shim():
 # section A/B: op-level goldens
 # ---------------------------------------------------------------------------
 
+def _load_reference_stack():
+    """Load utils -> ops (ntm_cell/ntm import from both) in order, under
+    the bare names their `from X import ...` statements expect."""
+    _patch_nest()
+    if "utils" not in sys.modules or not getattr(
+        sys.modules.get("utils"), "__file__", ""
+    ).startswith(REFERENCE_DIR):
+        _load_patched_module("utils.py", "utils")
+    return _load_patched_module("ops.py", "ops")
+
+
 def gen_op_goldens():
     out = {}
     rs = np.random.RandomState(0)
-    _patch_nest()
-    ref_ops = _load_patched_module("ops.py", "_ref_ops")
+    ref_ops = _load_reference_stack()
 
     # --- the reference's executed content addressing (ops.py:135-158),
     # including the across-slot l2_normalize quirk ---
@@ -354,10 +362,9 @@ def gen_cell_rollout(
     `steps` times feeding the state dict back through placeholders — exactly
     the reference's streaming inference structure (test_tracker.py:284-299).
     """
-    _patch_nest()
-    # register under the bare name so the reference's `from ops import ...`
-    # (ntm_cell.py:15) resolves to the patched module
-    _load_patched_module("ops.py", "ops")
+    # register under the bare names so the reference's `from ops import ...`
+    # (ntm_cell.py:15) resolves to the patched modules
+    _load_reference_stack()
     ref_cell_mod = _load_patched_module(
         "ntm_cell.py",
         "_ref_ntm_cell",
@@ -468,6 +475,143 @@ def gen_cell_rollout(
     return out
 
 
+# ---------------------------------------------------------------------------
+# section F: the reference's LEGACY ntm.py model, executed end-to-end
+# ---------------------------------------------------------------------------
+
+def gen_legacy_rollout(
+    *, seed, steps, input_size, num_features, mem_size, mem_dim, shift_range,
+    controller_dim, layers, read_heads, write_heads,
+):
+    """Build the reference's legacy NTMTracker graph (ntm.py:41-111) with
+    injected parameters and run its unrolled sequence — the model no entry
+    point of the reference ever reached."""
+    import functools
+
+    _load_reference_stack()
+    ref_ntm = _load_patched_module(
+        "ntm.py", "_ref_ntm",
+        extra_globals={"reduce": functools.reduce},
+    )
+
+    rs = np.random.RandomState(seed)
+    S = 2 * shift_range + 1
+    C, D, N = controller_dim, mem_dim, mem_size
+
+    def u(shape, scale=0.4):
+        return rs.uniform(-scale, scale, shape).astype(np.float32)
+
+    # JAX-layout params (models/legacy_ntm.py pytree)
+    params = {"out_w": u((C, num_features)), "out_b": u((num_features,), 0.1)}
+    for layer in range(layers):
+        in_l = (input_size + num_features + C + read_heads * D) if layer == 0 else 2 * C
+        for gate in ("input", "forget", "output", "update"):
+            params[f"ctrl_{layer}_{gate}_w"] = u((in_l, C))
+            params[f"ctrl_{layer}_{gate}_b"] = u((C,), 0.1)
+    head_parts = ["k", "g", "sw", "beta", "gamma"]
+    head_shapes = {"k": (C, D), "g": (C, 1), "sw": (C, S), "beta": (C, 1),
+                   "gamma": (C, 1), "erase": (C, D), "add": (C, D)}
+    for r in range(read_heads):
+        for part in head_parts:
+            params[f"read{r}_{part}_w"] = u(head_shapes[part])
+            params[f"read{r}_{part}_b"] = u((head_shapes[part][1],), 0.1)
+    for w in range(write_heads):
+        for part in head_parts + ["erase", "add"]:
+            params[f"write{w}_{part}_w"] = u(head_shapes[part])
+            params[f"write{w}_{part}_b"] = u((head_shapes[part][1],), 0.1)
+    # raw initial-state biases (ntm.py:273-332; value = bias since dummy=0)
+    params["init_M"] = u((N * D,))
+    params["init_read_w"] = u((read_heads, N), 1.5)
+    params["init_read"] = u((read_heads, D))
+    params["init_write_w"] = u((write_heads, N), 1.5)
+    params["init_output"] = u((layers, C))
+    params["init_hidden"] = u((layers, C))
+
+    inputs = rs.uniform(-1, 1, (steps, input_size)).astype(np.float32)
+    target = rs.uniform(-1, 1, (num_features,)).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        tracker = ref_ntm.NTMTracker(
+            max_sequence_length=steps, mem_size=N, mem_dim=D,
+            shift_range=shift_range, controller_dim=C,
+            controller_layer_size=layers, write_head_size=write_heads,
+            read_head_size=read_heads,
+        )
+        outputs_t, logits_t, states = tracker(
+            tf.constant(inputs), tf.constant(target)
+        )
+
+        # graph-variable name -> param key (names are deterministic:
+        # ops.linear uses Matrix/Bias in the gate scope; ops.Linear uses
+        # <name>_w/_b inside a 'Linear' subscope)
+        name_map = {}
+        for layer in range(layers):
+            for gate in ("input", "forget", "output", "update"):
+                prefix = f"ntm/controller/{gate}_gate_{layer}/"
+                name_map[prefix + "Matrix"] = f"ctrl_{layer}_{gate}_w"
+                name_map[prefix + "Bias"] = f"ctrl_{layer}_{gate}_b"
+        scope_of = {"k": "k", "g": "g", "sw": "s_w", "beta": "beta",
+                    "gamma": "gamma"}
+        for r in range(read_heads):
+            for part in head_parts:
+                base = f"ntm/memory/read/{scope_of[part]}/Linear/{scope_of[part]}_{r}"
+                name_map[base + "_w"] = f"read{r}_{part}_w"
+                name_map[base + "_b"] = f"read{r}_{part}_b"
+        for w in range(write_heads):
+            for part in head_parts:
+                base = f"ntm/memory/write/{scope_of[part]}/Linear/{scope_of[part]}_{w}"
+                name_map[base + "_w"] = f"write{w}_{part}_w"
+                name_map[base + "_b"] = f"write{w}_{part}_b"
+            for part in ("erase", "add"):
+                base = f"ntm/memory/write/Linear/{part}_{w}"
+                name_map[base + "_w"] = f"write{w}_{part}_w"
+                name_map[base + "_b"] = f"write{w}_{part}_b"
+        name_map["ntm/output/Linear/output_w"] = "out_w"
+        name_map["ntm/output/Linear/output_b"] = "out_b"
+        # init-state: only the biases matter (Linear input is the zero dummy)
+        name_map["ntm/init_cell/Linear/M_init_linear_b"] = "init_M"
+        for r in range(read_heads):
+            name_map[f"ntm/init_cell/Linear/read_w_{r}_b"] = ("init_read_w", r)
+            name_map[f"ntm/init_cell/Linear/read_init_{r}_b"] = ("init_read", r)
+        for w in range(write_heads):
+            name_map[f"ntm/init_cell/Linear/write_w_{w}_b"] = ("init_write_w", w)
+        for layer in range(layers):
+            name_map[f"ntm/init_cell/Linear/output_init_{layer}_b"] = ("init_output", layer)
+            name_map[f"ntm/init_cell/Linear/hidden_init_{layer}_b"] = ("init_hidden", layer)
+
+        sess.run(tf.global_variables_initializer())
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        unmapped = set(name_map) - set(gvars)
+        assert not unmapped, sorted(unmapped)
+        for vname, key in name_map.items():
+            value = params[key] if isinstance(key, str) else params[key[0]][key[1]]
+            assert tuple(gvars[vname].shape.as_list()) == value.shape, (
+                vname, gvars[vname].shape, value.shape)
+            gvars[vname].load(value, sess)
+
+        outputs, logits, final = sess.run([outputs_t, logits_t, states[-1]])
+
+    out = {
+        "inputs": inputs,
+        "target": target,
+        "outputs": outputs,
+        "logits": logits,
+        "final_M": final["M"],
+        "final_read_w": np.stack(final["read_w"]),
+        "final_write_w": np.stack(final["write_w"]),
+        "final_read": np.stack(final["read"]),
+        "final_output": np.stack(final["output"]),
+        "final_hidden": np.stack(final["hidden"]),
+        "config": np.array(
+            [steps, input_size, num_features, mem_size, mem_dim, shift_range,
+             controller_dim, layers, read_heads, write_heads], np.int64,
+        ),
+    }
+    for key, val in params.items():
+        out["param_" + key] = val
+    return out
+
+
 def main():
     os.makedirs(FIXTURE_DIR, exist_ok=True)
 
@@ -499,6 +643,28 @@ def main():
         os.path.join(FIXTURE_DIR, "tf_goldens_cell_variant.npz"), **variant
     )
     print("  wrote tf_goldens_cell_variant.npz")
+
+    print("executing reference LEGACY ntm.py tracker ...")
+    legacy = gen_legacy_rollout(
+        seed=5, steps=12, input_size=10, num_features=4, mem_size=16,
+        mem_dim=8, shift_range=1, controller_dim=24, layers=2, read_heads=2,
+        write_heads=1,
+    )
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_legacy.npz"), **legacy
+    )
+    print("  wrote tf_goldens_legacy.npz")
+
+    print("executing reference LEGACY ntm.py tracker (2 write heads, s=2) ...")
+    legacy2 = gen_legacy_rollout(
+        seed=6, steps=8, input_size=6, num_features=3, mem_size=8,
+        mem_dim=4, shift_range=2, controller_dim=12, layers=1, read_heads=1,
+        write_heads=2,
+    )
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_legacy_variant.npz"), **legacy2
+    )
+    print("  wrote tf_goldens_legacy_variant.npz")
 
 
 if __name__ == "__main__":

@@ -262,3 +262,81 @@ class TestExecutedReferenceCell:
             np.testing.assert_allclose(
                 debug[key], g["dbg0_" + key], atol=1e-5, err_msg=key
             )
+
+
+@pytest.mark.parametrize(
+    "fixture", ["tf_goldens_legacy.npz", "tf_goldens_legacy_variant.npz"]
+)
+class TestExecutedLegacyNTM:
+    """models/legacy_ntm.py vs the EXECUTED reference ntm.py — the dead
+    legacy model (SURVEY §2 row 3), now rebuilt and pinned to its actually-
+    run graph (per-gate LSTM, separate head linears, +1e-3 cosine,
+    symmetric shifts, epsilon-free sharpen, Linear-bias initial state)."""
+
+    def _params(self, g, cfg):
+        gates = ("input", "forget", "output", "update")
+        controller = [
+            {gg: {"w": jnp.asarray(g[f"param_ctrl_{layer}_{gg}_w"]),
+                  "b": jnp.asarray(g[f"param_ctrl_{layer}_{gg}_b"])}
+             for gg in gates}
+            for layer in range(cfg.controller_layer_size)
+        ]
+
+        def head(prefix, is_write):
+            parts = ["k", "g", "sw", "beta", "gamma"] + (
+                ["erase", "add"] if is_write else []
+            )
+            return {
+                f"{part}_{s}": jnp.asarray(g[f"param_{prefix}_{part}_{s}"])
+                for part in parts for s in ("w", "b")
+            }
+
+        return {
+            "controller": controller,
+            "read_heads": [head(f"read{r}", False)
+                           for r in range(cfg.read_head_size)],
+            "write_heads": [head(f"write{w}", True)
+                            for w in range(cfg.write_head_size)],
+            "out_w": jnp.asarray(g["param_out_w"]),
+            "out_b": jnp.asarray(g["param_out_b"]),
+            "init": {
+                "M": jnp.asarray(g["param_init_M"]),
+                "read_w": jnp.asarray(g["param_init_read_w"]),
+                "read": jnp.asarray(g["param_init_read"]),
+                "write_w": jnp.asarray(g["param_init_write_w"]),
+                "output": jnp.asarray(g["param_init_output"]),
+                "hidden": jnp.asarray(g["param_init_hidden"]),
+            },
+        }
+
+    def test_rollout_matches_executed_reference(self, fixture):
+        from ntm_tracker_tpu.models.legacy_ntm import (
+            LegacyNTMConfig,
+            legacy_ntm_unroll,
+        )
+
+        g = _load(fixture)
+        (steps, input_size, num_features, mem_size, mem_dim, shift_range,
+         controller_dim, layers, read_heads, write_heads) = [
+            int(x) for x in g["config"]
+        ]
+        cfg = LegacyNTMConfig(
+            num_features=num_features, mem_size=mem_size, mem_dim=mem_dim,
+            shift_range=shift_range, controller_dim=controller_dim,
+            controller_layer_size=layers, write_head_size=write_heads,
+            read_head_size=read_heads,
+        )
+        params = self._params(g, cfg)
+        outs, logits, final = jax.jit(
+            lambda p: legacy_ntm_unroll(
+                p, cfg, jnp.asarray(g["inputs"]), jnp.asarray(g["target"])
+            )
+        )(params)
+        np.testing.assert_allclose(np.asarray(logits), g["logits"], atol=TOL)
+        np.testing.assert_allclose(np.asarray(outs), g["outputs"], atol=TOL)
+        np.testing.assert_allclose(final["M"], g["final_M"], atol=TOL)
+        np.testing.assert_allclose(final["read_w"], g["final_read_w"], atol=TOL)
+        np.testing.assert_allclose(final["write_w"], g["final_write_w"], atol=TOL)
+        np.testing.assert_allclose(final["read"], g["final_read"], atol=TOL)
+        np.testing.assert_allclose(final["output"], g["final_output"], atol=TOL)
+        np.testing.assert_allclose(final["hidden"], g["final_hidden"], atol=TOL)
