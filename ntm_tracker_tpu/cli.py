@@ -69,6 +69,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    "(omit on single-host or auto-detected clusters)")
     p.add_argument("--dist_num_processes", type=int, default=None)
     p.add_argument("--dist_process_id", type=int, default=None)
+    p.add_argument(
+        "--profile_steps", default="",
+        help="capture a jax.profiler device trace over a step window, "
+        "e.g. 120:130 (lands in <log_dir>/profile, open with TensorBoard)",
+    )
 
 
 def _tracker_config(args, core: str):
@@ -311,6 +316,8 @@ def cmd_train_offsets(args) -> int:
                                      else (720, 1280))
         )
 
+    from ntm_tracker_tpu.utils.profiling import parse_profile_steps
+
     params, opt_state, steps = train_loop(
         pstep, lambda p, b: eval_jit(p, b), params, opt_state,
         train_it, val_batches,
@@ -319,6 +326,7 @@ def cmd_train_offsets(args) -> int:
         validation_batch=cfg.train.validation_batch,
         log_interval=cfg.train.log_interval,
         checkpoint=ckpt,
+        profile_steps=parse_profile_steps(getattr(args, "profile_steps", "")),
     )
     ckpt.save(steps, {"params": params, "opt_state": opt_state})
     print(f"trained {steps} steps; final checkpoint in {real_log_dir}/ckpt")

@@ -124,27 +124,49 @@ def train_loop(
     checkpoint: Optional[CheckpointManager] = None,
     logger: Optional[MetricLogger] = None,
     max_steps: Optional[int] = None,
+    profile_steps: Optional[tuple] = None,
 ):
-    """The reference's epoch/step loop shape (validate-first, then train)."""
+    """The reference's epoch/step loop shape (validate-first, then train).
+
+    profile_steps=(start, stop) captures a jax.profiler device trace over
+    that step window into <log_dir>/profile (TensorBoard/Perfetto layout),
+    with per-step StepTraceAnnotations.
+    """
     logger = logger or MetricLogger(log_dir)
+    profiler = None
+    if profile_steps is not None:
+        from ntm_tracker_tpu.utils.profiling import StepWindowProfiler
+
+        profiler = StepWindowProfiler(
+            os.path.join(log_dir, "profile"), *profile_steps
+        )
     step = 0
-    for batch in train_batches:
-        if max_steps is not None and step >= max_steps:
-            break
-        if step % validation_interval == 0 and eval_step and val_batches_fn:
-            accumu, count = 0.0, 0
-            for vb in val_batches_fn():
-                aux = eval_step(params, vb)
-                accumu += float(aux["loss"])
-                count += 1
-                if count >= validation_batch:
-                    break
-            if count:
-                logger.log(step, val_loss=accumu / count)
-            if checkpoint is not None:
-                checkpoint.save(step, {"params": params, "opt_state": opt_state})
-        params, opt_state, metrics = train_step(params, opt_state, batch)
-        if step % log_interval == 0:
-            logger.log(step, train_loss=metrics["loss"])
-        step += 1
+    try:
+        for batch in train_batches:
+            if max_steps is not None and step >= max_steps:
+                break
+            if step % validation_interval == 0 and eval_step and val_batches_fn:
+                accumu, count = 0.0, 0
+                for vb in val_batches_fn():
+                    aux = eval_step(params, vb)
+                    accumu += float(aux["loss"])
+                    count += 1
+                    if count >= validation_batch:
+                        break
+                if count:
+                    logger.log(step, val_loss=accumu / count)
+                if checkpoint is not None:
+                    checkpoint.save(step, {"params": params, "opt_state": opt_state})
+            if profiler is not None:
+                with profiler.before_step(step):
+                    params, opt_state, metrics = train_step(params, opt_state, batch)
+                profiler.after_step(step)
+            else:
+                params, opt_state, metrics = train_step(params, opt_state, batch)
+            if step % log_interval == 0:
+                logger.log(step, train_loss=metrics["loss"])
+            step += 1
+    finally:
+        if profiler is not None:
+            profiler.close()
     return params, opt_state, step

@@ -108,3 +108,32 @@ def test_partial_restore_handles_namedtuples(tmp_path):
     )
     assert isinstance(restored["opt"], tuple)
     np.testing.assert_array_equal(np.asarray(restored["opt"][1]), np.ones(2))
+
+
+def test_train_loop_profile_window(tmp_path):
+    """profile_steps=(1,2) captures a device trace into <log_dir>/profile
+    (weak #8 from round 1: profiler hooks in the loop itself)."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.train.harness import train_loop
+    from ntm_tracker_tpu.utils.profiling import parse_profile_steps
+
+    assert parse_profile_steps("1:2") == (1, 2)
+    assert parse_profile_steps("7") == (7, 7)
+    assert parse_profile_steps("") is None
+
+    def train_step(params, opt_state, batch):
+        return params + jnp.sum(batch), opt_state, {"loss": jnp.sum(batch)}
+
+    batches = [jnp.ones((2,)) * i for i in range(4)]
+    params, _os, steps = train_loop(
+        train_step, None, jnp.zeros(()), None, iter(batches),
+        log_dir=str(tmp_path), profile_steps=(1, 2), validation_interval=100,
+    )
+    assert steps == 4
+    traces = glob.glob(str(tmp_path / "profile" / "**" / "*.trace.json.gz"),
+                       recursive=True) + glob.glob(
+        str(tmp_path / "profile" / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, "no profiler trace artifacts written"
