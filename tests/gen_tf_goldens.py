@@ -475,6 +475,112 @@ def gen_cell_rollout(
     return out
 
 
+def gen_tracker_rollout(*, seed, two_step, batch, frames, input_size,
+                        target_size, mem_size, mem_dim, hidden, read_heads):
+    """Execute the reference's tracker WRAPPER (ntm_tracker_new.NTMTracker,
+    :106-201): its zero_state initial state and its inline token
+    construction — [switch|frame|target] two-step present/ask pairs, or
+    [frame|indicator] single tokens — wrapped around the NTM cell.
+
+    Reference bug worked around (NOT a semantic change): NTMTracker unpacks
+    4 values from the cell (`output, logit, state, debug = self.cell(...)`,
+    ntm_tracker_new.py:156,184) but the current ntm_cell returns 8
+    (ntm_cell.py:252-253) — the class predates the cell's signature and
+    cannot run as written, more evidence this path was dead upstream. The
+    adapter below truncates the tuple; every returned value is computed by
+    the reference's own graph."""
+    _load_reference_stack()
+    ref_cell = _load_patched_module(
+        "ntm_cell.py", "ntm_cell",
+        extra_globals={
+            "_SHIM_MultiRNNCell": _ShimMultiRNNCell,
+            "_SHIM_BasicLSTMCell": _ShimBasicLSTMCell,
+        },
+    )
+    del ref_cell
+    _load_patched_module("utility.py", "utility")
+    ref_trk = _load_patched_module("ntm_tracker_new.py", "_ref_tracker")
+
+    rs = np.random.RandomState(seed)
+    num_heads = read_heads + 1
+    total_head = mem_dim * num_heads + 3 * num_heads + 3 * num_heads + 2 * mem_dim
+
+    def u(shape, scale):
+        return rs.uniform(-scale, scale, shape).astype(np.float32)
+
+    cell_in = (1 + input_size + target_size) if two_step else (
+        input_size + target_size
+    )
+    ctrl_in = cell_in + read_heads * mem_dim
+    params = {
+        "ctrl_kernel_0": u((ctrl_in + hidden, 4 * hidden), 0.25),
+        "ctrl_bias_0": u((4 * hidden,), 0.05),
+        "heads_w": u((hidden, total_head), 0.3),
+        "heads_b": u((total_head,), 0.1),
+        "out_w": u((hidden, 2), 0.3),
+        "out_b": u((2,), 0.1),
+        "init_M": u((mem_size, mem_dim), 0.5),
+        "init_w": u((num_heads, mem_size), 0.5),
+        "init_read": u((read_heads, mem_dim), 0.5),
+    }
+    inputs = rs.uniform(-1, 1, (batch, frames, input_size)).astype(np.float32)
+    target = rs.uniform(-1, 1, (batch, target_size)).astype(np.float32)
+
+    class _CellAdapter:
+        def __init__(self, cell):
+            self._cell = cell
+
+        def zero_state(self, b, initializer=None):
+            return self._cell.zero_state(b, initializer)
+
+        def __call__(self, x, state):
+            return self._cell(x, state)[:4]
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        tracker = ref_trk.NTMTracker(
+            frames, batch, 2, two_step=two_step, mem_size=mem_size,
+            mem_dim=mem_dim, controller_hidden_size=hidden,
+            controller_num_layers=1, read_head_size=read_heads,
+            write_head_size=1, shift_range=1,
+        )
+        tracker.cell = _CellAdapter(tracker.cell)
+        outputs_t, logits_t, *_ = tracker(
+            tf.constant(inputs), tf.constant(target)
+        )
+        name_map = {
+            "ntm-tracker/ntm-cell/addressing/weights": "heads_w",
+            "ntm-tracker/ntm-cell/addressing/biases": "heads_b",
+            "ntm-tracker/ntm-cell/weights": "out_w",
+            "ntm-tracker/ntm-cell/biases": "out_b",
+            "ntm-tracker/ntm-cell/lstm-controller/cell_0/basic_lstm_cell/kernel": "ctrl_kernel_0",
+            "ntm-tracker/ntm-cell/lstm-controller/cell_0/basic_lstm_cell/bias": "ctrl_bias_0",
+            # zero_state runs OUTSIDE the tracker scope (ntm_tracker_new.py:133)
+            "init_state/M": "init_M",
+            "init_state/w": "init_w",
+            "init_state/read": "init_read",
+        }
+        sess.run(tf.global_variables_initializer())
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        assert set(gvars) == set(name_map), (sorted(gvars), sorted(name_map))
+        for vname, pkey in name_map.items():
+            gvars[vname].load(params[pkey], sess)
+        outputs, logits = sess.run([outputs_t, logits_t])
+
+    out = {
+        "inputs": inputs,
+        "target": target,
+        "outputs": outputs,
+        "logits": logits,
+        "config": np.array(
+            [int(two_step), batch, frames, input_size, target_size, mem_size,
+             mem_dim, hidden, read_heads], np.int64,
+        ),
+    }
+    for key, val in params.items():
+        out["param_" + key] = val
+    return out
+
+
 # ---------------------------------------------------------------------------
 # section F: the reference's LEGACY ntm.py model, executed end-to-end
 # ---------------------------------------------------------------------------
@@ -643,6 +749,19 @@ def main():
         os.path.join(FIXTURE_DIR, "tf_goldens_cell_variant.npz"), **variant
     )
     print("  wrote tf_goldens_cell_variant.npz")
+
+    for two_step in (False, True):
+        name = "twostep" if two_step else "plain"
+        print(f"executing reference NTMTracker wrapper ({name}) ...")
+        roll = gen_tracker_rollout(
+            seed=7 + int(two_step), two_step=two_step, batch=2, frames=4,
+            input_size=6, target_size=3, mem_size=16, mem_dim=8, hidden=24,
+            read_heads=2,
+        )
+        np.savez_compressed(
+            os.path.join(FIXTURE_DIR, f"tf_goldens_tracker_{name}.npz"), **roll
+        )
+        print(f"  wrote tf_goldens_tracker_{name}.npz")
 
     print("executing reference LEGACY ntm.py tracker ...")
     legacy = gen_legacy_rollout(

@@ -14,6 +14,11 @@ Fixture provenance (committed .npz, regenerable with TF + /root/reference):
                                 flagship config (128x20, 4r+1w, hidden 200)
   tf_goldens_cell_variant.npz — write_first=True, shift_range=2, 2 write
                                 heads, 2 controller layers
+  tf_goldens_tracker_*.npz    — the NTMTracker wrapper executed end-to-end
+                                (zero_state + inline token construction;
+                                plain and two-step present/ask modes)
+  tf_goldens_legacy*.npz      — the reference's LEGACY ntm.py model
+                                executed end-to-end (two configs)
 
 This file needs only numpy + jax: a shared misreading of the reference
 cannot pass here, because the oracle side actually ran the reference.
@@ -340,3 +345,55 @@ class TestExecutedLegacyNTM:
         np.testing.assert_allclose(final["read"], g["final_read"], atol=TOL)
         np.testing.assert_allclose(final["output"], g["final_output"], atol=TOL)
         np.testing.assert_allclose(final["hidden"], g["final_hidden"], atol=TOL)
+
+
+@pytest.mark.parametrize("mode", ["plain", "twostep"])
+def test_tracker_wrapper_matches_executed_reference(mode):
+    """The tracker WRAPPER contract vs the executed ntm_tracker_new.
+    NTMTracker: zero_state initial state + inline token construction —
+    [frame|indicator] tokens ('plain') or the two-step present/ask stream
+    (two_step_inputs, ntm_tracker_new.py:149-182)."""
+    from ntm_tracker_tpu.config import NTMConfig
+    from ntm_tracker_tpu.models.ntm_cell import init_ntm_state
+    from ntm_tracker_tpu.models.ntm_tracker import (
+        ntm_tracker_unroll,
+        two_step_inputs,
+    )
+
+    g = _load(f"tf_goldens_tracker_{mode}.npz")
+    (two_step, batch, frames, input_size, target_size, mem_size, mem_dim,
+     hidden, read_heads) = [int(x) for x in g["config"]]
+    cfg = NTMConfig(
+        output_dim=2, mem_size=mem_size, mem_dim=mem_dim, shift_range=1,
+        controller_hidden_size=hidden, controller_num_layers=1,
+        read_head_size=read_heads, write_head_size=1,
+    )
+    params = {
+        "controller": [{"kernel": jnp.asarray(g["param_ctrl_kernel_0"]),
+                        "bias": jnp.asarray(g["param_ctrl_bias_0"])}],
+        "heads_w": jnp.asarray(g["param_heads_w"]),
+        "heads_b": jnp.asarray(g["param_heads_b"]),
+        "out_w": jnp.asarray(g["param_out_w"]),
+        "out_b": jnp.asarray(g["param_out_b"]),
+        "init_M": jnp.asarray(g["param_init_M"]),
+        "init_w": jnp.asarray(g["param_init_w"]),
+        "init_read": jnp.asarray(g["param_init_read"]),
+    }
+    inputs = jnp.asarray(g["inputs"])      # [B, L, D]
+    target = jnp.asarray(g["target"])      # [B, Dt]
+    if two_step:
+        tokens = two_step_inputs(inputs, target)
+        # the reference emits 1 + 2*(L-1) outputs
+        assert tokens.shape[1] == 1 + 2 * (frames - 1)
+    else:
+        B, L, _D = inputs.shape
+        indicator = jnp.concatenate(
+            [target[:, None, :], jnp.zeros((B, L - 1, target.shape[-1]))], 1
+        )
+        tokens = jnp.concatenate([inputs, indicator], axis=2)
+    state = init_ntm_state(params, cfg, batch)
+    outs, logits, _final = ntm_tracker_unroll(
+        params, cfg, tokens, state=state, remat=False
+    )
+    np.testing.assert_allclose(np.asarray(logits), g["logits"], atol=TOL)
+    np.testing.assert_allclose(np.asarray(outs), g["outputs"], atol=TOL)
