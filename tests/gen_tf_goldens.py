@@ -46,7 +46,8 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 # loading the reference source under TF2's compat layer
 # ---------------------------------------------------------------------------
 
-def _load_patched_module(filename: str, name: str, extra_globals=None):
+def _load_patched_module(filename: str, name: str, extra_globals=None,
+                         extra_patches=()):
     """Exec a reference source file with the minimal shims needed to run
     2017-era TF1/Py2 code on this machine's TF2 + Py3:
 
@@ -70,6 +71,8 @@ def _load_patched_module(filename: str, name: str, extra_globals=None):
     src = re.sub(r"\bxrange\b", "range", src)
     src = src.replace("tf.contrib.rnn.MultiRNNCell", "_SHIM_MultiRNNCell")
     src = src.replace("tf.contrib.rnn.BasicLSTMCell", "_SHIM_BasicLSTMCell")
+    for old, new in extra_patches:
+        src = src.replace(old, new)
     module = types.ModuleType(name)
     module.__file__ = path
     if extra_globals:
@@ -475,6 +478,110 @@ def gen_cell_rollout(
     return out
 
 
+def _make_sonnet_stub():
+    """Minimal sonnet stand-in for executing the reference's dnc/addressing
+    (sonnet is not installed; the reference only needs AbstractModule /
+    RNNCore as variable-scope wrappers and BatchApply over tf.nn.softmax —
+    none of the addressing modules create variables)."""
+
+    class _Module:
+        def __init__(self, name="module", *args, **kwargs):
+            self._name = kwargs.get("name", name)
+
+        def __call__(self, *args, **kwargs):
+            with tf.variable_scope(None, default_name=self._name):
+                return self._build(*args, **kwargs)
+
+    class _BatchApply:
+        def __init__(self, module_or_op):
+            self._op = module_or_op
+
+        def __call__(self, x):
+            shape = x.get_shape().as_list()
+            merged = tf.reshape(x, [-1] + shape[2:])
+            return tf.reshape(self._op(merged), [-1] + shape[1:])
+
+    snt = types.ModuleType("sonnet")
+    snt.AbstractModule = _Module
+    snt.RNNCore = _Module
+    snt.BatchApply = _BatchApply
+    sys.modules["sonnet"] = snt
+    return snt
+
+
+def gen_dnc_addressing_goldens():
+    """Execute the reference's DNC addressing math (dnc/addressing.py:
+    cosine weights with the 1e-6 epsilons, temporal linkage, directional
+    reads, stop-gradient usage, sorted allocation) on seeded inputs."""
+    _make_sonnet_stub()
+    util_mod = _load_patched_module("dnc/util.py", "_dnc_util")
+    addr = _load_patched_module(
+        "dnc/addressing.py", "_dnc_addressing",
+        extra_globals={"util": util_mod},
+        extra_patches=[("from . import util", "")],
+    )
+
+    rs = np.random.RandomState(9)
+    B, N, W, R, Wh = 2, 12, 6, 3, 2
+
+    def simplex(shape):
+        x = rs.rand(*shape).astype(np.float32)
+        return x / x.sum(-1, keepdims=True)
+
+    out = {}
+    memory = rs.uniform(-1, 1, (B, N, W)).astype(np.float32)
+    keys = rs.uniform(-1, 1, (B, R, W)).astype(np.float32)
+    strengths = rs.uniform(-1, 2, (B, R)).astype(np.float32)
+    write_w = simplex((B, Wh, N)) * 0.8
+    read_w = simplex((B, R, N))
+    prev_prec = simplex((B, Wh, N)) * 0.5
+    prev_link = (rs.rand(B, Wh, N, N) * 0.1).astype(np.float32)
+    prev_link *= 1.0 - np.eye(N, dtype=np.float32)
+    free_gate = rs.rand(B, R).astype(np.float32)
+    prev_usage = rs.rand(B, N).astype(np.float32)
+    write_gates = rs.rand(B, Wh).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        cw = addr.CosineWeights(R, W)(
+            tf.constant(memory), tf.constant(keys), tf.constant(strengths)
+        )
+        linkage = addr.TemporalLinkage(N, Wh)
+        next_state = linkage(
+            tf.constant(write_w),
+            addr.TemporalLinkageState(
+                link=tf.constant(prev_link),
+                precedence_weights=tf.constant(prev_prec),
+            ),
+        )
+        fwd = linkage.directional_read_weights(
+            next_state.link, tf.constant(read_w), forward=True
+        )
+        bwd = linkage.directional_read_weights(
+            next_state.link, tf.constant(read_w), forward=False
+        )
+        freeness = addr.Freeness(N)
+        usage = freeness(
+            tf.constant(write_w), tf.constant(free_gate),
+            tf.constant(read_w), tf.constant(prev_usage),
+        )
+        alloc = freeness.write_allocation_weights(
+            tf.constant(prev_usage), tf.constant(write_gates), Wh
+        )
+        (out["dnc_cw"], link_v, prec_v, out["dnc_fwd"], out["dnc_bwd"],
+         out["dnc_usage"], out["dnc_alloc"]) = sess.run(
+            [cw, next_state.link, next_state.precedence_weights, fwd, bwd,
+             usage, alloc]
+        )
+    out.update(
+        dnc_memory=memory, dnc_keys=keys, dnc_strengths=strengths,
+        dnc_write_w=write_w, dnc_read_w=read_w, dnc_prev_prec=prev_prec,
+        dnc_prev_link=prev_link, dnc_free_gate=free_gate,
+        dnc_prev_usage=prev_usage, dnc_write_gates=write_gates,
+        dnc_link=link_v, dnc_prec=prec_v,
+    )
+    return out
+
+
 def gen_tracker_rollout(*, seed, two_step, batch, frames, input_size,
                         target_size, mem_size, mem_dim, hidden, read_heads):
     """Execute the reference's tracker WRAPPER (ntm_tracker_new.NTMTracker,
@@ -724,6 +831,8 @@ def main():
     print("generating op-level goldens ...")
     ops = gen_op_goldens()
     ops.update(gen_vgg_golden())
+    print("executing reference DNC addressing (stubbed sonnet) ...")
+    ops.update(gen_dnc_addressing_goldens())
     np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
     print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
 

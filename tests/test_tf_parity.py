@@ -19,6 +19,8 @@ Fixture provenance (committed .npz, regenerable with TF + /root/reference):
                                 plain and two-step present/ask modes)
   tf_goldens_legacy*.npz      — the reference's LEGACY ntm.py model
                                 executed end-to-end (two configs)
+  (tf_goldens_ops.npz also holds the reference's dnc/addressing.py outputs,
+  executed under a minimal sonnet stub — cosine/linkage/usage/allocation)
 
 This file needs only numpy + jax: a shared misreading of the reference
 cannot pass here, because the oracle side actually ran the reference.
@@ -397,3 +399,60 @@ def test_tracker_wrapper_matches_executed_reference(mode):
     )
     np.testing.assert_allclose(np.asarray(logits), g["logits"], atol=TOL)
     np.testing.assert_allclose(np.asarray(outs), g["outputs"], atol=TOL)
+
+
+class TestExecutedDNCAddressing:
+    """models/dnc/addressing.py vs the reference's dnc/addressing.py
+    EXECUTED under a minimal sonnet stub (the modules create no variables):
+    1e-6-epsilon cosine, temporal linkage + directional reads,
+    stop-gradient usage, sorted allocation with simulated inter-head usage."""
+
+    def test_cosine_weights(self, ops_g):
+        from ntm_tracker_tpu.models.dnc.addressing import cosine_weights
+
+        got = cosine_weights(
+            jnp.asarray(ops_g["dnc_memory"]), jnp.asarray(ops_g["dnc_keys"]),
+            jnp.asarray(ops_g["dnc_strengths"]),
+        )
+        np.testing.assert_allclose(got, ops_g["dnc_cw"], atol=1e-6)
+
+    def test_temporal_linkage_and_directional_reads(self, ops_g):
+        from ntm_tracker_tpu.models.dnc.addressing import (
+            TemporalLinkageState,
+            directional_read_weights,
+            temporal_linkage_update,
+        )
+
+        next_state = temporal_linkage_update(
+            jnp.asarray(ops_g["dnc_write_w"]),
+            TemporalLinkageState(
+                link=jnp.asarray(ops_g["dnc_prev_link"]),
+                precedence_weights=jnp.asarray(ops_g["dnc_prev_prec"]),
+            ),
+        )
+        np.testing.assert_allclose(next_state.link, ops_g["dnc_link"], atol=1e-6)
+        np.testing.assert_allclose(
+            next_state.precedence_weights, ops_g["dnc_prec"], atol=1e-6
+        )
+        read_w = jnp.asarray(ops_g["dnc_read_w"])
+        fwd = directional_read_weights(next_state.link, read_w, forward=True)
+        bwd = directional_read_weights(next_state.link, read_w, forward=False)
+        np.testing.assert_allclose(fwd, ops_g["dnc_fwd"], atol=1e-6)
+        np.testing.assert_allclose(bwd, ops_g["dnc_bwd"], atol=1e-6)
+
+    def test_usage_and_allocation(self, ops_g):
+        from ntm_tracker_tpu.models.dnc.addressing import (
+            usage_update,
+            write_allocation_weights,
+        )
+
+        usage = usage_update(
+            jnp.asarray(ops_g["dnc_write_w"]), jnp.asarray(ops_g["dnc_free_gate"]),
+            jnp.asarray(ops_g["dnc_read_w"]), jnp.asarray(ops_g["dnc_prev_usage"]),
+        )
+        np.testing.assert_allclose(usage, ops_g["dnc_usage"], atol=1e-6)
+        alloc = write_allocation_weights(
+            jnp.asarray(ops_g["dnc_prev_usage"]),
+            jnp.asarray(ops_g["dnc_write_gates"]), num_writes=2,
+        )
+        np.testing.assert_allclose(alloc, ops_g["dnc_alloc"], atol=1e-6)
