@@ -489,7 +489,9 @@ def _make_sonnet_stub():
             self._name = kwargs.get("name", name)
 
         def __call__(self, *args, **kwargs):
-            with tf.variable_scope(None, default_name=self._name):
+            # sonnet modules are templates: variables are shared across
+            # calls, so pin the exact scope name and AUTO_REUSE
+            with tf.variable_scope(self._name, reuse=tf.AUTO_REUSE):
                 return self._build(*args, **kwargs)
 
     class _BatchApply:
@@ -501,10 +503,28 @@ def _make_sonnet_stub():
             merged = tf.reshape(x, [-1] + shape[2:])
             return tf.reshape(self._op(merged), [-1] + shape[1:])
 
+    class _Linear:
+        """sonnet-v1 snt.Linear: xw+b with variables 'w'/'b' in a scope
+        named after the module."""
+
+        def __init__(self, output_size, name="linear"):
+            self._output_size = output_size
+            self._name = name
+
+        def __call__(self, x):
+            with tf.variable_scope(self._name, reuse=tf.AUTO_REUSE):
+                in_dim = int(x.shape[-1])
+                w = tf.get_variable("w", [in_dim, self._output_size])
+                b = tf.get_variable(
+                    "b", [self._output_size], initializer=tf.zeros_initializer()
+                )
+                return tf.matmul(x, w) + b
+
     snt = types.ModuleType("sonnet")
     snt.AbstractModule = _Module
     snt.RNNCore = _Module
     snt.BatchApply = _BatchApply
+    snt.Linear = _Linear
     sys.modules["sonnet"] = snt
     return snt
 
@@ -579,6 +599,100 @@ def gen_dnc_addressing_goldens():
         dnc_prev_usage=prev_usage, dnc_write_gates=write_gates,
         dnc_link=link_v, dnc_prec=prec_v,
     )
+    return out
+
+
+def gen_dnc_access_goldens():
+    """Execute the reference's FULL MemoryAccess module (dnc/access.py:
+    66-158) for several sequential steps from the zero state, with its ten
+    interface linears injected — the complete DNC memory subsystem as the
+    reference wrote it (usage -> write weights -> erase/write -> linkage ->
+    read weights -> read words)."""
+    _make_sonnet_stub()
+    util_mod = _load_patched_module("dnc/util.py", "_dnc_util")
+    addr = _load_patched_module(
+        "dnc/addressing.py", "_dnc_addressing",
+        extra_globals={"util": util_mod},
+        extra_patches=[("from . import util", "")],
+    )
+    access = _load_patched_module(
+        "dnc/access.py", "_dnc_access",
+        extra_globals={"addressing": addr, "util": util_mod},
+        extra_patches=[("from . import addressing", ""),
+                       ("from . import util", "")],
+    )
+
+    rs = np.random.RandomState(10)
+    B, N, W, R, Wh, IN, T = 2, 12, 6, 3, 2, 15, 3
+
+    # the ten interface linears, in the reference's creation order with
+    # their snt.Linear names (access.py:160-218)
+    linear_sizes = {
+        "write_vectors": Wh * W,
+        "erase_vectors": Wh * W,
+        "free_gate": R,
+        "allocation_gate": Wh,
+        "write_gate": Wh,
+        "read_mode": R * (1 + 2 * Wh),
+        "write_keys": Wh * W,
+        "write_strengths": Wh,
+        "read_keys": R * W,
+        "read_strengths": R,
+    }
+    lin = {
+        name: (
+            rs.uniform(-0.4, 0.4, (IN, size)).astype(np.float32),
+            rs.uniform(-0.1, 0.1, (size,)).astype(np.float32),
+        )
+        for name, size in linear_sizes.items()
+    }
+    inputs = rs.uniform(-1, 1, (T, B, IN)).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        mod = access.MemoryAccess(
+            memory_size=N, word_size=W, num_reads=R, num_writes=Wh
+        )
+        state = access.AccessState(
+            memory=tf.zeros([B, N, W]),
+            read_weights=tf.zeros([B, R, N]),
+            write_weights=tf.zeros([B, Wh, N]),
+            linkage=addr.TemporalLinkageState(
+                link=tf.zeros([B, Wh, N, N]),
+                precedence_weights=tf.zeros([B, Wh, N]),
+            ),
+            usage=tf.zeros([B, N]),
+        )
+        reads = []
+        for t in range(T):
+            read_words, state = mod(tf.constant(inputs[t]), state)
+            reads.append(read_words)
+
+        sess.run(tf.global_variables_initializer())
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        expected = {
+            f"memory_access/{name}/{s}" for name in linear_sizes
+            for s in ("w", "b")
+        }
+        assert set(gvars) == expected, (sorted(gvars), sorted(expected))
+        for name in linear_sizes:
+            gvars[f"memory_access/{name}/w"].load(lin[name][0], sess)
+            gvars[f"memory_access/{name}/b"].load(lin[name][1], sess)
+        reads_v, final = sess.run([reads, state])
+
+    out = {
+        "dncacc_inputs": inputs,
+        "dncacc_reads": np.stack(reads_v),
+        "dncacc_final_memory": final.memory,
+        "dncacc_final_read_weights": final.read_weights,
+        "dncacc_final_write_weights": final.write_weights,
+        "dncacc_final_link": final.linkage.link,
+        "dncacc_final_precedence": final.linkage.precedence_weights,
+        "dncacc_final_usage": final.usage,
+        "dncacc_config": np.array([B, N, W, R, Wh, IN, T], np.int64),
+    }
+    for name in linear_sizes:
+        out[f"dncacc_{name}_w"] = lin[name][0]
+        out[f"dncacc_{name}_b"] = lin[name][1]
     return out
 
 
@@ -833,6 +947,8 @@ def main():
     ops.update(gen_vgg_golden())
     print("executing reference DNC addressing (stubbed sonnet) ...")
     ops.update(gen_dnc_addressing_goldens())
+    print("executing reference DNC MemoryAccess (stubbed sonnet) ...")
+    ops.update(gen_dnc_access_goldens())
     np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
     print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
 

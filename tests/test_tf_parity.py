@@ -456,3 +456,54 @@ class TestExecutedDNCAddressing:
             jnp.asarray(ops_g["dnc_write_gates"]), num_writes=2,
         )
         np.testing.assert_allclose(alloc, ops_g["dnc_alloc"], atol=1e-6)
+
+
+def test_dnc_memory_access_matches_executed_reference(ops_g):
+    """The FULL MemoryAccess subsystem vs the executed dnc/access.py
+    (stubbed-sonnet run): 3 sequential steps from the zero state, ten
+    interface linears injected; read words and the entire final AccessState
+    must match."""
+    from ntm_tracker_tpu.config import DNCConfig
+    from ntm_tracker_tpu.models.dnc.access import (
+        _interface_sizes,
+        init_access_state,
+        memory_access_step,
+    )
+
+    B, N, W, R, Wh, IN, T = [int(x) for x in ops_g["dncacc_config"]]
+    cfg = DNCConfig(memory_size=N, word_size=W, num_reads=R, num_writes=Wh)
+    # fuse the reference's ten linears into the single interface matmul,
+    # column blocks in _interface_sizes order
+    ws, bs = [], []
+    for name in _interface_sizes(cfg):
+        ws.append(np.asarray(ops_g[f"dncacc_{name}_w"]))
+        bs.append(np.asarray(ops_g[f"dncacc_{name}_b"]))
+    params = {
+        "interface_w": jnp.asarray(np.concatenate(ws, axis=1)),
+        "interface_b": jnp.asarray(np.concatenate(bs)),
+    }
+    state = init_access_state(cfg, B)
+    reads = []
+    for t in range(T):
+        read_words, state = jax.jit(memory_access_step, static_argnums=1)(
+            params, cfg, jnp.asarray(ops_g["dncacc_inputs"][t]), state
+        )
+        reads.append(np.asarray(read_words))
+    np.testing.assert_allclose(np.stack(reads), ops_g["dncacc_reads"], atol=1e-5)
+    np.testing.assert_allclose(
+        state.memory, ops_g["dncacc_final_memory"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.read_weights, ops_g["dncacc_final_read_weights"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.write_weights, ops_g["dncacc_final_write_weights"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.linkage.link, ops_g["dncacc_final_link"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.linkage.precedence_weights, ops_g["dncacc_final_precedence"],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(state.usage, ops_g["dncacc_final_usage"], atol=1e-5)
