@@ -50,11 +50,26 @@ class FleetTracker:
         capacity: int = 16,
         core: Optional[MemoryCore] = None,
         delimiter_first: bool = False,
+        mesh: Any = None,
     ):
+        """mesh: optional jax.sharding.Mesh — shards the slot axis over its
+        devices so the fleet step runs SPMD across the local chips (each
+        chip serves capacity/n_devices tracks; GSPMD propagates the batch
+        sharding from the crop/state operands through the jitted step)."""
         self.cfg = cfg
         self.capacity = capacity
         self.core = core or make_core(cfg)
         self.params = params
+        self._sharding = None
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            if capacity % n_dev:
+                raise ValueError(
+                    f"capacity {capacity} must divide over the {n_dev}-device mesh"
+                )
+            from ntm_tracker_tpu.parallel.mesh import batch_sharding
+
+            self._sharding = batch_sharding(mesh)
         self._step_first, self._step_rest = build_frame_step(
             cfg, self.core, vgg_params, params,
             donate_state=False, delimiter_first=delimiter_first,
@@ -66,8 +81,13 @@ class FleetTracker:
                 boxes, (d.crop_size, d.crop_size),
             )
         )
-        self.state = self.core.init_state(params, capacity)
+        self.state = self._shard(self.core.init_state(params, capacity))
         self._tracks: List[Optional[_Track]] = [None] * capacity
+
+    def _shard(self, tree):
+        if self._sharding is None:
+            return tree
+        return jax.tree.map(lambda x: jax.device_put(x, self._sharding), tree)
 
     # -- slot management ----------------------------------------------------
     def _slot_geometry(self, t: _Track, region_xywh):
@@ -159,6 +179,8 @@ class FleetTracker:
             for j, i in enumerate(slots):
                 crop_list[i] = crops[j]
         batch = jnp.stack(crop_list)
+        if self._sharding is not None:
+            batch = jax.device_put(batch, self._sharding)
         prev_state = self.state
         offsets, self.state = self._step_rest(batch, self.state)
         offsets = np.asarray(offsets)

@@ -97,3 +97,45 @@ def test_skipped_track_state_preserved():
     np.testing.assert_array_equal(np.asarray(fleet.state["M"][s1]), m_before)
     # stepped track's state DID change
     assert not np.allclose(np.asarray(fleet.state["M"][s0]), m_before)
+
+
+class TestFleetMesh:
+    def test_sharded_fleet_matches_meshless(self):
+        """A mesh-sharded fleet (slot axis over the 8 virtual devices)
+        produces the same regions as the single-device fleet, with state
+        actually distributed one-slot-per-device."""
+        from ntm_tracker_tpu.parallel.mesh import make_mesh
+
+        cfg, vgg, core, params = setup()
+        rng = np.random.RandomState(3)
+        imgs = [(rng.rand(64, 96, 3) * 255).astype(np.uint8) for _ in range(3)]
+        regions = [(20.0 + 4 * i, 12.0, 24.0, 20.0) for i in range(3)]
+
+        mesh = make_mesh()
+        sharded = FleetTracker(cfg, vgg, params, capacity=8, core=core, mesh=mesh)
+        plain = FleetTracker(cfg, vgg, params, capacity=8, core=core)
+        slots_s = [sharded.add(im, r) for im, r in zip(imgs, regions)]
+        slots_p = [plain.add(im, r) for im, r in zip(imgs, regions)]
+
+        # the recurrent state really is sharded across the mesh
+        m_state = sharded.state["M"] if isinstance(sharded.state, dict) else None
+        assert m_state is not None
+        assert len(m_state.addressable_shards) == 8
+        assert m_state.addressable_shards[0].data.shape[0] == 1
+
+        out_s = sharded.step({s: im for s, im in zip(slots_s, imgs)})
+        out_p = plain.step({s: im for s, im in zip(slots_p, imgs)})
+        for ss, sp in zip(slots_s, slots_p):
+            np.testing.assert_allclose(out_s[ss], out_p[sp], rtol=1e-4, atol=1e-4)
+        # sharding survives the step and the skipped-slot state restore
+        assert len(sharded.state["M"].addressable_shards) == 8
+
+    def test_capacity_must_divide_mesh(self):
+        from ntm_tracker_tpu.parallel.mesh import make_mesh
+
+        cfg, vgg, core, params = setup()
+        import pytest
+
+        with pytest.raises(ValueError, match="divide"):
+            FleetTracker(cfg, vgg, params, capacity=6, core=core,
+                         mesh=make_mesh())
