@@ -39,3 +39,36 @@ def seeded_vgg_image():
     return rs.uniform(
         -120.0, 130.0, (1, VGG_IMAGE_HW, VGG_IMAGE_HW, 3)
     ).astype(np.float32)
+
+
+MINING_SEED = 13
+
+
+def seeded_mining_stats():
+    """Synthetic obj_frame_statistics for the gen_sequences comparison:
+    the (seq_dir, frame_name, obj_name, frame_size, bbox, ious) tuples of
+    sequence_generator.py:24-74, with frame gaps, sub-threshold frames, and
+    a trailing viable run (which the reference's gen_sequences DROPS —
+    sequence_generator.py:76-154 never flushes the final buffer)."""
+    rs = np.random.RandomState(MINING_SEED)
+    stats = []
+    for obj_idx, (obj, frames) in enumerate(
+        [("s0_0", [0, 1, 2, 3, 5, 6, 7]), ("s0_1", [0, 1, 2, 4, 5, 6, 8, 9])]
+    ):
+        for f in frames:
+            # iou map gated on/off deterministically: every 4th frame of the
+            # object fails the threshold
+            peak = 0.2 if (f + obj_idx) % 4 == 3 else 0.9
+            iou = rs.rand(4, 4).astype(np.float64) * 0.3
+            iou[1 + obj_idx % 2, 2] = peak
+            stats.append(
+                (
+                    "data/s0",
+                    f"{f:06d}",
+                    obj,
+                    (640.0, 360.0),
+                    [(10.0 * f, 5.0 * f), (10.0 * f + 120.0, 5.0 * f + 90.0)],
+                    [iou],
+                )
+            )
+    return stats

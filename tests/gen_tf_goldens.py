@@ -939,8 +939,37 @@ def gen_legacy_rollout(
     return out
 
 
+def gen_mining_golden():
+    """Execute the reference's pure-Python gen_sequences
+    (sequence_generator.py:76-154) on the seeded synthetic statistics and
+    pickle its output. The module's import-time TF graph construction
+    (feature_matcher.get_vgg_sizes) is stubbed out; gen_sequences itself is
+    untouched."""
+    import pickle
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixture_params import seeded_mining_stats
+
+    ref_sg = _load_patched_module(
+        "sequence_generator.py", "_ref_seqgen",
+        extra_globals={"matches": None, "get_seq_statistics": None},
+        extra_patches=[
+            ("from ilsvrc_visualizer import get_statistics as get_seq_statistics", ""),
+            ("from feature_matcher import matches, get_vgg_sizes", ""),
+            ("VGG_sizes, size_list = get_vgg_sizes()", "VGG_sizes, size_list = None, []"),
+        ],
+    )
+    seqs = ref_sg.gen_sequences(seeded_mining_stats(), 0.5)
+    path = os.path.join(FIXTURE_DIR, "ref_gen_sequences.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(seqs, f)
+    print(f"  wrote ref_gen_sequences.pkl ({len(seqs)} sequences)")
+
+
 def main():
     os.makedirs(FIXTURE_DIR, exist_ok=True)
+    print("executing reference gen_sequences (pure python) ...")
+    gen_mining_golden()
 
     print("generating op-level goldens ...")
     ops = gen_op_goldens()

@@ -507,3 +507,45 @@ def test_dnc_memory_access_matches_executed_reference(ops_g):
         atol=1e-5,
     )
     np.testing.assert_allclose(state.usage, ops_g["dncacc_final_usage"], atol=1e-5)
+
+
+def test_gen_sequences_vs_executed_reference():
+    """mining.gen_sequences vs the reference's EXECUTED sequence_generator.
+    gen_sequences on the same seeded statistics. The two must agree exactly
+    EXCEPT for the reference's final-buffer bug (sequence_generator.py:
+    76-154 never flushes the trailing viable run after the loop; this
+    implementation keeps it — documented in PARITY row 25)."""
+    import pickle
+
+    from fixture_params import seeded_mining_stats
+
+    from ntm_tracker_tpu.data.mining import gen_sequences
+
+    with open(os.path.join(FIXTURE_DIR, "ref_gen_sequences.pkl"), "rb") as f:
+        ref = pickle.load(f)
+    mine = gen_sequences(seeded_mining_stats(), 0.5)
+
+    def normalize(seqs):
+        out = []
+        for seq_dir, obj, sid, length, frames in seqs:
+            out.append(
+                (
+                    seq_dir, obj, int(sid), int(length),
+                    [
+                        (path, tuple(float(v) for v in size),
+                         tuple(map(tuple, np.asarray(bbox, float))),
+                         [np.asarray(g, bool).tolist() for g in gts])
+                        for path, size, bbox, gts in frames
+                    ],
+                )
+            )
+        return out
+
+    mine_n, ref_n = normalize(mine), normalize(ref)
+    # the final trailing run exists in our output...
+    assert len(mine_n) == len(ref_n) + 1
+    # ...and everything the reference DID produce matches exactly
+    assert mine_n[:-1] == ref_n
+    # the flushed subsequence is a real viable run, not an artifact
+    last = mine_n[-1]
+    assert last[3] == len(last[4]) > 0
