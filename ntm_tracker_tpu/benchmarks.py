@@ -35,14 +35,23 @@ def _chip_peak_tflops(device) -> float | None:
 def frame_flops(cfg) -> float:
     """Analytic FLOPs of one tracked frame: VGG conv1..conv4_3 on the
     crop_size^2 crop + tokens_per_frame NTM cell steps (matmul terms; the
-    elementwise/addressing tail is <1%)."""
+    elementwise/addressing tail is <1%). Accounts for the fast conv4 path
+    (vgg16_conv43_tokens: conv4 runs VALID on the token grid's 21x21
+    receptive-field patch -> 19/17/15 output sides instead of 28)."""
     from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
 
+    fast = (
+        getattr(cfg, "fast_conv43", False)
+        and cfg.feature_points is None
+        and cfg.data.crop_size == 224
+    )
+    fast_sides = {"conv4/conv4_1": 19, "conv4/conv4_2": 17, "conv4/conv4_3": 15}
     total = 0.0
     hw = cfg.data.crop_size
     in_ch = 3
     for name, out_ch, has_pool in VGG16_PREFIX:
-        total += 2.0 * hw * hw * 9 * in_ch * out_ch  # 3x3 conv MACs x2
+        side = fast_sides[name] if fast and name in fast_sides else hw
+        total += 2.0 * side * side * 9 * in_ch * out_ch  # 3x3 conv MACs x2
         in_ch = out_ch
         if name == "conv4/conv4_3":
             break

@@ -121,6 +121,11 @@ class TrackerConfig:
     # B=1 on TPU, jnp scan otherwise); False = always the jnp reference
     # path; True = always the fused kernel (NTM core only).
     fused_inference: Optional[bool] = None
+    # skip the conv4-block work outside the 8x8 token grid's receptive
+    # field (models/vgg.py:vgg16_conv43_tokens — exact same tokens, ~24%
+    # fewer conv FLOPs). Only engages for 224 crops with the canonical
+    # feature grid; False forces the full-map path.
+    fast_conv43: bool = True
 
     @property
     def input_depth(self) -> int:

@@ -58,6 +58,18 @@ def build_frame_step(
     C = cfg.feature_depth
 
     def tokens_of(crops: jax.Array) -> jax.Array:
+        if (
+            cfg.fast_conv43
+            and cfg.feature_points is None
+            and crops.shape[1] == crops.shape[2] == 224
+        ):
+            # exact tokens, conv4 block restricted to the grid's receptive
+            # field (models/vgg.py:vgg16_conv43_tokens)
+            from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
+
+            return vgg16_conv43_tokens(
+                vgg_params, crops, compute_dtype=cfg.compute_dtype
+            )
         feats = vgg16_features(vgg_params, crops, compute_dtype=cfg.compute_dtype)
         if cfg.feature_points is None:
             return extract_features(feats)

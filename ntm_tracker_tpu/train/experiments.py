@@ -73,13 +73,24 @@ class OffsetExperiment:
 
     def crops_to_tokens(self, crops: jax.Array) -> jax.Array:
         """[B*L,224,224,3] -> [B, L, 64, 512] frozen VGG tokens."""
-        feats = vgg16_features(
-            self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
-        )
-        if self.cfg.feature_points is None:
-            toks = extract_features(feats)  # [B*L, 64, 512]
+        if (
+            self.cfg.fast_conv43
+            and self.cfg.feature_points is None
+            and crops.shape[1] == crops.shape[2] == 224
+        ):
+            from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
+
+            toks = vgg16_conv43_tokens(
+                self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
+            )
         else:
-            toks = extract_features(feats, list(self.cfg.feature_points))
+            feats = vgg16_features(
+                self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
+            )
+            if self.cfg.feature_points is None:
+                toks = extract_features(feats)  # [B*L, 64, 512]
+            else:
+                toks = extract_features(feats, list(self.cfg.feature_points))
         L = self.cfg.train.sequence_length
         B = toks.shape[0] // L
         return toks.reshape(B, L, self.cfg.num_features, self.cfg.feature_depth)

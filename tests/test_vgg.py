@@ -114,3 +114,37 @@ class TestProjectRF:
 
         (y0, x0), (y1, x1) = project_receptive_field(0, 0, "conv4_3")
         assert y0 == 0 and x0 == 0 and y1 < 92
+
+
+class TestFastConv43Tokens:
+    def test_exactly_matches_full_path(self):
+        """vgg16_conv43_tokens == extract_features(vgg16_features(...)):
+        SAME-conv interior equals VALID conv on the receptive-field slice,
+        so the fast path is exact (f32)."""
+        import jax
+
+        from ntm_tracker_tpu.models.vgg import (
+            extract_features,
+            init_vgg_params,
+            vgg16_conv43_tokens,
+            vgg16_features,
+        )
+
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        img = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 224, 224, 3), minval=-120.0, maxval=130.0
+        )
+        full = extract_features(vgg16_features(params, img))
+        fast = vgg16_conv43_tokens(params, img)
+        assert fast.shape == full.shape == (2, 64, 512)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
+
+    def test_rejects_noncanonical_input(self):
+        import jax
+        import pytest
+
+        from ntm_tracker_tpu.models.vgg import init_vgg_params, vgg16_conv43_tokens
+
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="224x224"):
+            vgg16_conv43_tokens(params, jnp.zeros((1, 64, 64, 3)))
