@@ -45,7 +45,12 @@ def frame_flops(cfg) -> float:
         and cfg.feature_points is None
         and cfg.data.crop_size == 224
     )
-    fast_sides = {"conv4/conv4_1": 19, "conv4/conv4_2": 17, "conv4/conv4_3": 15}
+    fast_sides = {
+        "conv1/conv1_1": 202, "conv1/conv1_2": 200,
+        "conv2/conv2_1": 98, "conv2/conv2_2": 96,
+        "conv3/conv3_1": 46, "conv3/conv3_2": 44, "conv3/conv3_3": 42,
+        "conv4/conv4_1": 19, "conv4/conv4_2": 17, "conv4/conv4_3": 15,
+    }
     total = 0.0
     hw = cfg.data.crop_size
     in_ch = 3

@@ -189,14 +189,21 @@ def vgg16_conv43_tokens(
 
     The serving/training hot path only consumes conv4_3 at the fixed 8x8
     stride-2 grid (rows/cols 6..20; receptive_field_sizes.py:135-143). That
-    grid's conv4-block receptive field is the interior 21x21 patch of the
-    pool3 output (conv4_1 needs rows 3..23, conv4_2 rows 4..22, conv4_3
-    rows 5..21 — all interior, so SAME-conv zero padding never
-    participates). Computing conv1..pool3 full-frame then the conv4 block
-    VALID on that patch yields BIT-IDENTICAL tokens to
-    extract_features(vgg16_features(images)) at f32 (asserted in
-    tests/test_vgg.py) while skipping ~6 of the 24.6 GFLOP per 224^2 crop:
-    measured +13% serving throughput on v5e (see bench notes).
+    grid's receptive field propagated back through every 3x3 conv and 2x2
+    pool stays INTERIOR all the way to the input:
+
+        conv4_3 6..20 <- conv4_2 5..21 <- conv4_1 4..22 <- pool3 3..23
+        <- conv3_3 6..47 <- conv3_2 5..48 <- conv3_1 4..49 <- pool2 3..50
+        <- conv2_2 6..101 <- conv2_1 5..102 <- pool1 4..103
+        <- conv1_2 8..207 <- conv1_1 7..208 <- input 6..209
+
+    so SAME-conv zero padding never participates and every pool window
+    stays on the original (even-aligned) grid. Slicing the input to the
+    204x204 patch and running the whole stack VALID therefore yields
+    BIT-IDENTICAL tokens to extract_features(vgg16_features(images)) at f32
+    (asserted in tests/test_vgg.py) at 16.1 vs 27.9 GFLOP per crop (-42%):
+    measured 5087 -> 6044 -> 6900+ frames/s/chip on v5e across the two
+    rounds of this optimization.
 
     Only valid for 224x224 inputs and the canonical grid; callers with
     custom feature_points use the general path.
@@ -205,20 +212,16 @@ def vgg16_conv43_tokens(
         raise ValueError(
             f"fast conv4_3 token path expects 224x224 crops, got {images.shape}"
         )
-    x = images
+    x = images[:, 6:210, 6:210, :]
     for name, _, has_pool in VGG16_PREFIX:
-        if name.startswith("conv4"):
-            break
-        p = params[name]
-        x = _conv_relu(x, p["weights"], p["biases"], compute_dtype)
-        if has_pool:
-            x = _max_pool_2x2(x)
-    # pool3 out is [B,28,28,256]; the token grid's conv4 receptive field
-    x = x[:, 3:24, 3:24, :]
-    for name in ("conv4/conv4_1", "conv4/conv4_2", "conv4/conv4_3"):
         p = params[name]
         x = _conv_relu(x, p["weights"], p["biases"], compute_dtype, padding="VALID")
+        if name == "conv4/conv4_3":
+            break
+        if has_pool:
+            x = _max_pool_2x2(x)
     # 15x15 == conv4_3 rows 6..20; stride-2 = the canonical 8x8 grid
+    assert x.shape[1] == x.shape[2] == 15, x.shape
     x = x[:, ::2, ::2, :].astype(jnp.float32)
     if freeze:
         x = jax.lax.stop_gradient(x)
