@@ -45,8 +45,6 @@ def initialize_distributed(
     )
     if not explicit and not auto_env:
         return False  # single-process: nothing to do
-    if jax.process_count() > 1:
-        return True  # already initialized
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -54,7 +52,14 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    # NOTE: must run before anything touches the backend — even
+    # jax.process_count() would initialize it — so probe nothing first and
+    # tolerate the double-call error instead.
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 
