@@ -66,9 +66,17 @@ def _decode_image(path: str, resize_hw=None) -> np.ndarray:
 
 
 def _decode_images_parallel(paths: Sequence[str], resize_hw, workers: int = 8) -> np.ndarray:
-    """Decode+resize a batch with a thread pool (PIL decode and the numpy
-    resize both release the GIL for their hot loops); the 720x1280 upscale
-    of a full batch is the loader's dominant cost otherwise."""
+    """Decode+resize a batch — native C++ pipeline when available (libjpeg
+    decode + TF1 bilinear in one thread pool, native/jpeg_pipeline.cpp),
+    else PIL + numpy under a Python thread pool. The 720x1280 upscale of a
+    full batch is the loader's dominant host cost."""
+    if resize_hw is not None and len(paths) > 1:
+        try:
+            from ntm_tracker_tpu.data.native_jpeg import decode_resize_batch_native
+
+            return decode_resize_batch_native(paths, resize_hw)
+        except RuntimeError:
+            pass  # no toolchain/libjpeg or an exotic JPEG: Python fallback
     if len(paths) <= 1:
         return np.stack([_decode_image(p, resize_hw) for p in paths])
     from concurrent.futures import ThreadPoolExecutor

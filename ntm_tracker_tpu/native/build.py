@@ -18,11 +18,11 @@ from pathlib import Path
 _CACHE: dict[str, ctypes.CDLL] = {}
 
 
-def load_library(name: str) -> ctypes.CDLL:
+def load_library(name: str, ldflags: tuple = ()) -> ctypes.CDLL:
     if name in _CACHE:
         return _CACHE[name]
     src = Path(__file__).parent / f"{name}.cpp"
-    code = src.read_bytes()
+    code = src.read_bytes() + repr(ldflags).encode()
     digest = hashlib.sha256(code).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("NTM_TRACKER_CACHE", os.path.expanduser("~/.cache/ntm_tracker_tpu"))
@@ -35,7 +35,7 @@ def load_library(name: str) -> ctypes.CDLL:
         tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-            str(src), "-o", str(tmp),
+            str(src), "-o", str(tmp), *ldflags,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)

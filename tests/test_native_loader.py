@@ -45,3 +45,68 @@ def test_native_missing_file_reports_index(tmp_path):
     paths = [os.path.join(sd, "000000"), os.path.join(sd, "does_not_exist")]
     with pytest.raises(IOError, match="does_not_exist"):
         load_records_native(paths, gt_width=8)
+
+
+class TestNativeJpegPipeline:
+    """native/jpeg_pipeline.cpp: libjpeg decode + TF1 bilinear resize in a
+    C++ thread pool, vs the PIL+numpy path."""
+
+    def _write_jpegs(self, tmp_path, sizes, quality=95):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        paths = []
+        for i, (w, h) in enumerate(sizes):
+            arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            p = str(tmp_path / f"img{i}.jpg")
+            Image.fromarray(arr).save(p, quality=quality)
+            paths.append(p)
+        return paths
+
+    def test_matches_pil_numpy_path(self, tmp_path):
+        pytest.importorskip("PIL")
+        from ntm_tracker_tpu.data.loader import _decode_image
+        from ntm_tracker_tpu.data.native_jpeg import decode_resize_batch_native
+
+        try:
+            paths = self._write_jpegs(
+                tmp_path, [(64, 48), (100, 70), (48, 64), (33, 57)]
+            )
+            got = decode_resize_batch_native(paths, (40, 56))
+        except RuntimeError as e:
+            pytest.skip(f"native jpeg pipeline unavailable: {e}")
+        assert got.shape == (4, 40, 56, 3) and got.dtype == np.float32
+        for i, p in enumerate(paths):
+            ref = _decode_image(p, (40, 56))
+            # PIL and libjpeg use the same IDCT family; decoded pixels agree
+            # and the resize arithmetic is term-identical float32
+            np.testing.assert_allclose(got[i], ref, atol=1.0)
+            assert float(np.abs(got[i] - ref).mean()) < 0.05
+
+    def test_identity_size_passthrough(self, tmp_path):
+        pytest.importorskip("PIL")
+        from ntm_tracker_tpu.data.loader import _decode_image
+        from ntm_tracker_tpu.data.native_jpeg import decode_resize_batch_native
+
+        try:
+            paths = self._write_jpegs(tmp_path, [(32, 24), (32, 24)])
+            got = decode_resize_batch_native(paths, (24, 32))
+        except RuntimeError as e:
+            pytest.skip(f"native jpeg pipeline unavailable: {e}")
+        for i, p in enumerate(paths):
+            np.testing.assert_allclose(got[i], _decode_image(p, (24, 32)), atol=1.0)
+
+    def test_bad_file_raises_and_loader_falls_back(self, tmp_path):
+        pytest.importorskip("PIL")
+        from ntm_tracker_tpu.data.native_jpeg import decode_resize_batch_native
+
+        bad = tmp_path / "broken.jpg"
+        bad.write_bytes(b"not a jpeg at all")
+        good = self._write_jpegs(tmp_path, [(32, 24)])
+        try:
+            with pytest.raises(RuntimeError):
+                decode_resize_batch_native([good[0], str(bad)], (24, 32))
+        except pytest.fail.Exception:
+            raise
+        except RuntimeError as e:
+            pytest.skip(f"native jpeg pipeline unavailable: {e}")
