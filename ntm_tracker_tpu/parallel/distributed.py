@@ -33,17 +33,16 @@ def initialize_distributed(
 ) -> bool:
     """jax.distributed.initialize with idempotence and single-process no-op.
 
-    Call before ANY jax computation on every host. With no arguments, JAX
-    auto-detects cluster environments (GKE/SLURM/Cloud TPU metadata); pass
-    coordinator/num/id explicitly for bare-metal fleets. Returns True if a
-    multi-process runtime was initialized.
+    Call before ANY jax computation on every host. Engages only when a
+    coordinator is given explicitly (--dist_coordinator) or NTM_DIST_AUTO=1
+    opts into JAX's own cluster auto-detection — cluster-ish env vars alone
+    are NOT trusted (e.g. tunneled dev TPUs export TPU_WORKER_HOSTNAMES
+    without being a multi-host fleet). Returns True if a multi-process
+    runtime was initialized.
     """
     explicit = coordinator_address is not None
-    auto_env = any(
-        v in os.environ
-        for v in ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES")
-    )
-    if not explicit and not auto_env:
+    opt_in = os.environ.get("NTM_DIST_AUTO", "") == "1"
+    if not explicit and not opt_in:
         return False  # single-process: nothing to do
     kwargs = {}
     if coordinator_address is not None:

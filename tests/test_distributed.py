@@ -60,8 +60,10 @@ class TestGlobalBatch:
 
 class TestInitialize:
     def test_single_process_noop(self, monkeypatch):
-        # no coordinator, no cluster env vars -> must not try to rendezvous
-        for var in ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES"):
-            monkeypatch.delenv(var, raising=False)
+        # no explicit coordinator and no opt-in -> must not try to
+        # rendezvous, even when cluster-ISH env vars are present (tunneled
+        # dev TPUs export TPU_WORKER_HOSTNAMES on a single host)
+        monkeypatch.delenv("NTM_DIST_AUTO", raising=False)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
         assert initialize_distributed() is False
         assert jax.process_count() == 1
