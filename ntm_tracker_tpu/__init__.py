@@ -11,6 +11,7 @@ Reference map (citations are file:line into the reference tree):
   ops/lstm.py          <- tf.contrib.rnn.BasicLSTMCell semantics (ntm_cell.py:45-50)
   models/ntm_cell.py   <- ntm_cell.py
   models/ntm_tracker.py<- ntm_tracker_new.py
+  models/legacy_ntm.py <- ntm.py (the older model, dead upstream)
   models/dnc/          <- dnc/ (addressing, access, dnc core, repeat_copy)
   models/vgg.py        <- vgg.py + freeze_vgg.py + receptive_field_sizes.py
   data/                <- preprocess.py + get_input (direct_offset_output.py:159-224)

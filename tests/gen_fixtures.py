@@ -6,6 +6,11 @@ Values are the CURRENT implementation's outputs for fixed seeds; the
 regression test (test_regression_fixtures.py) fails if any numerical
 contract drifts. Regenerate ONLY when a semantics change is intentional,
 and say so in the commit message.
+
+These fixtures detect DRIFT only — they are not parity evidence. Parity
+against the reference comes from the EXECUTED-TensorFlow goldens
+(tests/gen_tf_goldens.py -> tests/test_tf_parity.py), which run the
+reference's own code.
 """
 
 import os
