@@ -194,7 +194,20 @@ def cmd_train_offsets(args) -> int:
     )
     print("real log dir:", real_log_dir)
 
-    vgg_params = _load_vgg(args)
+    feature_cache = getattr(args, "feature_cache", "")
+    if feature_cache:
+        # tokens come precomputed (cache-features); VGG weights are only
+        # needed to verify the cache fingerprint, not to train
+        from ntm_tracker_tpu.data.feature_cache import verify_cache
+
+        vgg_params = _load_vgg(args) if args.vgg_weights else None
+        verify_cache(cfg, feature_cache, flip=args.reverse_image,
+                     vgg_params=vgg_params)
+        if vgg_params is None:
+            print("NOTE: feature-cache training without --vgg_weights; "
+                  "cache fingerprint trusted from the manifest")
+    else:
+        vgg_params = _load_vgg(args)
     exp = _make_experiment(args, cfg, vgg_params)
     params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
 
@@ -250,7 +263,7 @@ def cmd_train_offsets(args) -> int:
                 mem_states_fn(p, b), read_heads,
                 f"step_{counter['n']}_memory", real_log_dir,
             )
-            if "pred_offsets" in aux:
+            if "pred_offsets" in aux and "images" in b:
                 L = cfg.train.sequence_length
                 crops = np.asarray(exp.images_to_crops(
                     b["images"], b["cropboxes"]
@@ -286,35 +299,67 @@ def cmd_train_offsets(args) -> int:
         else (lambda b: global_batch_from_local(mesh, b))
     )
 
-    def to_device(fb):
-        return put({
-            # raw mode ships uint8 and casts on device (preprocess_frame
-            # does astype(float32)); resized mode is already float32
-            "images": fb.images if dev_resize else fb.images.astype(np.float32),
-            "cropboxes": fb.cropboxes,
-            "gts": fb.gts,
-            "y_offsets": fb.y_offsets,
-            "x_offsets": fb.x_offsets,
-        })
+    if feature_cache:
+        from ntm_tracker_tpu.data.feature_cache import token_batch_iterator
 
-    train_it = PrefetchIterator(
-        batch_iterator(train_seqs, local_bs, args.gt_width,
-                       shuffle=True, seed=cfg.train.seed,
-                       reverse_image=args.reverse_image,
-                       epochs=cfg.train.num_epochs,
-                       decode_resize_hw=None if dev_resize else (720, 1280)),
-        prefetch=2, device_put=to_device,
-    )
+        def to_device(tb):
+            return put({
+                # tokens ship in the cache's storage dtype (float16 halves
+                # the transfer); loss_fn casts to float32 on device
+                "features": tb.features,
+                "gts": tb.gts,
+                "y_offsets": tb.y_offsets,
+                "x_offsets": tb.x_offsets,
+            })
 
-    def val_batches():
-        return (
-            to_device(fb)
-            for fb in batch_iterator(val_seqs, local_bs,
-                                     args.gt_width, shuffle=True,
-                                     seed=cfg.train.seed, epochs=1,
-                                     decode_resize_hw=None if dev_resize
-                                     else (720, 1280))
+        train_it = PrefetchIterator(
+            token_batch_iterator(train_seqs, local_bs, feature_cache,
+                                 args.gt_width, shuffle=True,
+                                 seed=cfg.train.seed,
+                                 reverse_image=args.reverse_image,
+                                 epochs=cfg.train.num_epochs),
+            prefetch=2, device_put=to_device,
         )
+
+        def val_batches():
+            return (
+                to_device(tb)
+                for tb in token_batch_iterator(val_seqs, local_bs,
+                                               feature_cache, args.gt_width,
+                                               shuffle=True,
+                                               seed=cfg.train.seed, epochs=1,
+                                               reverse_image=args.reverse_image)
+            )
+    else:
+        def to_device(fb):
+            return put({
+                # raw mode ships uint8 and casts on device (preprocess_frame
+                # does astype(float32)); resized mode is already float32
+                "images": fb.images if dev_resize else fb.images.astype(np.float32),
+                "cropboxes": fb.cropboxes,
+                "gts": fb.gts,
+                "y_offsets": fb.y_offsets,
+                "x_offsets": fb.x_offsets,
+            })
+
+        train_it = PrefetchIterator(
+            batch_iterator(train_seqs, local_bs, args.gt_width,
+                           shuffle=True, seed=cfg.train.seed,
+                           reverse_image=args.reverse_image,
+                           epochs=cfg.train.num_epochs,
+                           decode_resize_hw=None if dev_resize else (720, 1280)),
+            prefetch=2, device_put=to_device,
+        )
+
+        def val_batches():
+            return (
+                to_device(fb)
+                for fb in batch_iterator(val_seqs, local_bs,
+                                         args.gt_width, shuffle=True,
+                                         seed=cfg.train.seed, epochs=1,
+                                         decode_resize_hw=None if dev_resize
+                                         else (720, 1280))
+            )
 
     from ntm_tracker_tpu.utils.profiling import parse_profile_steps
 
@@ -695,6 +740,42 @@ def cmd_convert_vgg(args) -> int:
     return 0
 
 
+def cmd_cache_features(args) -> int:
+    """Precompute the frozen VGG tokens of every frame record (and
+    optionally the flipped variant) so training can skip the VGG entirely
+    (train-offsets --feature_cache)."""
+    import os as _os
+
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.config import TrackerConfig
+    from ntm_tracker_tpu.data.feature_cache import build_feature_cache
+
+    cfg = TrackerConfig(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    vgg_params = _load_vgg(args)
+    seq_dirs = [
+        _os.path.join(args.sequences_dir, x)
+        for x in sorted(_os.listdir(args.sequences_dir))
+        if _os.path.isdir(_os.path.join(args.sequences_dir, x))
+    ]
+    variants = [False] + ([True] if args.reverse_image else [])
+    for flip in variants:
+        man = build_feature_cache(
+            cfg, vgg_params, seq_dirs, args.cache_dir,
+            flip=flip, store_dtype=args.store_dtype,
+            frames_per_batch=args.frames_per_batch, gt_width=args.gt_width,
+            progress=lambda done, total: print(
+                f"\r{'flip' if flip else 'base'}: {done}/{total} frames",
+                end="", flush=True,
+            ),
+        )
+        print(f"\n{man['num_frames']} frames cached "
+              f"({man['store_dtype']}, fingerprint {man['fingerprint']})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     from ntm_tracker_tpu.config import DataConfig
 
@@ -719,7 +800,35 @@ def build_parser() -> argparse.ArgumentParser:
                    "TF1 resize on device (same sampling semantics, much "
                    "less host->device transfer; needs uniform frame sizes "
                    "per batch)")
+    t.add_argument("--feature_cache", default="",
+                   help="train from precomputed VGG tokens (cache-features) "
+                   "instead of decoding+convolving frames every step; "
+                   "--vgg_weights then only verifies the cache fingerprint")
     t.set_defaults(fn=cmd_train_offsets, experiment="offsets")
+
+    cf = sub.add_parser(
+        "cache-features",
+        help="precompute the frozen VGG tokens of a cropped dataset for "
+        "train-offsets --feature_cache (VGG is frozen, so its tokens are a "
+        "pure function of the dataset — compute them once, not every step)",
+    )
+    cf.add_argument("--sequences_dir", required=True)
+    cf.add_argument("--cache_dir", required=True)
+    cf.add_argument("--vgg_weights", default="")
+    cf.add_argument("--gt_width", type=int, default=8)
+    cf.add_argument("--store_dtype", choices=["float16", "float32", "bfloat16"],
+                    default="float16",
+                    help="on-disk token dtype (float16 halves size; tokens "
+                    "are bounded ReLU activations, well inside f16 range)")
+    cf.add_argument("--frames_per_batch", type=int, default=256,
+                    help="device batch for the one-off VGG sweep")
+    cf.add_argument("--reverse_image", action="store_true",
+                    help="also cache the horizontally-flipped variant "
+                    "(needed to train with --reverse_image)")
+    cf.add_argument("--bf16", action="store_true",
+                    help="bfloat16 VGG compute for the sweep (match the "
+                    "training flag you plan to use)")
+    cf.set_defaults(fn=cmd_cache_features)
 
     th = sub.add_parser(
         "train-heatmap",

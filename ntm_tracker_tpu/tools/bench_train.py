@@ -1,0 +1,93 @@
+"""Training-step throughput: image path vs feature-cache path.
+
+Measures the full jitted train step (loss + BPTT through the
+L*(F+1)-step scan + RMSProp update) at the flagship config
+(direct_offset_output.py:21-49 scaled to a production batch), with the
+batch either as decoded crops (the reference's every-step-VGG structure)
+or as precomputed tokens (train-offsets --feature_cache).
+
+Usage: python -m ntm_tracker_tpu.tools.bench_train [--batch 32] [--bf16]
+Prints one JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seq_len", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--modes", default="images,tokens")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
+    from ntm_tracker_tpu.models.vgg import init_vgg_params
+    from ntm_tracker_tpu.train.experiments import (
+        OffsetExperiment,
+        synthetic_offset_batch,
+    )
+
+    cfg = TrackerConfig(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        train=TrainConfig(batch_size=args.batch, sequence_length=args.seq_len),
+    )
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
+    params, opt_state = exp.init(jax.random.PRNGKey(1))
+    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+
+    rng = np.random.RandomState(0)
+    raw = synthetic_offset_batch(cfg, rng)
+    n = args.batch * args.seq_len
+    batches = {}
+    if "images" in args.modes:
+        batches["images"] = {k: jnp.asarray(v) for k, v in raw.items()}
+    if "tokens" in args.modes:
+        feats = rng.rand(n, cfg.num_features, cfg.feature_depth)
+        batches["tokens"] = {
+            "features": jnp.asarray((feats * 40).astype(np.float16)),
+            "gts": jnp.asarray(raw["gts"]),
+            "y_offsets": jnp.asarray(raw["y_offsets"]),
+            "x_offsets": jnp.asarray(raw["x_offsets"]),
+        }
+
+    for mode, batch in batches.items():
+        # fresh copies per mode: the step donates its params/opt_state
+        p = jax.tree.map(jnp.array, params)
+        o = jax.tree.map(jnp.array, opt_state)
+        p, o, m = step(p, o, batch)  # compile
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            p, o, m = step(p, o, batch)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "mode": mode,
+            "step_ms": round(dt * 1e3, 2),
+            "frames_per_sec": round(n / dt, 1),
+            "batch": args.batch,
+            "seq_len": args.seq_len,
+            "compute_dtype": "bfloat16" if args.bf16 else "float32",
+            "platform": jax.devices()[0].platform,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

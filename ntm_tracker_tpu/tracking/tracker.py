@@ -28,7 +28,7 @@ from ntm_tracker_tpu.config import TrackerConfig
 from ntm_tracker_tpu.data import geometry
 from ntm_tracker_tpu.data.image_ops import crop_and_resize
 from ntm_tracker_tpu.models.core import MemoryCore, make_core
-from ntm_tracker_tpu.models.vgg import VGG_MEAN, extract_features, vgg16_features
+from ntm_tracker_tpu.models.vgg import VGG_MEAN
 
 
 def build_frame_step(
@@ -58,22 +58,11 @@ def build_frame_step(
     C = cfg.feature_depth
 
     def tokens_of(crops: jax.Array) -> jax.Array:
-        if (
-            cfg.fast_conv43
-            and cfg.feature_points is None
-            and crops.shape[1] == crops.shape[2] == 224
-        ):
-            # exact tokens, conv4 block restricted to the grid's receptive
-            # field (models/vgg.py:vgg16_conv43_tokens)
-            from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
+        # shared with training (train/experiments.frame_tokens) so the
+        # serving and training tokens are computed by the same code path
+        from ntm_tracker_tpu.train.experiments import frame_tokens
 
-            return vgg16_conv43_tokens(
-                vgg_params, crops, compute_dtype=cfg.compute_dtype
-            )
-        feats = vgg16_features(vgg_params, crops, compute_dtype=cfg.compute_dtype)
-        if cfg.feature_points is None:
-            return extract_features(feats)
-        return extract_features(feats, list(cfg.feature_points))
+        return frame_tokens(cfg, vgg_params, crops)
 
     def frame_fn(crops: jax.Array, gt: Optional[jax.Array], state):
         # crops are already mean-subtracted (the reference subtracts the VGG

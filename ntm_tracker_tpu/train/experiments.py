@@ -31,6 +31,29 @@ from ntm_tracker_tpu.train.serialize import (
 )
 
 
+def frame_tokens(cfg: TrackerConfig, vgg_params, crops: jax.Array) -> jax.Array:
+    """[N, crop, crop, 3] mean-subtracted crops -> [N, F, C] frozen VGG
+    tokens (extract_features(conv4_3), direct_offset_output.py:417-428).
+
+    Takes the exact fast path (vgg16_conv43_tokens) whenever it applies;
+    shared by the experiments, the streaming tracker and the feature cache
+    so all three compute identical tokens."""
+    if (
+        cfg.fast_conv43
+        and cfg.feature_points is None
+        and crops.shape[1] == crops.shape[2] == 224
+    ):
+        from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
+
+        return vgg16_conv43_tokens(
+            vgg_params, crops, compute_dtype=cfg.compute_dtype
+        )
+    feats = vgg16_features(vgg_params, crops, compute_dtype=cfg.compute_dtype)
+    if cfg.feature_points is None:
+        return extract_features(feats)
+    return extract_features(feats, list(cfg.feature_points))
+
+
 @dataclasses.dataclass
 class OffsetExperiment:
     """The primary pipeline: VID crops -> VGG tokens -> memory core ->
@@ -73,33 +96,31 @@ class OffsetExperiment:
 
     def crops_to_tokens(self, crops: jax.Array) -> jax.Array:
         """[B*L,224,224,3] -> [B, L, 64, 512] frozen VGG tokens."""
-        if (
-            self.cfg.fast_conv43
-            and self.cfg.feature_points is None
-            and crops.shape[1] == crops.shape[2] == 224
-        ):
-            from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
-
-            toks = vgg16_conv43_tokens(
-                self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
-            )
-        else:
-            feats = vgg16_features(
-                self.vgg_params, crops, compute_dtype=self.cfg.compute_dtype
-            )
-            if self.cfg.feature_points is None:
-                toks = extract_features(feats)  # [B*L, 64, 512]
-            else:
-                toks = extract_features(feats, list(self.cfg.feature_points))
+        toks = frame_tokens(self.cfg, self.vgg_params, crops)
         L = self.cfg.train.sequence_length
         B = toks.shape[0] // L
         return toks.reshape(B, L, self.cfg.num_features, self.cfg.feature_depth)
 
+    def batch_features(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        """[B, L, F, C] float32 tokens for a batch.
+
+        Batches carry either decoded frames ("images" + "cropboxes": run the
+        frozen VGG here, the reference's every-step path) or precomputed
+        tokens ("features" from data/feature_cache.py: VGG is frozen, so its
+        tokens are a pure function of the dataset — skip it entirely)."""
+        if "features" in batch:
+            cfg = self.cfg
+            L = cfg.train.sequence_length
+            f = batch["features"].astype(jnp.float32)
+            B = f.shape[0] // L
+            return f.reshape(B, L, cfg.num_features, cfg.feature_depth)
+        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        return self.crops_to_tokens(crops)
+
     def loss_fn(self, params: Any, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict]:
         cfg = self.cfg
         L = cfg.train.sequence_length
-        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
-        features = self.crops_to_tokens(crops)
+        features = self.batch_features(batch)
         B = features.shape[0]
         gts = batch["gts"].reshape(B, L, cfg.num_features)
         tokens = serialize_tokens(features, gts[:, 0, :])
@@ -136,8 +157,7 @@ class OffsetExperiment:
         """(token stream, the CORE's param subtree) for this experiment."""
         cfg = self.cfg
         L = cfg.train.sequence_length
-        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
-        features = self.crops_to_tokens(crops)
+        features = self.batch_features(batch)
         B = features.shape[0]
         gts = batch["gts"].reshape(B, L, cfg.num_features)
         return serialize_tokens(features, gts[:, 0, :]), params
@@ -245,8 +265,7 @@ class HeatmapExperiment(OffsetExperiment):
 
         cfg = self.cfg
         L = cfg.train.sequence_length
-        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
-        features = self.crops_to_tokens(crops)
+        features = self.batch_features(batch)
         if self.compress_dim:
             features = compress_features(features, params["compressor"])
         B = features.shape[0]
@@ -269,8 +288,7 @@ class HeatmapExperiment(OffsetExperiment):
 
         cfg = self.cfg
         L = cfg.train.sequence_length
-        crops = self.images_to_crops(batch["images"], batch["cropboxes"])
-        features = self.crops_to_tokens(crops)
+        features = self.batch_features(batch)
         if self.compress_dim:
             features = compress_features(features, params["compressor"])
         B = features.shape[0]
