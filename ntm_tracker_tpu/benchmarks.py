@@ -111,12 +111,15 @@ def main():
         state = core.init_state(params, B)
         # warmup (compile)
         for _ in range(warmup):
-            _, state = step_rest(crops, state)
-        jax.block_until_ready(state["M"] if isinstance(state, dict) else state)
+            offsets, state = step_rest(crops, state)
+        np.asarray(offsets)  # value fetch = hard sync (see below)
         t0 = time.perf_counter()
         for _ in range(iters):
             offsets, state = step_rest(crops, state)
-        jax.block_until_ready(offsets)
+        # fetch a value rather than block_until_ready: on the tunneled dev
+        # backend block_until_ready has been observed to return before the
+        # enqueued chain finishes, inflating throughput
+        np.asarray(offsets)
         dt = time.perf_counter() - t0
         return B * iters / dt, dt / iters
 
@@ -149,7 +152,7 @@ def main():
         for _ in range(50):
             t0 = time.perf_counter()
             offsets, state = step_rest(crop1, state)
-            jax.block_until_ready(offsets)
+            np.asarray(offsets)
             lats.append(time.perf_counter() - t0)
         # round-trip includes the host<->device link (tunnel-dominated on a
         # dev chip); the steady-state number is the pipelined device time
@@ -157,7 +160,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(50):
             offsets, state = step_rest(crop1, state)
-        jax.block_until_ready(offsets)
+        np.asarray(offsets)
         device_ms = (time.perf_counter() - t0) / 50 * 1e3
 
     flops = frame_flops(cfg)

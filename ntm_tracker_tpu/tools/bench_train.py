@@ -71,11 +71,14 @@ def main() -> int:
         p = jax.tree.map(jnp.array, params)
         o = jax.tree.map(jnp.array, opt_state)
         p, o, m = step(p, o, batch)  # compile
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         t0 = time.perf_counter()
         for _ in range(args.iters):
             p, o, m = step(p, o, batch)
-        jax.block_until_ready(m["loss"])
+        # fetch the value rather than block_until_ready: on the tunneled
+        # dev backend the latter has been observed to return before the
+        # enqueued chain finishes, reporting impossible times
+        float(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({
             "mode": mode,
