@@ -129,6 +129,15 @@ def _load_vgg(args):
     return vgg.init_vgg_params(jax.random.PRNGKey(0))
 
 
+def _centered_grid(gw: int):
+    """gt_width-derived stride-2 token grid centered on the 28x28 conv4_3
+    map (the reference's 7x7/8x8 heatmap variants, main.py:54,80)."""
+    start = (28 - 2 * (gw - 1)) // 2
+    return tuple(
+        (start + 2 * y, start + 2 * x) for y in range(gw) for x in range(gw)
+    )
+
+
 def _make_experiment(args, cfg, vgg_params):
     """Build the experiment object for the selected training command."""
     from ntm_tracker_tpu.train.experiments import HeatmapExperiment, OffsetExperiment
@@ -148,11 +157,9 @@ def _make_experiment(args, cfg, vgg_params):
     # main.py:54,80): a centered stride-2 grid on the 28x28 conv4_3 map
     gw = getattr(args, "gt_width", 8)
     if gw != 8:
-        start = (28 - 2 * (gw - 1)) // 2
-        pts = tuple(
-            (start + 2 * y, start + 2 * x) for y in range(gw) for x in range(gw)
+        cfg = _dc.replace(
+            cfg, num_features=gw * gw, feature_points=_centered_grid(gw)
         )
-        cfg = _dc.replace(cfg, num_features=gw * gw, feature_points=pts)
     out_dim = 1 if serialization == "sequential" else cfg.num_features
     cfg = _dc.replace(
         cfg,
@@ -198,17 +205,21 @@ def cmd_train_offsets(args) -> int:
     if feature_cache:
         # tokens come precomputed (cache-features); VGG weights are only
         # needed to verify the cache fingerprint, not to train
-        from ntm_tracker_tpu.data.feature_cache import verify_cache
-
         vgg_params = _load_vgg(args) if args.vgg_weights else None
-        verify_cache(cfg, feature_cache, flip=args.reverse_image,
-                     vgg_params=vgg_params)
         if vgg_params is None:
             print("NOTE: feature-cache training without --vgg_weights; "
                   "cache fingerprint trusted from the manifest")
     else:
         vgg_params = _load_vgg(args)
     exp = _make_experiment(args, cfg, vgg_params)
+    if feature_cache:
+        # verify against the EXPERIMENT's config (train-heatmap swaps in a
+        # gt_width-derived feature grid, which needs a matching cache built
+        # with cache-features --grid_width)
+        from ntm_tracker_tpu.data.feature_cache import verify_cache
+
+        verify_cache(exp.cfg, feature_cache, flip=args.reverse_image,
+                     vgg_params=vgg_params)
     params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
 
     ckpt = CheckpointManager(os.path.join(real_log_dir, "ckpt"))
@@ -754,6 +765,13 @@ def cmd_cache_features(args) -> int:
     cfg = TrackerConfig(
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
+    if args.grid_width != 8:
+        import dataclasses as _dc
+
+        gw = args.grid_width
+        cfg = _dc.replace(
+            cfg, num_features=gw * gw, feature_points=_centered_grid(gw)
+        )
     vgg_params = _load_vgg(args)
     seq_dirs = [
         _os.path.join(args.sequences_dir, x)
@@ -816,6 +834,10 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("--cache_dir", required=True)
     cf.add_argument("--vgg_weights", default="")
     cf.add_argument("--gt_width", type=int, default=8)
+    cf.add_argument("--grid_width", type=int, default=8,
+                    help="token grid side: 8 = the canonical conv43Points "
+                    "grid; 7 matches train-heatmap --gt_width 7 (the "
+                    "centered stride-2 grid)")
     cf.add_argument("--store_dtype", choices=["float16", "float32", "bfloat16"],
                     default="float16",
                     help="on-disk token dtype (float16 halves size; tokens "
@@ -848,6 +870,9 @@ def build_parser() -> argparse.ArgumentParser:
         "tokens, heatmap read at frame delimiters)")
     th.add_argument("--compress_dim", type=int, default=0,
                     help="1x1-conv input compressor output channels (0=off)")
+    th.add_argument("--feature_cache", default="",
+                    help="train from precomputed VGG tokens (build with "
+                    "cache-features --grid_width matching --gt_width)")
     th.set_defaults(fn=cmd_train_offsets, experiment="heatmap")
 
     pp = sub.add_parser("preprocess", help="build the cropped dataset")

@@ -53,6 +53,12 @@ def ntm_tracker_unroll(
     beats streaming 1300 steps of saved activations through HBM. unroll=13
     shaves a further ~6% (31.3ms) at the cost of ~13x scan-body compile
     time; expose it for long production runs.
+
+    Chunked remat (outer scan over frames, jax.checkpoint per 65-token
+    chunk, plain inner scan) was measured at B=32/T=1300 and REJECTED:
+    57.9ms per-step remat vs 82-91ms for chunk sizes 26/65/130 (and 84.5ms
+    with no remat) — the per-chunk carry saves cost more HBM traffic than
+    the recompute they avoid at this state size.
     """
     B = inputs.shape[0]
     if state is None:

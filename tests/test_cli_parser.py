@@ -11,7 +11,10 @@ from ntm_tracker_tpu.cli import build_parser
         ["train-offsets", "--sequences_dir", "x"],
         ["train-offsets", "--sequences_dir", "x", "--feature_cache", "c"],
         ["cache-features", "--sequences_dir", "x", "--cache_dir", "c",
-         "--reverse_image", "--store_dtype", "float32", "--bf16"],
+         "--reverse_image", "--store_dtype", "float32", "--bf16",
+         "--grid_width", "7"],
+        ["train-heatmap", "--sequences_dir", "x", "--feature_cache", "c",
+         "--gt_width", "7"],
         ["train-heatmap", "--sequences_dir", "x", "--serialization", "frame"],
         ["train-wholeframe", "--pickle_path", "x.pkl", "--two_step"],
         ["lstm-only", "--sequences_dir", "x"],
