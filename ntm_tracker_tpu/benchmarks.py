@@ -163,6 +163,16 @@ def main():
         np.asarray(offsets)
         device_ms = (time.perf_counter() - t0) / 50 * 1e3
 
+    # secondary metric: training throughput from the feature cache
+    # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)
+    train_fps = train_ms = None
+    if platform != "cpu":
+        try:
+            train_fps, train_ms = _cached_train_throughput()
+        except Exception as e:  # never let the secondary metric kill bench
+            print(f"bench: cached-train measurement skipped: {e}",
+                  file=__import__("sys").stderr)
+
     flops = frame_flops(cfg)
     achieved_tflops = throughput * flops / 1e12
     peak = _chip_peak_tflops(dev)
@@ -177,9 +187,54 @@ def main():
         "frame_gflops": round(flops / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
+        "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
+        "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
         "platform": platform,
     }
     print(json.dumps(result))
+
+
+def _cached_train_throughput(B: int = 128, L: int = 20, iters: int = 10):
+    """Full train step (grads + 1300-step BPTT + RMSProp) on precomputed
+    tokens, the train-offsets --feature_cache path. Returns (frames/s,
+    step_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
+    from ntm_tracker_tpu.models.vgg import init_vgg_params
+    from ntm_tracker_tpu.train.experiments import (
+        OffsetExperiment,
+        synthetic_offset_batch,
+    )
+
+    cfg = TrackerConfig(train=TrainConfig(batch_size=B, sequence_length=L))
+    exp = OffsetExperiment(
+        cfg, init_vgg_params(jax.random.PRNGKey(0)), image_mode="cropped"
+    )
+    params, opt_state = exp.init(jax.random.PRNGKey(1))
+    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+    rng = np.random.RandomState(0)
+    raw = synthetic_offset_batch(cfg, rng)
+    n = B * L
+    batch = {
+        "features": jnp.asarray(
+            (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
+                np.float16
+            )
+        ),
+        "gts": jnp.asarray(raw["gts"]),
+        "y_offsets": jnp.asarray(raw["y_offsets"]),
+        "x_offsets": jnp.asarray(raw["x_offsets"]),
+    }
+    p, o, m = step(params, opt_state, batch)  # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, o, m = step(p, o, batch)
+    float(m["loss"])  # value fetch = hard sync
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt * 1e3
 
 
 if __name__ == "__main__":

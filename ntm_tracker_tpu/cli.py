@@ -838,7 +838,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token grid side: 8 = the canonical conv43Points "
                     "grid; 7 matches train-heatmap --gt_width 7 (the "
                     "centered stride-2 grid)")
-    cf.add_argument("--store_dtype", choices=["float16", "float32", "bfloat16"],
+    cf.add_argument("--store_dtype", choices=["float16", "float32"],
                     default="float16",
                     help="on-disk token dtype (float16 halves size; tokens "
                     "are bounded ReLU activations, well inside f16 range)")

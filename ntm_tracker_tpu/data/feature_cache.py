@@ -159,6 +159,9 @@ def build_feature_cache(
 
     root = _variant_dir(cache_dir, flip)
     os.makedirs(root, exist_ok=True)
+    if store_dtype not in ("float16", "float32"):
+        # ml_dtypes types (bfloat16) don't survive an .npy round trip
+        raise ValueError(f"store_dtype must be float16/float32, got {store_dtype}")
     np_dtype = np.dtype(store_dtype)
     done = 0
     for start in range(0, len(frames), frames_per_batch):
