@@ -136,6 +136,69 @@ def _max_pool_2x2(x: jax.Array) -> jax.Array:
     )
 
 
+def _conv1_relu_s2d(
+    x: jax.Array, w: jax.Array, b: jax.Array, compute_dtype=None
+) -> jax.Array:
+    """conv1_1 (3x3 VALID, stride 1, 3 input channels) reformulated as a
+    2x2 conv on 2x2 space-to-depth input.
+
+    A 3-channel convolution runs the MXU at ~5% utilization when timed in
+    isolation (v5e, B=256: 3.96 ms for 36 GFLOP — the systolic array pads
+    the reduction dim). Packing 2x2 input blocks into 12 channels and
+    emitting all 4 output positions per block as 4*64 channels computes the
+    SAME dot products (each output still sums the same 27 w*x terms,
+    f32-accumulated, just grouped differently) at 1.78x the nominal FLOPs.
+
+    MEASURED AND REJECTED as the default (kept for the record + the
+    even-H/W path where it may win): inside the full fused conv stack at
+    B=256 the whole-stack time went 31.9 -> 36.7 ms with this enabled —
+    the space-to-depth/depth-to-space transposes cost more than the
+    stand-alone conv1_1 inefficiency, i.e. XLA already hides most of the
+    3-channel conv behind fusion. Requires even H,W; output matches the
+    plain VALID conv to float-reassociation noise.
+    """
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    assert H % 2 == 0 and W % 2 == 0 and w.shape[:3] == (3, 3, C), (x.shape, w.shape)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    # space-to-depth: packed channel index = (q, qx, c) -> q*2C + qx*C + c
+    xp = (
+        x.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
+    # scatter the 3x3 kernel into the packed 2x2 kernel: output position
+    # (2i+dy, 2j+dx) reads input (2i+dy+ky, 2j+dx+kx) = packed cell
+    # (i+p, j+pj) sub-position (q, qx) with (p,q) = divmod(dy+ky, 2)
+    w2 = jnp.zeros((2, 2, 4 * C, 4 * O), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            for ky in range(3):
+                for kx in range(3):
+                    p, q = divmod(dy + ky, 2)
+                    pj, qx = divmod(dx + kx, 2)
+                    ci = q * 2 * C + qx * C
+                    oi = (dy * 2 + dx) * O
+                    w2 = w2.at[p, pj, ci : ci + C, oi : oi + O].set(w[ky, kx])
+    y = jax.lax.conv_general_dilated(
+        xp, w2,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, H//2-1, W//2-1, 4*O]
+    Ho, Wo = y.shape[1], y.shape[2]
+    # depth-to-space: channel (dy, dx, o) -> position (2i+dy, 2j+dx)
+    y = (
+        y.reshape(B, Ho, Wo, 2, 2, O)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, 2 * Ho, 2 * Wo, O)
+    )
+    return jax.nn.relu(y + b)
+
+
 def vgg16_features(
     params: Dict[str, Dict[str, jax.Array]],
     images: jax.Array,
@@ -184,6 +247,7 @@ def vgg16_conv43_tokens(
     images: jax.Array,
     compute_dtype=None,
     freeze: bool = True,
+    conv1_s2d: bool = False,
 ) -> jax.Array:
     """The 64 CONV43_POINTS tokens at ~76% of the conv FLOPs — exact.
 
@@ -215,7 +279,12 @@ def vgg16_conv43_tokens(
     x = images[:, 6:210, 6:210, :]
     for name, _, has_pool in VGG16_PREFIX:
         p = params[name]
-        x = _conv_relu(x, p["weights"], p["biases"], compute_dtype, padding="VALID")
+        if name == "conv1/conv1_1" and conv1_s2d:
+            # opt-in space-to-depth reformulation (same math; measured
+            # SLOWER in the fused stack on v5e — see _conv1_relu_s2d)
+            x = _conv1_relu_s2d(x, p["weights"], p["biases"], compute_dtype)
+        else:
+            x = _conv_relu(x, p["weights"], p["biases"], compute_dtype, padding="VALID")
         if name == "conv4/conv4_3":
             break
         if has_pool:

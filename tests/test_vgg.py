@@ -138,6 +138,34 @@ class TestFastConv43Tokens:
         fast = vgg16_conv43_tokens(params, img)
         assert fast.shape == full.shape == (2, 64, 512)
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
+        # the opt-in space-to-depth conv1_1 (rejected as default; see
+        # _conv1_relu_s2d): same dot products, f32 sums reassociated ->
+        # float-noise-close, not bitwise
+        s2d = np.asarray(vgg16_conv43_tokens(params, img, conv1_s2d=True))
+        scale = np.abs(np.asarray(full)).max()
+        np.testing.assert_allclose(
+            s2d, np.asarray(full), rtol=1e-4, atol=1e-5 * scale
+        )
+
+    def test_conv1_s2d_matches_plain_conv(self):
+        """_conv1_relu_s2d == _conv_relu(VALID) on the first layer alone."""
+        import jax
+
+        from ntm_tracker_tpu.models.vgg import (
+            _conv1_relu_s2d,
+            _conv_relu,
+            init_vgg_params,
+        )
+
+        params = init_vgg_params(jax.random.PRNGKey(5))
+        p = params["conv1/conv1_1"]
+        x = jax.random.uniform(
+            jax.random.PRNGKey(6), (2, 20, 26, 3), minval=-100.0, maxval=100.0
+        )
+        plain = np.asarray(_conv_relu(x, p["weights"], p["biases"], padding="VALID"))
+        s2d = np.asarray(_conv1_relu_s2d(x, p["weights"], p["biases"]))
+        assert s2d.shape == plain.shape == (2, 18, 24, 64)
+        np.testing.assert_allclose(s2d, plain, rtol=1e-5, atol=1e-3)
 
     def test_rejects_noncanonical_input(self):
         import jax
