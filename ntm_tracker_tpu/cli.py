@@ -794,6 +794,58 @@ def cmd_cache_features(args) -> int:
     return 0
 
 
+def cmd_inspect_batch(args) -> int:
+    """Eyeball harness for the input pipeline — the reference's
+    --test_input / --test_read_imgs debug flags
+    (direct_offset_output.py:227-241, main.py:321-341): load one batch
+    through the real loader, print the record fields, write a PNG grid of
+    the crops, gt heatmaps and offsets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntm_tracker_tpu.config import DataConfig
+    from ntm_tracker_tpu.data.image_ops import preprocess_frame
+    from ntm_tracker_tpu.data.loader import batch_iterator
+    from ntm_tracker_tpu.data.sequences import get_valid_sequences
+    from ntm_tracker_tpu.models.vgg import VGG_MEAN
+    from ntm_tracker_tpu.utils.viz import save_imgs
+
+    d = DataConfig()
+    seqs, train_seqs, _ = get_valid_sequences(
+        args.sequences_dir, args.sequence_length
+    )
+    use = train_seqs or seqs
+    fb = next(batch_iterator(
+        use, args.batch_size, args.gt_width, shuffle=False,
+        reverse_image=args.reverse_image,
+        decode_resize_hw=tuple(d.resize_hw),
+    ))
+    B, L = args.batch_size, args.sequence_length
+    for i in range(min(B * L, args.max_print)):
+        print(
+            f"frame {i}: cropbox={np.round(fb.cropboxes[i], 4).tolist()} "
+            f"y_off={fb.y_offsets[i]:+.4f} x_off={fb.x_offsets[i]:+.4f} "
+            f"gt_sum={fb.gts[i].sum():.4f}"
+        )
+    crops = jax.vmap(
+        lambda im, cb: preprocess_frame(
+            im, cb, resize_hw=d.resize_hw, crop_size=d.crop_size,
+            do_resize=False,
+        )
+    )(jnp.asarray(fb.images), jnp.asarray(fb.cropboxes))
+    sz = d.crop_size
+    crop_imgs = np.clip(
+        np.asarray(crops) + VGG_MEAN, 0, 255
+    ).astype(np.uint8).reshape(B, L, sz, sz, 3)
+    g = fb.gts.reshape(B, L, args.gt_width, args.gt_width, 1)
+    gt_imgs = (g / max(float(g.max()), 1e-9) * 255).astype(np.uint8)
+    offsets = np.stack([fb.y_offsets, fb.x_offsets], -1).reshape(B, L, 2)
+    path = save_imgs([crop_imgs, gt_imgs, offsets], "inspect_batch", args.out_dir)
+    print("wrote", path)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     from ntm_tracker_tpu.config import DataConfig
 
@@ -851,6 +903,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bfloat16 VGG compute for the sweep (match the "
                     "training flag you plan to use)")
     cf.set_defaults(fn=cmd_cache_features)
+
+    ib = sub.add_parser(
+        "inspect-batch",
+        help="input-pipeline eyeball harness (the reference's --test_input/"
+        "--test_read_imgs): print one batch's record fields, write a PNG "
+        "grid of crops + gt heatmaps + offsets",
+    )
+    ib.add_argument("--sequences_dir", required=True)
+    ib.add_argument("--out_dir", default=".")
+    ib.add_argument("--batch_size", type=int, default=1)
+    ib.add_argument("--sequence_length", type=int, default=20)
+    ib.add_argument("--gt_width", type=int, default=8)
+    ib.add_argument("--reverse_image", action="store_true")
+    ib.add_argument("--max_print", type=int, default=20)
+    ib.set_defaults(fn=cmd_inspect_batch)
 
     th = sub.add_parser(
         "train-heatmap",

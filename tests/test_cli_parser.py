@@ -15,6 +15,8 @@ from ntm_tracker_tpu.cli import build_parser
          "--grid_width", "7"],
         ["train-heatmap", "--sequences_dir", "x", "--feature_cache", "c",
          "--gt_width", "7"],
+        ["inspect-batch", "--sequences_dir", "x", "--out_dir", "o",
+         "--reverse_image"],
         ["train-heatmap", "--sequences_dir", "x", "--serialization", "frame"],
         ["train-wholeframe", "--pickle_path", "x.pkl", "--two_step"],
         ["lstm-only", "--sequences_dir", "x"],
