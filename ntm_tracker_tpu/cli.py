@@ -262,16 +262,18 @@ def cmd_train_offsets(args) -> int:
         from ntm_tracker_tpu.utils.viz import save_imgs, save_memory_panels
 
         counter = {"n": 0}
-        # memory dashboards: at most ~256 snapshots over the token stream
-        mem_states_fn = jax.jit(lambda p, b: exp.memory_states(p, b))
+        # ONE forward per validation batch: loss/preds + memory dashboards
+        # (at most ~256 snapshots over the token stream) share the tokens
+        # and the unroll
+        eval_views_fn = jax.jit(lambda p, b: exp.eval_with_views(p, b))
         read_heads = (
             cfg.ntm.read_head_size if args.core == "ntm" else cfg.dnc.num_reads
         )
 
         def eval_jit(p, b):
-            aux = eval_base(p, b)
+            aux, views = eval_views_fn(p, b)
             save_memory_panels(
-                mem_states_fn(p, b), read_heads,
+                views, read_heads,
                 f"step_{counter['n']}_memory", real_log_dir,
             )
             if "pred_offsets" in aux and "images" in b:
@@ -368,6 +370,7 @@ def cmd_train_offsets(args) -> int:
                 for fb in batch_iterator(val_seqs, local_bs,
                                          args.gt_width, shuffle=True,
                                          seed=cfg.train.seed, epochs=1,
+                                         reverse_image=args.reverse_image,
                                          decode_resize_hw=None if dev_resize
                                          else (720, 1280))
             )
@@ -643,7 +646,7 @@ def cmd_lstm_only(args) -> int:
 
     _, train_seqs, _ = get_valid_sequences(args.sequences_dir, cfg.train.sequence_length)
     for i, fb in enumerate(
-        batch_iterator(train_seqs, local_bs, args.gt_width,
+        batch_iterator(train_seqs, cfg.train.batch_size, args.gt_width,
                        seed=cfg.train.seed, epochs=cfg.train.num_epochs)
     ):
         params, opt_state, loss = step(

@@ -50,9 +50,11 @@ def cache_fingerprint(cfg, vgg_params, flip: bool) -> str:
         (
             f"v{CACHE_VERSION};crop{cfg.data.crop_size};"
             f"resize{tuple(cfg.data.resize_hw)};flip{bool(flip)};"
+            # fast_conv43 is deliberately NOT hashed: it changes the compute
+            # route, not the values (vgg16_conv43_tokens is test-asserted
+            # bit-identical to the full-map path)
             f"pts{cfg.feature_points};F{cfg.num_features};"
-            f"C{cfg.feature_depth};dtype{np.dtype(cfg.compute_dtype).name};"
-            f"fast{bool(cfg.fast_conv43)}"
+            f"C{cfg.feature_depth};dtype{np.dtype(cfg.compute_dtype).name}"
         ).encode()
     )
     leaves, _ = jax.tree_util.tree_flatten_with_path(vgg_params)

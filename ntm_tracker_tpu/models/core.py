@@ -42,6 +42,7 @@ def unroll_states(
     inputs: jax.Array,
     state: Any = None,
     stride: int = 1,
+    full_logits: bool = False,
 ) -> Tuple[jax.Array, dict, Any]:
     """Unroll while recording the memory observables every `stride` steps.
 
@@ -51,28 +52,43 @@ def unroll_states(
     the record to T/stride snapshots.
 
     Args:
-      inputs: [B, T, D]; T must be divisible by stride.
+      inputs: [B, T, D]. When stride does not divide T, the trailing
+        T % stride steps still advance the state but emit no snapshot.
     Returns:
-      (chunk_logits [B, T/stride, out] — the logit at each snapshot step,
-       views {"M": [B, T/stride, N, D], "w": ..., "read": ...},
-       final_state)
+      (logits — [B, T//stride, out], the logit at each snapshot step, or
+       [B, T, out] for every step when full_logits=True (lets a caller
+       compute the training loss and the dashboards in ONE unroll),
+       views {"M": [B, T//stride, N, D], "w": ..., "read": ...},
+       final_state — after all T steps, including the unrecorded tail)
     """
     B, T, _D = inputs.shape
-    if T % stride != 0:
-        raise ValueError(f"T={T} not divisible by stride={stride}")
+    if not 1 <= stride <= T:
+        raise ValueError(f"stride={stride} out of range for T={T}")
     if state is None:
         state = core.init_state(params, B)
-    xs = jnp.swapaxes(inputs, 0, 1).reshape(T // stride, stride, B, inputs.shape[2])
+    n_chunks, rem = divmod(T, stride)
+    xs = jnp.swapaxes(inputs[:, : n_chunks * stride], 0, 1)
+    xs = xs.reshape(n_chunks, stride, B, inputs.shape[2])
+
+    def inner(c, x):
+        logit, s = core.step(params, x, c)
+        return s, logit
 
     def chunk(carry, x_chunk):
-        def inner(c, x):
-            logit, s = core.step(params, x, c)
-            return s, logit
-
         new_state, logits = jax.lax.scan(inner, carry, x_chunk)
-        return new_state, (logits[-1], core.state_view(new_state))
+        return new_state, (
+            logits if full_logits else logits[-1],
+            core.state_view(new_state),
+        )
 
     final_state, (logits, views) = jax.lax.scan(chunk, state, xs)
+    if full_logits:
+        logits = logits.reshape(n_chunks * stride, *logits.shape[2:])
+    if rem:
+        tail = jnp.swapaxes(inputs[:, n_chunks * stride :], 0, 1)
+        final_state, tail_logits = jax.lax.scan(inner, final_state, tail)
+        if full_logits:
+            logits = jnp.concatenate([logits, tail_logits], axis=0)
     views = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), views)
     return jnp.swapaxes(logits, 0, 1), views, final_state
 

@@ -172,21 +172,49 @@ class OffsetExperiment:
         """Memory observables over the token stream for dashboards
         (the reference's Ms/ws/reads summaries, main.py:1186-1214).
 
-        stride=None picks the largest divisor of the stream length that
-        keeps at most `max_snapshots` snapshots (token-stream lengths differ
-        per serialization). Returns {"M": [B,T/stride,N,D], "w": ...,
-        "read": ...}."""
+        stride=None picks the smallest stride that keeps at most
+        `max_snapshots` snapshots (token-stream lengths differ per
+        serialization; a trailing partial chunk is unrecorded). Returns
+        {"M": [B,T//stride,N,D], "w": ..., "read": ...}."""
         from ntm_tracker_tpu.models.core import unroll_states
 
         tokens, core_params = self._tokens(params, batch)
         if stride is None:
             T = tokens.shape[1]
-            target = max(1, T // max_snapshots)
-            stride = next(s for s in range(target, 0, -1) if T % s == 0)
+            stride = max(1, -(-T // max_snapshots))
         _logits, views, _final = unroll_states(
             self.core, core_params, tokens, stride=stride
         )
         return views
+
+    def eval_with_views(
+        self,
+        params,
+        batch: Dict[str, jax.Array],
+        max_snapshots: int = 256,
+    ) -> Tuple[Dict, Dict]:
+        """(eval aux, memory views) in a SINGLE forward pass: the VGG tokens
+        and the T-step unroll are computed once, serving both the validation
+        loss/predictions and the memory dashboards (the --save_imgs path —
+        running make_eval_step and memory_states separately doubles the
+        device work per validation batch)."""
+        from ntm_tracker_tpu.models.core import unroll_states
+
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        tokens, core_params = self._tokens(params, batch)
+        T = tokens.shape[1]
+        stride = max(1, -(-T // max_snapshots))
+        logits, views, _final = unroll_states(
+            self.core, core_params, tokens, stride=stride, full_logits=True
+        )
+        B = tokens.shape[0]
+        offsets = jnp.stack(
+            [batch["y_offsets"], batch["x_offsets"]], axis=1
+        ).reshape(B, L, 2)
+        loss = offsets_loss(logits, offsets, cfg.num_features)
+        preds = jnp.tanh(gather_delimiter_outputs(logits, cfg.num_features))
+        return {"loss": loss, "pred_offsets": preds}, views
 
 
 def synthetic_offset_batch(

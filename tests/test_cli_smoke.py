@@ -1,0 +1,65 @@
+"""End-to-end CLI smoke runs on a miniature on-disk dataset.
+
+Parser-only tests (test_cli_parser.py) can't catch body-level regressions
+(a NameError in a command body parses fine); these actually execute the
+command functions the way `python -m ntm_tracker_tpu <cmd>` would.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ntm_tracker_tpu.cli import build_parser
+
+SEQ_LEN = 4
+GT = 8  # the flag default; lstm-only's 8x8 grid must match the 64-token VGG grid
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Frame records (.txt/.bin contract, preprocess.py:329-334) with real
+    JPEGs and the default 8x8 gt grid."""
+    from PIL import Image
+
+    root = str(tmp_path_factory.mktemp("ds"))
+    img_dir = os.path.join(root, "imgs", "train_seq00")
+    seq_dir = os.path.join(root, "cropped", "train_seq00_0")
+    os.makedirs(img_dir)
+    os.makedirs(seq_dir)
+    rng = np.random.RandomState(3)
+    for i in range(SEQ_LEN + 1):
+        arr = (rng.rand(360, 640, 3) * 255).astype(np.uint8)
+        img_path = os.path.join(img_dir, f"{i:06d}.JPEG")
+        Image.fromarray(arr).save(img_path, quality=95)
+        crop = [0.2, 0.25, 0.8, 0.85]
+        bbox = [0.125, 0.125, 0.875, 0.875]
+        with open(os.path.join(seq_dir, f"{i:06d}.txt"), "w") as f:
+            f.write(",".join(
+                [str(v) for v in crop] + [str(v) for v in bbox]
+                + [img_path, str(0.02 * i), str(-0.015 * i)]
+            ))
+        gt = rng.rand(GT, GT)
+        (gt / gt.sum()).astype(np.float64).tofile(
+            os.path.join(seq_dir, f"{i:06d}.bin")
+        )
+    return os.path.join(root, "cropped")
+
+
+class TestLstmOnlySmoke:
+    def test_runs_a_training_step(self, dataset, tmp_path, capsys):
+        args = build_parser().parse_args([
+            "lstm-only",
+            "--sequences_dir", dataset,
+            "--sequence_length", str(SEQ_LEN),
+            "--batch_size", "1",
+            "--num_epochs", "1",
+            "--hidden_size", "8",
+            "--num_layers", "1",
+            "--compress_dim", "4",
+            "--log_interval", "1",
+            "--log_dir", str(tmp_path / "log"),
+        ])
+        assert args.fn(args) == 0
+        out = capsys.readouterr().out
+        assert "loss" in out  # at least one step ran and printed

@@ -51,13 +51,24 @@ class TestUnrollStates:
         for k in views:
             np.testing.assert_allclose(views[k][:, -1], last[k], atol=1e-6)
 
-    def test_stride_must_divide(self, core_name):
+    def test_nondividing_stride_tail(self, core_name):
+        """A stride that doesn't divide T records floor(T/stride) snapshots
+        but the final state still reflects all T steps."""
         cfg = _tiny_cfg(core_name)
         core = make_core(cfg)
         params = core.init_params(jax.random.PRNGKey(0), 6)
-        inputs = jnp.zeros((1, 10, 6))
-        with pytest.raises(ValueError, match="divisible"):
-            unroll_states(core, params, inputs, stride=3)
+        B, T = 2, 10
+        inputs = jax.random.normal(jax.random.PRNGKey(2), (B, T, 6))
+        logits, views, final = unroll_states(core, params, inputs, stride=3)
+        assert logits.shape[:2] == (B, 3)
+        assert views["M"].shape[:2] == (B, 3)
+        _, plain_final = core.unroll(params, inputs)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            final, plain_final,
+        )
+        with pytest.raises(ValueError, match="out of range"):
+            unroll_states(core, params, inputs, stride=11)
 
 
 class TestPanels:
@@ -89,8 +100,8 @@ class TestPanels:
 
 class TestExperimentHook:
     def test_memory_states_auto_stride(self):
-        """OffsetExperiment.memory_states picks a stride dividing the token
-        stream and returns jittable views."""
+        """OffsetExperiment.memory_states honors the max_snapshots bound and
+        returns jittable views."""
         from ntm_tracker_tpu.config import DataConfig
         from ntm_tracker_tpu.models.vgg import init_vgg_params
         from ntm_tracker_tpu.train.experiments import (
@@ -118,6 +129,24 @@ class TestExperimentHook:
         )
         T = cfg.train.sequence_length * (cfg.num_features + 1)  # 10
         snaps = views["M"].shape[1]
-        assert T % snaps == 0  # stride divides the stream
-        assert snaps == 5  # target stride 10//4=2 -> 5 snapshots
+        assert snaps <= 4  # the bound actually holds
+        assert snaps == 3  # stride ceil(10/4)=3 -> floor(10/3) snapshots
         assert views["M"].shape[2:] == (8, 4)
+
+        # the single-pass eval (loss + views in one unroll) agrees with the
+        # separate eval step and memory_states passes
+        aux2, views2 = jax.jit(
+            lambda p, b: exp.eval_with_views(p, b, max_snapshots=4)
+        )(params, batch)
+        aux1 = jax.jit(exp.make_eval_step())(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(aux2["loss"]), np.asarray(aux1["loss"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux2["pred_offsets"]),
+            np.asarray(aux1["pred_offsets"]), atol=1e-6,
+        )
+        for k in views:
+            np.testing.assert_allclose(
+                np.asarray(views2[k]), np.asarray(views[k]), atol=1e-6
+            )
