@@ -84,7 +84,10 @@ def process_sequence(job: PreprocessJob, root: str) -> int:
         for trackid, bbox in parsed["objs"].items():
             normalbbox = geometry.normalize_bbox(size, bbox)
             gt = None
-            offsets = (0.0, 0.0)
+            # ints, not floats: the reference writes the first frame's
+            # offsets as "0,0" (preprocess.py:295,333) and the golden
+            # fixture asserts byte equality
+            offsets = (0, 0)
             if trackid not in cropboxes:
                 cropboxes[trackid] = geometry.calculate_cropbox(
                     normalbbox, cfg.cropbox_grid, cfg.bbox_grid

@@ -19,6 +19,10 @@ Fixture provenance (committed .npz, regenerable with TF + /root/reference):
                                 plain and two-step present/ask modes)
   tf_goldens_legacy*.npz      — the reference's LEGACY ntm.py model
                                 executed end-to-end (two configs)
+  tf_goldens_preprocess.npz   — the reference's old_process_sequence
+                                executed on the synthetic VID tree: every
+                                output .txt/.bin byte-for-byte
+                                (tests/gen_preprocess_golden.py)
   (tf_goldens_ops.npz also holds the reference's dnc/addressing.py outputs,
   executed under a minimal sonnet stub — cosine/linkage/usage/allocation)
 
@@ -549,3 +553,44 @@ def test_gen_sequences_vs_executed_reference():
     # the flushed subsequence is a real viable run, not an artifact
     last = mine_n[-1]
     assert last[3] == len(last[4]) > 0
+
+
+def test_offline_preprocess_matches_executed_reference(tmp_path):
+    """The full offline preprocessor vs the reference's EXECUTED
+    old_process_sequence (preprocess.py:255-350) on the synthetic VID tree
+    (tests/synthetic_vid.py): identical gating decisions (which frames of
+    which tracks get written) and BYTE-identical .txt/.bin files — cropbox,
+    transformed bbox, offsets, float64 Gaussian heatmaps, and the exact
+    text formatting of the on-disk contract.
+
+    Fixture: tf_goldens_preprocess.npz (tests/gen_preprocess_golden.py,
+    which executes the reference with FLAGS.focus under Py2 int-division
+    semantics and self-checks this same comparison at generation time)."""
+    from synthetic_vid import write_synthetic_vid
+
+    from ntm_tracker_tpu.config import DataConfig
+    from ntm_tracker_tpu.data.preprocess import PreprocessJob, run_preprocess
+
+    g = _load("tf_goldens_preprocess.npz")
+    ref_files = {
+        str(p): g[f"data_{i}"].tobytes() for i, p in enumerate(g["paths"])
+    }
+
+    anno_dir, _ = write_synthetic_vid(str(tmp_path / "in"))
+    out = tmp_path / "out"
+    out.mkdir()
+    run_preprocess(
+        PreprocessJob(anno_dir, "/data/ILSVRC2015/Data", str(out), DataConfig()),
+        num_workers=1,
+    )
+    ours = {}
+    for dirpath, _dirs, files in os.walk(out):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                ours[os.path.relpath(p, out)] = fh.read()
+
+    # same set of files = identical legality gating (deform/zoom/bounds)
+    assert set(ours) == set(ref_files)
+    for p in sorted(ref_files):
+        assert ours[p] == ref_files[p], f"byte mismatch in {p}"
