@@ -153,6 +153,13 @@ def ntm_cell_step(
         off += sizes[name]
     k, beta, g, sw, gamma, erase, add = splits
 
+    # output head (ntm_cell.py:220-221) — depends only on ctrl_out, so it is
+    # shared by the Pallas and jnp branches below
+    logit = (
+        ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
+    ).astype(jnp.float32) + params["out_b"]
+    output = jax.nn.softmax(logit, axis=-1)
+
     if cfg.use_pallas and not with_debug:
         # (with_debug needs the intermediates, so it always takes the jnp
         # path below, even when the kernel is enabled)
@@ -167,10 +174,6 @@ def ntm_cell_step(
             read_heads=R, write_first=cfg.write_first,
             slotwise=cfg.slotwise_cosine,
         )
-        logit = (
-            ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
-        ).astype(jnp.float32) + params["out_b"]
-        output = jax.nn.softmax(logit, axis=-1)
         new_state = {"M": M, "w": w, "read": read, "controller_state": ctrl_state}
         return output, logit, new_state
 
@@ -208,12 +211,6 @@ def ntm_cell_step(
     read = jnp.einsum(
         "brn,bnd->brd", w_read, read_src, preferred_element_type=jnp.float32
     )
-
-    # output head (ntm_cell.py:220-221)
-    logit = (
-        ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
-    ).astype(jnp.float32) + params["out_b"]
-    output = jax.nn.softmax(logit, axis=-1)
 
     new_state = {"M": M, "w": w, "read": read, "controller_state": ctrl_state}
     if with_debug:

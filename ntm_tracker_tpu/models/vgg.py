@@ -48,6 +48,21 @@ VGG16_PREFIX: List[Tuple[str, int, bool]] = [
     ("conv5/conv5_3", 512, True),
 ]
 
+# (kernel, stride, pad, name) for the conv1_1..conv4_3 prefix, derived from
+# VGG16_PREFIX — the geometry table receptive_field()/project_receptive_field()
+# walk (receptive_field_sizes.py net definition through conv4_3)
+def _net_def_through_conv43() -> List[Tuple[int, int, int, str]]:
+    out: List[Tuple[int, int, int, str]] = []
+    for name, _ch, pooled in VGG16_PREFIX[:10]:  # conv1_1 .. conv4_3
+        short = name.split("/")[-1]
+        out.append((3, 1, 1, short))  # every VGG conv is 3x3/s1/p1
+        if pooled and short != "conv4_3":  # projectRF's table has no pool4
+            out.append((2, 2, 0, "pool" + short[4]))
+    return out
+
+
+NET_DEF: List[Tuple[int, int, int, str]] = _net_def_through_conv43()
+
 # VGG preprocessing mean, RGB (direct_offset_output.py:58-59)
 VGG_MEAN = np.array([123.68, 116.78, 103.94], dtype=np.float32)
 
@@ -332,13 +347,7 @@ def project_receptive_field(
 
     Returns ((ymin, xmin), (ymax, xmax)) inclusive pixel coords; clamped to
     the image like the reference's `rectify` (:132-133)."""
-    net_def = [
-        (3, 1, 1, "conv1_1"), (3, 1, 1, "conv1_2"), (2, 2, 0, "pool1"),
-        (3, 1, 1, "conv2_1"), (3, 1, 1, "conv2_2"), (2, 2, 0, "pool2"),
-        (3, 1, 1, "conv3_1"), (3, 1, 1, "conv3_2"), (3, 1, 1, "conv3_3"),
-        (2, 2, 0, "pool3"),
-        (3, 1, 1, "conv4_1"), (3, 1, 1, "conv4_2"), (3, 1, 1, "conv4_3"),
-    ]
+    net_def = NET_DEF
     idx = next(i for i, (_, _, _, n) in enumerate(net_def) if n == layer)
     y0 = y1 = y
     x0 = x1 = x
@@ -357,13 +366,7 @@ def receptive_field(net_def=None, input_size: int = 224):
     """Receptive field / absolute stride / blob size per layer
     (receptive_field_sizes.py:20-30). Dev utility kept for parity."""
     if net_def is None:
-        net_def = [
-            (3, 1, 1, "conv1_1"), (3, 1, 1, "conv1_2"), (2, 2, 0, "pool1"),
-            (3, 1, 1, "conv2_1"), (3, 1, 1, "conv2_2"), (2, 2, 0, "pool2"),
-            (3, 1, 1, "conv3_1"), (3, 1, 1, "conv3_2"), (3, 1, 1, "conv3_3"),
-            (2, 2, 0, "pool3"),
-            (3, 1, 1, "conv4_1"), (3, 1, 1, "conv4_2"), (3, 1, 1, "conv4_3"),
-        ]
+        net_def = NET_DEF
     r, s = 1, 1
     rows = [(1, 1, input_size, "data")]
     size = input_size

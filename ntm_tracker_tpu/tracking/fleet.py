@@ -28,7 +28,12 @@ from ntm_tracker_tpu.data import geometry
 from ntm_tracker_tpu.data.image_ops import crop_and_resize
 from ntm_tracker_tpu.models.core import MemoryCore, make_core
 from ntm_tracker_tpu.models.vgg import VGG_MEAN
-from ntm_tracker_tpu.tracking.tracker import build_frame_step
+from ntm_tracker_tpu.tracking.tracker import (
+    build_frame_step,
+    decode_region,
+    first_frame_gt,
+    region_geometry,
+)
 
 
 @dataclasses.dataclass
@@ -91,18 +96,9 @@ class FleetTracker:
 
     # -- slot management ----------------------------------------------------
     def _slot_geometry(self, t: _Track, region_xywh):
-        x1, y1, w, h = region_xywh
-        normalized = x1 < 1 and y1 < 1 and w < 1 and h < 1
-        bbox = (y1, x1, y1 + h, x1 + w)
-        width, height = t.image_size
-        t.normalized_bbox = (
-            bbox if normalized else geometry.normalize_bbox((width, height), bbox)
+        t.normalized_bbox, t.cropbox, t.transformation = region_geometry(
+            self.cfg.data, t.image_size, region_xywh
         )
-        d = self.cfg.data
-        t.cropbox = geometry.calculate_cropbox(
-            t.normalized_bbox, d.cropbox_grid, d.bbox_grid
-        )
-        t.transformation = geometry.calculate_transformation(t.cropbox)
 
     def add(self, image: np.ndarray, region_xywh) -> int:
         """Claim a slot and present the target-indicated first frame."""
@@ -116,19 +112,10 @@ class FleetTracker:
         self._slot_geometry(t, region_xywh)
         self._tracks[slot] = t
 
-        d = self.cfg.data
         crop = self._crop_jit(
             jnp.asarray(image[None]), jnp.asarray([t.cropbox], jnp.float32)
         )
-
-        gt_side = int(round(self.cfg.num_features ** 0.5))
-        gt = geometry.generate_gt(
-            geometry.apply_transformation(t.normalized_bbox, t.transformation),
-            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
-            # float bbox grid: same sigma as the reference for the
-            # canonical 8/6 config (6.0/3 == 6//3 == 2) but avoids the
-            # int-division zero for tiny test grids
-        ).astype(np.float32)
+        gt = first_frame_gt(self.cfg, t.normalized_bbox, t.transformation)
 
         # run the first-frame step at B=1 (the jit specializes per shape, so
         # this costs one track's compute, not a full-capacity VGG pass) and
@@ -205,11 +192,7 @@ class FleetTracker:
             t = self._tracks[i]
             dy, dx = offsets[i]
             new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
-            y1, x1, y2, x2 = geometry.apply_transformation(
-                new_bbox, np.linalg.inv(t.transformation)
-            )
-            w, h = t.image_size
-            region = (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)
+            region = decode_region(t.transformation, t.image_size, new_bbox)
             self._slot_geometry(t, region)
             out[i] = region
         return out

@@ -118,6 +118,49 @@ def build_frame_step(
     return step_first, step_rest
 
 
+# -- host-side crop/decode geometry, shared by StreamingTracker and the
+# fleet tracker (tracking/fleet.py) so the two can never diverge ----------
+
+def region_geometry(cfg_data, image_size, region_xywh):
+    """(normalized_bbox, cropbox, transformation) for a tracked region
+    (test_tracker.py:301-329). region is (x, y, w, h); values all < 1 are
+    treated as already-normalized (the VOT file protocol passes pixels)."""
+    x1, y1, w, h = region_xywh
+    normalized = x1 < 1 and y1 < 1 and w < 1 and h < 1
+    bbox = (y1, x1, y1 + h, x1 + w)
+    width, height = image_size
+    nb = bbox if normalized else geometry.normalize_bbox((width, height), bbox)
+    cropbox = geometry.calculate_cropbox(
+        nb, cfg_data.cropbox_grid, cfg_data.bbox_grid
+    )
+    return nb, cropbox, geometry.calculate_transformation(cropbox)
+
+
+def decode_region(transformation, image_size, normalized_bbox):
+    """Cropbox-space bbox -> (x, y, w, h) pixel region via the inverse crop
+    transform (test_tracker.py:257-272)."""
+    y1, x1, y2, x2 = geometry.apply_transformation(
+        normalized_bbox, np.linalg.inv(transformation)
+    )
+    w, h = image_size
+    return (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)
+
+
+def first_frame_gt(cfg, normalized_bbox, transformation) -> np.ndarray:
+    """The frame-0 Gaussian target indicator (test_tracker.py:384-394).
+
+    gt grid side = sqrt(num_features): equals cropbox_grid (8) in the full
+    config (test_tracker.py:390-393); kept general for tests. Float bbox
+    grid: same sigma as the reference for the canonical 8/6 config
+    (6.0/3 == 6//3 == 2) but avoids the int-division zero for tiny grids."""
+    d = cfg.data
+    gt_side = int(round(cfg.num_features ** 0.5))
+    return geometry.generate_gt(
+        geometry.apply_transformation(normalized_bbox, transformation),
+        gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
+    ).astype(np.float32)
+
+
 @dataclasses.dataclass
 class StreamingTracker:
     """Host-side tracking loop: crop geometry + device frame steps.
@@ -150,25 +193,12 @@ class StreamingTracker:
 
     # -- geometry (host) ---------------------------------------------------
     def _update_bbox(self, image_size, region_xywh):
-        x1, y1, w, h = region_xywh
-        normalized = x1 < 1 and y1 < 1 and w < 1 and h < 1
-        bbox = (y1, x1, y1 + h, x1 + w)
-        width, height = image_size
-        self.normalized_bbox = (
-            bbox if normalized else geometry.normalize_bbox((width, height), bbox)
+        self.normalized_bbox, self.cropbox, self.transformation = (
+            region_geometry(self.cfg.data, image_size, region_xywh)
         )
-        d = self.cfg.data
-        self.cropbox = geometry.calculate_cropbox(
-            self.normalized_bbox, d.cropbox_grid, d.bbox_grid
-        )
-        self.transformation = geometry.calculate_transformation(self.cropbox)
 
     def _decode_bbox(self, normalized_bbox):
-        y1, x1, y2, x2 = geometry.apply_transformation(
-            normalized_bbox, np.linalg.inv(self.transformation)
-        )
-        w, h = self.image_size
-        return (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)  # x,y,w,h pixels
+        return decode_region(self.transformation, self.image_size, normalized_bbox)
 
     # -- protocol ------------------------------------------------------------
     def init(self, image: np.ndarray, region_xywh) -> None:
@@ -176,20 +206,10 @@ class StreamingTracker:
         h, w, _ = image.shape
         self.image_size = (w, h)
         self._update_bbox(self.image_size, region_xywh)
-        d = self.cfg.data
         crop = self._crop_jit(
             jnp.asarray(image), jnp.asarray(self.cropbox, jnp.float32)
         )
-        # gt grid side = sqrt(num_features): equals cropbox_grid (8) in the
-        # full config (test_tracker.py:390-393); kept general for tests
-        gt_side = int(round(self.cfg.num_features ** 0.5))
-        gt = geometry.generate_gt(
-            geometry.apply_transformation(self.normalized_bbox, self.transformation),
-            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
-            # float bbox grid: same sigma as the reference for the
-            # canonical 8/6 config (6.0/3 == 6//3 == 2) but avoids the
-            # int-division zero for tiny test grids
-        ).astype(np.float32)
+        gt = first_frame_gt(self.cfg, self.normalized_bbox, self.transformation)
         state = self.core.init_state(self.params, 1)
         _, self.state = self._step_first(
             crop[None], jnp.asarray(gt.reshape(1, -1)), state
