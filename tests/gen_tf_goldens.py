@@ -488,6 +488,19 @@ def _make_sonnet_stub():
         def __init__(self, name="module", *args, **kwargs):
             self._name = kwargs.get("name", name)
 
+        def _enter_variable_scope(self):
+            # sonnet modules build submodules inside their own scope
+            return tf.variable_scope(self._name, reuse=tf.AUTO_REUSE)
+
+        def initial_state(self, batch_size, dtype=tf.float32):
+            # snt.RNNCore default: zeros shaped by state_size
+            return tf.nest.map_structure(
+                lambda s: tf.zeros(
+                    [batch_size] + tf.TensorShape(s).as_list(), dtype
+                ),
+                self.state_size,
+            )
+
         def __call__(self, *args, **kwargs):
             # sonnet modules are templates: variables are shared across
             # calls, so pin the exact scope name and AUTO_REUSE
@@ -693,6 +706,137 @@ def gen_dnc_access_goldens():
     for name in linear_sizes:
         out[f"dncacc_{name}_w"] = lin[name][0]
         out[f"dncacc_{name}_b"] = lin[name][1]
+    return out
+
+
+def gen_dnc_core_goldens():
+    """Execute the reference's FULL DNC core (dnc/dnc.py:36-142) — sonnet
+    LSTM controller + MemoryAccess + output linear, with the read-word
+    concat wiring (:106-107,118) and clip_value clamping (:78-82,112-113) —
+    for several sequential steps from its own initial_state.
+
+    The sonnet stub gains snt.LSTM here, written to sonnet-v1
+    gated_rnn.LSTM's math: gates = [x, h_prev] @ w_gates + b_gates split
+    (i, j, f, o), c' = sig(f + forget_bias=1)*c + sig(i)*tanh(j),
+    h' = tanh(c')*sig(o) — the same BasicLSTMCell lineage the generator
+    cross-checks against tf.raw_ops.LSTMBlockCell elsewhere."""
+    snt = _make_sonnet_stub()
+
+    import collections
+
+    # sonnet v1 LSTMState(hidden, cell); a namedtuple so tf.nest can
+    # reconstruct it
+    _LSTMState = collections.namedtuple("LSTMState", ("hidden", "cell"))
+
+    class _LSTM:
+        def __init__(self, hidden_size, name="lstm", **_kw):
+            self._hidden_size = hidden_size
+            self._name = name
+
+        def __call__(self, inputs, prev_state):
+            with tf.variable_scope(self._name, reuse=tf.AUTO_REUSE):
+                prev_hidden, prev_cell = prev_state
+                in_dim = int(inputs.shape[1])
+                w = tf.get_variable(
+                    "w_gates", [in_dim + self._hidden_size, 4 * self._hidden_size]
+                )
+                b = tf.get_variable(
+                    "b_gates", [4 * self._hidden_size],
+                    initializer=tf.zeros_initializer(),
+                )
+                gates = tf.matmul(tf.concat([inputs, prev_hidden], 1), w) + b
+                i, j, f, o = tf.split(gates, 4, axis=1)
+                next_cell = (
+                    tf.sigmoid(f + 1.0) * prev_cell + tf.sigmoid(i) * tf.tanh(j)
+                )
+                next_hidden = tf.tanh(next_cell) * tf.sigmoid(o)
+                return next_hidden, _LSTMState(next_hidden, next_cell)
+
+        @property
+        def state_size(self):
+            return _LSTMState(
+                tf.TensorShape([self._hidden_size]),
+                tf.TensorShape([self._hidden_size]),
+            )
+
+        def initial_state(self, batch_size, dtype=tf.float32):
+            z = tf.zeros([batch_size, self._hidden_size], dtype)
+            return _LSTMState(z, z)
+
+    class _BatchFlatten:
+        def __call__(self, x):
+            return tf.reshape(x, [tf.shape(x)[0], -1])
+
+    snt.LSTM = _LSTM
+    snt.BatchFlatten = _BatchFlatten
+    snt.nest = types.SimpleNamespace(map=tf.nest.map_structure)
+
+    util_mod = _load_patched_module("dnc/util.py", "_dnc_util2")
+    addr = _load_patched_module(
+        "dnc/addressing.py", "_dnc_addressing2",
+        extra_globals={"util": util_mod},
+        extra_patches=[("from . import util", "")],
+    )
+    access = _load_patched_module(
+        "dnc/access.py", "_dnc_access2",
+        extra_globals={"addressing": addr, "util": util_mod},
+        extra_patches=[("from . import addressing", ""),
+                       ("from . import util", "")],
+    )
+    dnc_mod = _load_patched_module(
+        "dnc/dnc.py", "_dnc_core",
+        extra_globals={"access": access},
+        extra_patches=[("from . import access", "")],
+    )
+
+    rs = np.random.RandomState(11)
+    B, N, W, R, Wh, IN, HID, OUT, T = 2, 12, 6, 3, 2, 9, 16, 5, 4
+    CLIP = 20.0
+    inputs = rs.uniform(-1, 1, (T, B, IN)).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        core = dnc_mod.DNC(
+            access_config=dict(
+                memory_size=N, word_size=W, num_reads=R, num_writes=Wh
+            ),
+            controller_config=dict(hidden_size=HID),
+            output_size=OUT,
+            clip_value=CLIP,
+        )
+        state = core.initial_state(B)
+        outs = []
+        for t in range(T):
+            out_t, state = core(tf.constant(inputs[t]), state)
+            outs.append(out_t)
+
+        sess.run(tf.global_variables_initializer())
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        injected = {}
+        for name, v in gvars.items():
+            arr = rs.uniform(-0.3, 0.3, v.shape.as_list()).astype(np.float32)
+            v.load(arr, sess)
+            # strip the scope nesting: keep "<module>/<var>" (e.g.
+            # "write_vectors/w", "lstm/w_gates", "output_linear/b")
+            injected["/".join(name.split("/")[-2:])] = arr
+        outs_v, final = sess.run([outs, state])
+
+    out = {
+        "dnccore_inputs": inputs,
+        "dnccore_outputs": np.stack(outs_v),
+        "dnccore_final_access_output": final.access_output,
+        "dnccore_final_memory": final.access_state.memory,
+        "dnccore_final_read_weights": final.access_state.read_weights,
+        "dnccore_final_write_weights": final.access_state.write_weights,
+        "dnccore_final_link": final.access_state.linkage.link,
+        "dnccore_final_precedence": final.access_state.linkage.precedence_weights,
+        "dnccore_final_usage": final.access_state.usage,
+        "dnccore_final_ctrl_hidden": final.controller_state[0],
+        "dnccore_final_ctrl_cell": final.controller_state[1],
+        "dnccore_config": np.array([B, N, W, R, Wh, IN, HID, OUT, T], np.int64),
+        "dnccore_clip": np.array(CLIP, np.float32),
+    }
+    for name, arr in injected.items():
+        out[f"dnccore_var_{name.replace('/', '__')}"] = arr
     return out
 
 
@@ -980,6 +1124,13 @@ def main():
     ops.update(gen_dnc_access_goldens())
     np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
     print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
+
+    print("executing reference DNC core (stubbed sonnet LSTM) ...")
+    core = gen_dnc_core_goldens()
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_dnc_core.npz"), **core
+    )
+    print(f"  wrote tf_goldens_dnc_core.npz ({len(core)} arrays)")
 
     print("executing reference NTM cell: flagship config, 65-step rollout ...")
     flagship = gen_cell_rollout(

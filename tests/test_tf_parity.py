@@ -23,6 +23,10 @@ Fixture provenance (committed .npz, regenerable with TF + /root/reference):
                                 executed on the synthetic VID tree: every
                                 output .txt/.bin byte-for-byte
                                 (tests/gen_preprocess_golden.py)
+  tf_goldens_dnc_core.npz     — the reference's FULL DNC core (dnc/dnc.py:
+                                LSTM controller + MemoryAccess + output
+                                linear, clip_value wiring) executed 4 steps
+                                with all 24 variables injected
   (tf_goldens_ops.npz also holds the reference's dnc/addressing.py outputs,
   executed under a minimal sonnet stub — cosine/linkage/usage/allocation)
 
@@ -594,3 +598,62 @@ def test_offline_preprocess_matches_executed_reference(tmp_path):
     assert set(ours) == set(ref_files)
     for p in sorted(ref_files):
         assert ours[p] == ref_files[p], f"byte mismatch in {p}"
+
+
+def test_dnc_core_matches_executed_reference():
+    """The FULL DNC core vs the executed dnc/dnc.py (stubbed-sonnet run,
+    incl. an snt.LSTM stub with sonnet-v1 gate math): 4 sequential steps
+    from the reference's own initial_state with ALL 24 variables injected.
+    Covers the read-word concat wiring (:106-107,118), the clip_value
+    clamping of controller output/state and core output (:78-82,112-113),
+    and the output linear — on top of the already-verified MemoryAccess."""
+    from ntm_tracker_tpu.config import DNCConfig
+    from ntm_tracker_tpu.models.dnc.access import _interface_sizes
+    from ntm_tracker_tpu.models.dnc.dnc import dnc_step, init_dnc_state
+
+    g = _load("tf_goldens_dnc_core.npz")
+    B, N, W, R, Wh, IN, HID, OUT, T = [int(x) for x in g["dnccore_config"]]
+    cfg = DNCConfig(
+        memory_size=N, word_size=W, num_reads=R, num_writes=Wh,
+        hidden_size=HID, output_dim=OUT,
+        clip_value=float(g["dnccore_clip"]),
+    )
+
+    def v(name):
+        return jnp.asarray(g[f"dnccore_var_{name}"])
+
+    ws = [np.asarray(v(f"{n}__w")) for n in _interface_sizes(cfg)]
+    bs = [np.asarray(v(f"{n}__b")) for n in _interface_sizes(cfg)]
+    params = {
+        "controller": [{"kernel": v("lstm__w_gates"), "bias": v("lstm__b_gates")}],
+        "access": {
+            "interface_w": jnp.asarray(np.concatenate(ws, axis=1)),
+            "interface_b": jnp.asarray(np.concatenate(bs)),
+        },
+        "out_w": v("output_linear__w"),
+        "out_b": v("output_linear__b"),
+    }
+    state = init_dnc_state(cfg, B)
+    outs = []
+    for t in range(T):
+        out_t, state = jax.jit(dnc_step, static_argnums=1)(
+            params, cfg, jnp.asarray(g["dnccore_inputs"][t]), state
+        )
+        outs.append(np.asarray(out_t))
+    np.testing.assert_allclose(np.stack(outs), g["dnccore_outputs"], atol=1e-5)
+    np.testing.assert_allclose(
+        state.access_output, g["dnccore_final_access_output"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.access_state.memory, g["dnccore_final_memory"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.access_state.usage, g["dnccore_final_usage"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        state.access_state.linkage.link, g["dnccore_final_link"], atol=1e-5
+    )
+    # our LSTM state is (c, h); the golden's is (hidden, cell)
+    c, h = state.controller_state[0]
+    np.testing.assert_allclose(h, g["dnccore_final_ctrl_hidden"], atol=1e-5)
+    np.testing.assert_allclose(c, g["dnccore_final_ctrl_cell"], atol=1e-5)
