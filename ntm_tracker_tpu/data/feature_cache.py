@@ -214,27 +214,13 @@ def load_token_batch(
     """Assemble a token batch: per-frame .npy tokens from the cache +
     gt/offset fields from the .txt/.bin records (the cheap part of the
     loader — no JPEG decode, no resize)."""
+    from ntm_tracker_tpu.data.loader import load_record_arrays
+
     root = _variant_dir(cache_dir, reverse_image)
     feats = np.stack([np.load(_frame_path(root, p)) for p in frame_paths])
-
-    offsets = gts = None
-    if use_native:
-        try:
-            from ntm_tracker_tpu.data.native_loader import load_records_native
-
-            _crops, _bboxes, offsets, gts, _paths = load_records_native(
-                frame_paths, gt_width
-            )
-        except RuntimeError:
-            pass
-    if offsets is None:
-        from ntm_tracker_tpu.data.preprocess import read_frame_record
-
-        recs = [read_frame_record(p, gt_width) for p in frame_paths]
-        offsets = np.array(
-            [[r["y_offset"], r["x_offset"]] for r in recs], np.float32
-        )
-        gts = np.stack([r["gt"] for r in recs]).astype(np.float32)
+    _crops, offsets, gts, _paths = load_record_arrays(
+        frame_paths, gt_width, use_native
+    )
     xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
     return TokenBatch(
         features=feats,

@@ -85,6 +85,33 @@ def _decode_images_parallel(paths: Sequence[str], resize_hw, workers: int = 8) -
         return np.stack(list(ex.map(lambda p: _decode_image(p, resize_hw), paths)))
 
 
+def load_record_arrays(
+    frame_paths: Sequence[str], gt_width: int = 8, use_native: bool = True
+):
+    """(cropboxes [N,4], offsets [N,2], gts [N,g,g] — all float32 — and
+    image paths) for a list of frame records: the native C++ thread-pool
+    reader (native/record_loader.cpp) with Python fallback. The single
+    .txt/.bin reader shared by the image path (load_frame_batch) and the
+    feature-cache path (feature_cache.load_token_batch)."""
+    if use_native:
+        try:
+            from ntm_tracker_tpu.data.native_loader import load_records_native
+
+            crops, _bboxes, offsets, gts, img_paths = load_records_native(
+                frame_paths, gt_width
+            )
+            return np.asarray(crops, np.float32), offsets, gts, list(img_paths)
+        except RuntimeError:
+            pass  # no native toolchain; fall through to the Python reader
+    recs = [read_frame_record(p, gt_width) for p in frame_paths]
+    crops = np.asarray([r["cropbox"] for r in recs], np.float32)
+    offsets = np.array(
+        [[r["y_offset"], r["x_offset"]] for r in recs], np.float32
+    )
+    gts = np.stack([r["gt"] for r in recs]).astype(np.float32)
+    return crops, offsets, gts, [r["image_path"] for r in recs]
+
+
 def load_frame_batch(
     frame_paths: Sequence[str],
     gt_width: int = 8,
@@ -104,7 +131,19 @@ def load_frame_batch(
     equivalent to the reference's flip-after-crop under the corner-aligned
     crop_and_resize grid. (The frame-0 gt indicator channel is NOT flipped
     — the reference doesn't flip it either.)
+
+    The sample-exactness claim requires flipping AFTER the 720x1280 host
+    resize: the TF1 resize grid (src = i * in/out) is not flip-equivariant,
+    so flip-then-device-resize would shift every flipped crop by a constant
+    sub-pixel amount. decode_resize_hw=None + reverse_image is therefore
+    rejected (the CLI falls back to host resize for this combination).
     """
+    if reverse_image and decode_resize_hw is None:
+        raise ValueError(
+            "reverse_image requires the host-side resize (set "
+            "decode_resize_hw): the TF1 resize grid is not flip-equivariant, "
+            "so flipping before the device resize breaks reference parity"
+        )
 
     def _flip(images, cropboxes):
         images = np.ascontiguousarray(images[:, :, ::-1])
@@ -112,42 +151,19 @@ def load_frame_batch(
         c[:, 1], c[:, 3] = 1.0 - cropboxes[:, 3], 1.0 - cropboxes[:, 1]
         return images, c
 
-    if use_native:
-        try:
-            from ntm_tracker_tpu.data.native_loader import load_records_native
-
-            crops, _bboxes, offsets, gts, img_paths = load_records_native(
-                frame_paths, gt_width
-            )
-            imgs = _decode_images_parallel(img_paths, decode_resize_hw)
-            xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
-            if reverse_image:
-                imgs, crops = _flip(imgs, crops)
-            return FrameBatch(
-                images=imgs, cropboxes=crops, gts=gts,
-                y_offsets=offsets[:, 0].copy(), x_offsets=np.asarray(xo),
-            )
-        except RuntimeError:
-            pass  # no native toolchain; fall through to the Python reader
-
-    crops, gts, yo, xo, img_paths = [], [], [], [], []
-    for p in frame_paths:
-        rec = read_frame_record(p, gt_width)
-        img_paths.append(rec["image_path"])
-        crops.append(rec["cropbox"])
-        gts.append(rec["gt"])
-        yo.append(rec["y_offset"])
-        xo.append(-rec["x_offset"] if reverse_image else rec["x_offset"])
+    crops, offsets, gts, img_paths = load_record_arrays(
+        frame_paths, gt_width, use_native
+    )
     images = _decode_images_parallel(img_paths, decode_resize_hw)
-    cropboxes = np.asarray(crops, np.float32)
+    xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
     if reverse_image:
-        images, cropboxes = _flip(images, cropboxes)
+        images, crops = _flip(images, crops)
     return FrameBatch(
         images=images,
-        cropboxes=cropboxes,
-        gts=np.stack(gts).astype(np.float32),
-        y_offsets=np.asarray(yo, np.float32),
-        x_offsets=np.asarray(xo, np.float32),
+        cropboxes=crops,
+        gts=gts,
+        y_offsets=offsets[:, 0].copy(),
+        x_offsets=np.asarray(xo),
     )
 
 
@@ -158,6 +174,7 @@ class PrefetchIterator:
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._sentinel = object()
         self._device_put = device_put
+        self._error: Optional[BaseException] = None
 
         def worker():
             try:
@@ -165,6 +182,11 @@ class PrefetchIterator:
                     if device_put is not None:
                         item = device_put(item)
                     self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                # a worker-thread failure (corrupt record, missing JPEG, ...)
+                # must surface in the consumer, not truncate the epoch as a
+                # clean StopIteration
+                self._error = e
             finally:
                 self._q.put(self._sentinel)
 
@@ -177,6 +199,8 @@ class PrefetchIterator:
     def __next__(self):
         item = self._q.get()
         if item is self._sentinel:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 

@@ -66,14 +66,20 @@ def process_shard_sequences(
     items: Sequence, process_id: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> list:
-    """Deterministic per-host dataset shard: round-robin so every process
-    reads a disjoint subset and the union covers everything. Defaults to the
-    live jax process topology."""
+    """Deterministic per-host dataset shard: round-robin over disjoint
+    subsets, TRUNCATED to the same length on every process. Defaults to the
+    live jax process topology.
+
+    Equal lengths are load-bearing, not cosmetic: every train/eval step is
+    a global collective, so if one host's shard yielded even one more batch
+    per epoch, that host would block forever in a collective the others
+    never enter. len(items) % n trailing items are dropped (at most n-1)."""
     pid = jax.process_index() if process_id is None else process_id
     n = jax.process_count() if process_count is None else process_count
     if not 0 <= pid < n:
         raise ValueError(f"process_id {pid} out of range for {n} processes")
-    return list(items)[pid::n]
+    per = len(items) // n
+    return list(items)[pid::n][:per]
 
 
 def global_batch_from_local(

@@ -208,13 +208,20 @@ class OffsetExperiment:
         logits, views, _final = unroll_states(
             self.core, core_params, tokens, stride=stride, full_logits=True
         )
-        B = tokens.shape[0]
+        return self._eval_aux_from_logits(logits, batch), views
+
+    def _eval_aux_from_logits(self, logits: jax.Array, batch) -> Dict:
+        """Eval aux from the full [B, T, out] logits — must agree with
+        loss_fn's aux (asserted in tests); overridden per serialization."""
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        B = logits.shape[0]
         offsets = jnp.stack(
             [batch["y_offsets"], batch["x_offsets"]], axis=1
         ).reshape(B, L, 2)
         loss = offsets_loss(logits, offsets, cfg.num_features)
         preds = jnp.tanh(gather_delimiter_outputs(logits, cfg.num_features))
-        return {"loss": loss, "pred_offsets": preds}, views
+        return {"loss": loss, "pred_offsets": preds}
 
 
 def synthetic_offset_batch(
@@ -326,6 +333,20 @@ class HeatmapExperiment(OffsetExperiment):
         else:
             tokens = serialize_tokens(features, gts[:, 0, :])
         return tokens, params["core"]
+
+    def _eval_aux_from_logits(self, logits: jax.Array, batch) -> Dict:
+        from ntm_tracker_tpu.train.serialize import heatmap_loss
+        from ntm_tracker_tpu.train.zoo import sequential_ce_loss
+
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        B = logits.shape[0]
+        gts = batch["gts"].reshape(B, L, cfg.num_features)
+        if self.serialization == "sequential":
+            loss = sequential_ce_loss(logits, gts, cfg.num_features)
+        else:
+            loss = heatmap_loss(logits, gts, cfg.num_features)
+        return {"loss": loss}
 
 
 # ---------------------------------------------------------------------------

@@ -145,16 +145,20 @@ def train_loop(
         for batch in train_batches:
             if max_steps is not None and step >= max_steps:
                 break
-            if step % validation_interval == 0 and eval_step and val_batches_fn:
-                accumu, count = 0.0, 0
-                for vb in val_batches_fn():
-                    aux = eval_step(params, vb)
-                    accumu += float(aux["loss"])
-                    count += 1
-                    if count >= validation_batch:
-                        break
-                if count:
-                    logger.log(step, val_loss=accumu / count)
+            if step % validation_interval == 0:
+                if eval_step and val_batches_fn:
+                    accumu, count = 0.0, 0
+                    for vb in val_batches_fn():
+                        aux = eval_step(params, vb)
+                        accumu += float(aux["loss"])
+                        count += 1
+                        if count >= validation_batch:
+                            break
+                    if count:
+                        logger.log(step, val_loss=accumu / count)
+                # checkpoint on the interval even with no validation split
+                # (the reference saves at every validation cadence,
+                # direct_offset_output.py:329-333)
                 if checkpoint is not None:
                     checkpoint.save(step, {"params": params, "opt_state": opt_state})
             if profiler is not None:

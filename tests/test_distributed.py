@@ -17,13 +17,18 @@ from ntm_tracker_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 
 
 class TestProcessShard:
-    def test_disjoint_and_covering(self):
+    def test_disjoint_equal_length_shards(self):
+        """Shards are disjoint and EXACTLY equal-length: every train step is
+        a global collective, so one extra batch on one host = a distributed
+        hang. At most n-1 trailing items are dropped."""
         items = [f"seq{i}" for i in range(37)]
         for n in (1, 2, 4, 7):
             shards = [process_shard_sequences(items, pid, n) for pid in range(n)]
-            flat = sorted(x for s in shards for x in s)
-            assert flat == sorted(items)
-            assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+            flat = [x for s in shards for x in s]
+            assert len(set(flat)) == len(flat)  # disjoint
+            assert len({len(s) for s in shards}) == 1  # equal lengths
+            assert len(s := shards[0]) == len(items) // n
+            assert len(items) - len(flat) < n  # near-total coverage
 
     def test_defaults_to_live_topology(self):
         items = list(range(5))
@@ -67,3 +72,24 @@ class TestInitialize:
         monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
         assert initialize_distributed() is False
         assert jax.process_count() == 1
+
+
+class TestPrefetchErrors:
+    def test_worker_exception_propagates(self):
+        """A failure inside the prefetch thread must raise in the consumer,
+        not silently truncate the epoch as a clean StopIteration."""
+        from ntm_tracker_tpu.data.loader import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise IOError("corrupt record")
+
+        it = PrefetchIterator(gen())
+        assert next(it) == 1
+        with pytest.raises(IOError, match="corrupt record"):
+            next(it)
+
+    def test_clean_exhaustion_still_stops(self):
+        from ntm_tracker_tpu.data.loader import PrefetchIterator
+
+        assert list(PrefetchIterator(iter([1, 2, 3]))) == [1, 2, 3]

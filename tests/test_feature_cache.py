@@ -205,3 +205,13 @@ class TestFeatureCache:
             direct.reshape(flip.features.shape), flip.features,
             rtol=1e-4, atol=1e-4 * scale,
         )
+
+
+def test_flip_rejected_with_device_resize():
+    """Library-level guard: flip must follow the host resize (the TF1 grid
+    is not flip-equivariant), so reverse_image + decode_resize_hw=None is
+    an error rather than a silent sub-pixel parity break."""
+    from ntm_tracker_tpu.data.loader import load_frame_batch
+
+    with pytest.raises(ValueError, match="flip-equivariant"):
+        load_frame_batch(["x"], 2, reverse_image=True, decode_resize_hw=None)

@@ -61,3 +61,27 @@ def test_compressor_trains_jointly():
     params, opt_state, m = step(params, opt_state, batch)
     assert np.isfinite(float(m["loss"]))
     assert not np.allclose(np.asarray(params["compressor"]), w0)
+
+
+@pytest.mark.parametrize("serialization", ["frame", "sequential"])
+def test_heatmap_eval_with_views(serialization):
+    """eval_with_views (the --save_imgs single-pass path) must use the
+    HEATMAP loss, not inherit the offset loss (whose gather crashes or
+    mis-slices on the heatmap token layouts)."""
+    cfg = cfg_for(serialization)
+    exp = HeatmapExperiment(
+        cfg, init_vgg_params(jax.random.PRNGKey(0)), serialization=serialization
+    )
+    params, _ = exp.init(jax.random.PRNGKey(1))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_offset_batch(cfg, np.random.RandomState(0)).items()
+    }
+    aux, views = jax.jit(lambda p, b: exp.eval_with_views(p, b, max_snapshots=4))(
+        params, batch
+    )
+    ref = jax.jit(exp.make_eval_step())(params, batch)
+    np.testing.assert_allclose(
+        np.asarray(aux["loss"]), np.asarray(ref["loss"]), atol=1e-6
+    )
+    assert views["M"].shape[1] <= 4

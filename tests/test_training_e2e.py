@@ -137,3 +137,28 @@ def test_train_loop_profile_window(tmp_path):
                        recursive=True) + glob.glob(
         str(tmp_path / "profile" / "**" / "*.xplane.pb"), recursive=True)
     assert traces, "no profiler trace artifacts written"
+
+
+def test_train_loop_checkpoints_without_validation(tmp_path):
+    """A run with a CheckpointManager but NO validation split still saves on
+    the validation_interval cadence (regression: the save was nested inside
+    the eval branch)."""
+    import optax
+
+    params = {"w": jnp.zeros(3)}
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+
+    def train_step(p, s, batch):
+        g = {"w": jnp.ones(3)}
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, {"loss": jnp.float32(1.0)}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    train_loop(
+        train_step, None, params, opt_state,
+        train_batches=iter([{}] * 5),
+        val_batches_fn=None,
+        log_dir=str(tmp_path), validation_interval=2, checkpoint=mgr,
+    )
+    assert mgr.latest_step() == 4  # saved at steps 0, 2, 4
