@@ -194,10 +194,11 @@ def main():
     print(json.dumps(result))
 
 
-def _cached_train_throughput(B: int = 128, L: int = 20, iters: int = 10):
+def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
     """Full train step (grads + 1300-step BPTT + RMSProp) on precomputed
     tokens, the train-offsets --feature_cache path. Returns (frames/s,
-    step_ms)."""
+    step_ms). B=256 is the measured knee (17.8k f/s vs 16.7k at 128 and
+    17.3k at 512, tools/bench_train.py sweep)."""
     import jax
     import jax.numpy as jnp
 

@@ -14,6 +14,8 @@ reference's per-script tf.app.flags blocks:
   validate          <- validate_tracker.py
   copy-paste        <- main.py copy_paste
   find-validation-batch <- main.py find_validation_batch
+  train-active-resize <- main.py ntm_active_resize, COMPLETED (the
+                       reference function never wires its cell)
   bench             <- bench.py (headline benchmark)
 
 Flags keep the reference names and defaults (mem_size, mem_dim,
@@ -590,6 +592,67 @@ def cmd_train_wholeframe(args) -> int:
     return 0
 
 
+def cmd_train_active_resize(args) -> int:
+    """Closed-loop recrop training — the completed form of the reference's
+    unfinished ntm_active_resize (main.py:1294-1422; train/active_resize.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntm_tracker_tpu.data.pickle_dataset import (
+        active_resize_get_batch,
+        load_generated_sequences,
+        load_wholeframe_batch,
+    )
+    from ntm_tracker_tpu.train.active_resize import ActiveResizeExperiment
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    cfg = _tracker_config(args, "ntm")
+    vgg_params = _load_vgg(args)
+    exp = ActiveResizeExperiment(cfg, vgg_params, compress_dim=args.compress_dim)
+    params, opt_state = exp.init(jax.random.PRNGKey(cfg.train.seed))
+    step = jax.jit(exp.make_train_step())
+
+    real_log_dir = os.path.abspath(
+        os.path.join(args.log_dir, str(datetime.now()) + args.tag)
+    )
+    ckpt = CheckpointManager(os.path.join(real_log_dir, "ckpt"))
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}, partial=True
+        )
+        params = restored["params"]
+
+    seqs = load_generated_sequences(args.pickle_path, cfg.train.sequence_length)
+    print(f"{len(seqs)} sequences after length filtering")
+    import random as _random
+
+    rng = _random.Random(cfg.train.seed)
+    stepno = 0
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    for _epoch in range(cfg.train.num_epochs):
+        rng.shuffle(seqs)
+        index = 0
+        usable = len(seqs) // B * B
+        while index < usable:
+            frame_names, boxes, index = active_resize_get_batch(index, B, L, seqs)
+            frames = load_wholeframe_batch(frame_names, cfg.data.crop_size)
+            S = cfg.data.crop_size
+            batch = {
+                "frames": jnp.asarray(frames.reshape(B, L, S, S, 3)),
+                "bboxes": jnp.asarray(boxes),
+            }
+            params, opt_state, m = step(params, opt_state, batch)
+            if stepno % args.log_interval == 0:
+                print(f"{stepno}: loss {float(m['loss']):.5f}")
+            if stepno and stepno % args.validation_interval == 0:
+                ckpt.save(stepno, {"params": params, "opt_state": opt_state})
+            stepno += 1
+    ckpt.save(stepno, {"params": params, "opt_state": opt_state})
+    print(f"trained {stepno} steps; checkpoint in {real_log_dir}/ckpt")
+    return 0
+
+
 def cmd_lstm_only(args) -> int:
     """LSTM-only baseline training on the heatmap task (main.py:695-778)."""
     import jax
@@ -1023,6 +1086,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="present/ask protocol (ntm_two_step)")
     wf.add_argument("--compress_dim", type=int, default=128)
     wf.set_defaults(fn=cmd_train_wholeframe)
+
+    ar = sub.add_parser(
+        "train-active-resize",
+        help="closed-loop recrop training (the completed form of the "
+        "reference's unfinished ntm_active_resize)")
+    _add_model_flags(ar)
+    _add_train_flags(ar)
+    ar.add_argument("--pickle_path", default="generated_sequences.pkl")
+    ar.add_argument("--vgg_weights", default="")
+    ar.add_argument("--compress_dim", type=int, default=128)
+    ar.set_defaults(fn=cmd_train_active_resize)
 
     lo = sub.add_parser("lstm-only", help="LSTM baseline on the heatmap task")
     _add_model_flags(lo)

@@ -54,3 +54,28 @@ def load_wholeframe_batch(
     """Decode frames and resize straight to crop_size (read_imgs semantics,
     main.py:295-316 — no cropbox). Returns [B*L, S, S, 3] float32."""
     return _decode_images_parallel(frame_names, (crop_size, crop_size))
+
+
+def active_resize_get_batch(
+    index: int, batch_size: int, seq_length: int, seqs: Sequence
+) -> Tuple[List[str], np.ndarray, int]:
+    """Frame paths + NORMALIZED (y1,x1,y2,x2) gt boxes per frame, for the
+    closed-loop active-resize experiment (train/active_resize.py — the
+    reference's read_imgs_withbbox intent, main.py:1332-1336).
+
+    Returns (frame_names [B*L], boxes [B, L, 4], new_index)."""
+    from ntm_tracker_tpu.data import geometry
+
+    seq_batch = seqs[index : index + batch_size]
+    index += batch_size
+    frame_names: List[str] = []
+    boxes = []
+    for _seq_dir, _obj, _sid, _len, seq in seq_batch:
+        seq = seq[:seq_length]
+        frame_names += [x[0] for x in seq]
+        bs = []
+        for _path, size, bbox, _gts in seq:
+            (x0, y0), (x1, y1) = bbox
+            bs.append(geometry.normalize_bbox(size, [y0, x0, y1, x1]))
+        boxes.append(bs)
+    return frame_names, np.asarray(boxes, np.float32), index
