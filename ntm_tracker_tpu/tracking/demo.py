@@ -1,0 +1,193 @@
+"""Self-contained tracking demo on synthetic video: train briefly, then
+track a held-out clip and report IoU.
+
+No dataset required — generates moving-bright-square clips, builds
+reference-contract training batches from them (centered first-frame crop,
+fixed transformation, per-frame Gaussian gt + center offsets, exactly the
+offline preprocessor's geometry), trains the primary offset pipeline, and
+drives the STREAMING tracker (the per-frame recrop loop the VOT adapter
+uses) on a fresh clip.
+
+    python -m ntm_tracker_tpu.tracking.demo                 # quick (TPU ~1min)
+    python -m ntm_tracker_tpu.tracking.demo --train_steps 0 # untrained baseline
+    python -m ntm_tracker_tpu.tracking.demo --platform cpu --train_steps 30
+
+Measured on TPU v5e at the defaults: mean IoU 0.386 untrained ->
+**0.685 after 400 steps** (~10 min; the full-size pipeline measured
+0.288 -> 0.826 over 360 steps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import Tuple
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=4)
+def _crop_jit(size: int):
+    # mean-subtract BEFORE cropping, exactly like the streaming tracker's
+    # preprocessor (train/inference inputs must match); jitted once per
+    # crop size — eager per-op dispatch is slow over tunneled TPU backends
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.data.image_ops import crop_and_resize
+    from ntm_tracker_tpu.models.vgg import VGG_MEAN
+
+    return jax.jit(
+        lambda imgs, boxes: crop_and_resize(
+            imgs - jnp.asarray(VGG_MEAN), boxes, (size, size)
+        )
+    )
+
+
+def make_video(
+    rng: np.random.RandomState, n_frames: int, hw: Tuple[int, int] = (180, 320)
+):
+    """(frames [L,H,W,3] float32 RGB, boxes [L,4] normalized y1,x1,y2,x2)."""
+    H, W = hw
+    frames = (rng.rand(n_frames, H, W, 3) * 40).astype(np.float32)
+    boxes = np.zeros((n_frames, 4), np.float32)
+    cy, cx = rng.uniform(0.4, 0.6, 2)
+    half = rng.uniform(0.08, 0.12)
+    vy = vx = 0.0
+    for t in range(n_frames):
+        vy = np.clip(vy + rng.uniform(-0.01, 0.01), -0.02, 0.02)
+        vx = np.clip(vx + rng.uniform(-0.01, 0.01), -0.02, 0.02)
+        cy = float(np.clip(cy + vy, 0.25, 0.75))
+        cx = float(np.clip(cx + vx, 0.25, 0.75))
+        boxes[t] = (cy - half, cx - half, cy + half, cx + half)
+        y0, y1 = int((cy - half) * H), int((cy + half) * H)
+        x0, x1 = int((cx - half) * W), int((cx + half) * W)
+        frames[t, y0:y1, x0:x1] = 220.0
+    return frames, boxes
+
+
+def demo_config(crop_size: int = 64):
+    """A small flagship-shaped config: crop 64 -> conv4_3 is exactly the
+    8x8 token grid (all 64 points), gt 8x8, NTM 64x12."""
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.config import (
+        DataConfig,
+        NTMConfig,
+        TrackerConfig,
+        TrainConfig,
+    )
+
+    g = crop_size // 8  # conv4_3 stride is 8
+    return TrackerConfig(
+        core="ntm",
+        compute_dtype=jnp.float32,
+        ntm=NTMConfig(mem_size=64, mem_dim=12, controller_hidden_size=100,
+                      read_head_size=4),
+        data=DataConfig(crop_size=crop_size, gt_width=g),
+        train=TrainConfig(batch_size=4, sequence_length=8,
+                          learning_rate=3e-4),
+        num_features=g * g,
+        feature_points=tuple((y, x) for y in range(g) for x in range(g)),
+    )
+
+
+def training_batch(cfg, rng: np.random.RandomState):
+    """Reference-contract batch from synthetic clips: centered first-frame
+    cropbox, SAME transformation for the whole sequence, per-frame Gaussian
+    gt + center offsets (preprocess.py geometry)."""
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.data import geometry
+
+    d = cfg.data
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    gt_side = d.gt_width
+    images, crops, gts, yos, xos = [], [], [], [], []
+    for _ in range(B):
+        frames, boxes = make_video(rng, L)
+        cb = geometry.calculate_cropbox(boxes[0], d.cropbox_grid, d.bbox_grid)
+        tf = geometry.calculate_transformation(cb)
+        init_tb = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
+        for t in range(L):
+            tb = geometry.apply_transformation(boxes[t], tf)
+            heat = geometry.generate_gt(
+                tb, gt_side, gt_side * d.bbox_grid / d.cropbox_grid
+            )
+            dy, dx = geometry.calculate_offsets(tb, init_tb)
+            images.append(frames[t])
+            crops.append(cb)
+            gts.append(np.asarray(heat, np.float32))
+            yos.append(dy)
+            xos.append(dx)
+    imgs = jnp.asarray(np.stack(images))
+    boxes_a = jnp.asarray(np.stack(crops), jnp.float32)
+    cropped = _crop_jit(d.crop_size)(imgs, boxes_a)
+    return {
+        "images": cropped,
+        "cropboxes": boxes_a,
+        "gts": jnp.asarray(np.stack(gts)),
+        "y_offsets": jnp.asarray(np.asarray(yos, np.float32)),
+        "x_offsets": jnp.asarray(np.asarray(xos, np.float32)),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train_steps", type=int, default=400)
+    ap.add_argument("--eval_frames", type=int, default=40)
+    ap.add_argument("--crop_size", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ntm_tracker_tpu.data.geometry import bb_iou
+    from ntm_tracker_tpu.models.vgg import init_vgg_params
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+    from ntm_tracker_tpu.train.experiments import OffsetExperiment
+
+    cfg = demo_config(args.crop_size)
+    rng = np.random.RandomState(args.seed)
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
+    params, opt_state = exp.init(jax.random.PRNGKey(1))
+    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+
+    for i in range(args.train_steps):
+        batch = training_batch(cfg, rng)
+        params, opt_state, m = step(params, opt_state, batch)
+        if i % 20 == 0 or i == args.train_steps - 1:
+            print(f"train step {i}: loss {float(m['loss']):.4f}")
+
+    # held-out clip through the real streaming tracker (per-frame recrop)
+    frames, boxes = make_video(np.random.RandomState(args.seed + 1000),
+                               args.eval_frames)
+    H, W = frames.shape[1:3]
+    tracker = StreamingTracker(cfg, vgg, params)
+    b0 = boxes[0]
+    tracker.init(
+        frames[0],
+        (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H),
+    )
+    ious = []
+    for t in range(1, args.eval_frames):
+        x, y, w, h = tracker.track(frames[t])
+        gt = boxes[t]
+        ious.append(bb_iou(
+            (x, y, x + w, y + h),
+            (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
+        ))
+        if t % 10 == 0:
+            print(f"frame {t}: IoU {ious[-1]:.3f}")
+    print(f"mean IoU over {len(ious)} tracked frames: {np.mean(ious):.3f}"
+          f" ({'trained ' + str(args.train_steps) + ' steps' if args.train_steps else 'untrained'})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
