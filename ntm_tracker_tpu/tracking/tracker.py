@@ -115,7 +115,92 @@ def build_frame_step(
         lambda crops, state: frame_fn(crops, None, state),
         donate_argnums=(1,) if donate_state else (),
     )
+    step_first.frame_fn = frame_fn  # unjitted core, reused by the device loop
     return step_first, step_rest
+
+
+def make_device_track_step(
+    cfg: TrackerConfig,
+    core: MemoryCore,
+    vgg_params: Any,
+    params: Any,
+    delimiter_first: bool = False,
+):
+    """Fully device-resident per-frame tracking: the crop geometry, the
+    recrop, the VGG and the 65 cell steps all inside ONE jitted call — for
+    serving pipelines whose frames are already on device (video decode on
+    accelerator, fleet batches), where StreamingTracker's host-side numpy
+    geometry would force a device->host->device round trip per frame.
+
+    The geometry is bit-faithful to StreamingTracker, INCLUDING the
+    reference's (dim-1)/dim decode quirk (test_tracker.py:257-329: regions
+    are decoded with *dim but re-normalized with /(dim-1), so each recrop
+    scales the box by dim/(dim-1)); tests assert trajectory parity.
+
+    Returns (init_fn, step_fn):
+      init_fn(frames [B,H,W,3] raw RGB, bbox0 [B,4] y1x1y2x2 in the
+              tracker's /(dim-1) normalization, state) -> state
+      step_fn(frames, bbox, state) ->
+              (region [B,4] x,y,w,h pixels, next_bbox [B,4], state)
+    """
+    import numpy as _np
+
+    from ntm_tracker_tpu.data import geometry
+    from ntm_tracker_tpu.data.geometry_jnp import (
+        canonical_box,
+        cropbox_of,
+        to_image_space,
+    )
+
+    d = cfg.data
+    canon = canonical_box(d.cropbox_grid, d.bbox_grid)
+    # the frame-0 indicator: the gt box in its own crop IS the canonical
+    # box, so the heatmap is a constant (same one StreamingTracker computes
+    # per track via first_frame_gt)
+    gt_side = int(round(cfg.num_features ** 0.5))
+    half = d.bbox_grid / float(d.cropbox_grid) / 2.0
+    heat0 = jnp.asarray(
+        geometry.generate_gt(
+            (0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half),
+            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
+        ).astype(_np.float32).reshape(-1)
+    )
+
+    step_first, _ = build_frame_step(
+        cfg, core, vgg_params, params,
+        donate_state=False, delimiter_first=delimiter_first,
+    )
+    frame_fn = step_first.frame_fn
+
+    def _crop(frames, cropbox):
+        imgs = frames.astype(jnp.float32) - jnp.asarray(VGG_MEAN)
+        return crop_and_resize(imgs, cropbox, (d.crop_size, d.crop_size))
+
+    def init_fn(frames, bbox0, state):
+        crops = _crop(frames, cropbox_of(bbox0, d.cropbox_grid, d.bbox_grid))
+        B = crops.shape[0]
+        _, state = frame_fn(crops, jnp.tile(heat0[None], (B, 1)), state)
+        return state
+
+    def step_fn(frames, bbox, state):
+        H, W = frames.shape[1:3]
+        cb = cropbox_of(bbox, d.cropbox_grid, d.bbox_grid)
+        offsets, state = frame_fn(_crop(frames, cb), None, state)
+        pred_crop = canon[None] + jnp.concatenate([offsets, offsets], axis=-1)
+        img_box = to_image_space(pred_crop, cb)  # [B,4] y1x1y2x2, *1/dim units
+        y1, x1, y2, x2 = jnp.moveaxis(img_box, -1, 0)
+        region = jnp.stack(
+            [x1 * W, y1 * H, (x2 - x1) * W, (y2 - y1) * H], axis=-1
+        )
+        # the reference's decode/renormalize round trip: pixels = box*dim,
+        # next normalization divides by (dim-1)
+        quirk = jnp.asarray(
+            [H / (H - 1.0), W / (W - 1.0), H / (H - 1.0), W / (W - 1.0)],
+            jnp.float32,
+        )
+        return region, img_box * quirk, state
+
+    return jax.jit(init_fn), jax.jit(step_fn)
 
 
 # -- host-side crop/decode geometry, shared by StreamingTracker and the

@@ -139,3 +139,44 @@ class TestVOT:
             [vot.Point(1, 2), vot.Point(3, 4), vot.Point(5, 6)]
         )
         assert vot.encode_region(r) == "1.5,2.0,3.0,4.0"
+
+
+class TestDeviceTrackStep:
+    def test_trajectory_matches_streaming_tracker(self):
+        """The fully-on-device loop (geometry inside jit) must reproduce
+        StreamingTracker's host-geometry trajectory, INCLUDING the
+        reference's (dim-1)/dim decode quirk, over several recrops."""
+        from ntm_tracker_tpu.models.core import make_core
+        from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+
+        rng = np.random.RandomState(0)
+        H, W = 90, 160
+        frames = (rng.rand(6, H, W, 3) * 255).astype(np.float32)
+        region0 = (60.0, 30.0, 40.0, 30.0)  # x, y, w, h pixels
+
+        host = StreamingTracker(cfg, vgg, params, core)
+        host.init(frames[0], region0)
+        host_regions = [host.track(frames[t]) for t in range(1, 6)]
+
+        init_fn, step_fn = make_device_track_step(cfg, core, vgg, params)
+        x, y, w, h = region0
+        bbox = jnp.asarray(
+            [[y / (H - 1), x / (W - 1), (y + h) / (H - 1), (x + w) / (W - 1)]],
+            jnp.float32,
+        )
+        state = init_fn(frames[0:1], bbox, core.init_state(params, 1))
+        dev_regions = []
+        for t in range(1, 6):
+            region, bbox, state = step_fn(frames[t : t + 1], bbox, state)
+            dev_regions.append(np.asarray(region[0]))
+        # f32 in-graph vs f64 host geometry accumulates over recrops;
+        # 0.05 px over 5 chained crops is parity in substance
+        np.testing.assert_allclose(
+            np.asarray(dev_regions), np.asarray(host_regions),
+            atol=0.05, rtol=1e-4,
+        )
