@@ -63,3 +63,91 @@ class TestLstmOnlySmoke:
         assert args.fn(args) == 0
         out = capsys.readouterr().out
         assert "loss" in out  # at least one step ran and printed
+
+
+MODEL_TINY = ["--mem_size", "16", "--mem_dim", "8", "--hidden_size", "24",
+              "--read_head_size", "2"]
+
+
+def _run(argv):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+class TestCopyPasteSmoke:
+    def test_runs(self, tmp_path, capsys):
+        assert _run([
+            "copy-paste", *MODEL_TINY, "--batch_size", "4",
+            "--sequence_length", "4", "--num_epochs", "20",
+            "--log_interval", "10", "--log_dir", str(tmp_path),
+        ]) == 0
+        assert "loss" in capsys.readouterr().out
+
+
+class TestDncRepeatCopySmoke:
+    def test_runs(self, tmp_path, capsys):
+        assert _run([
+            "dnc-repeat-copy", "--hidden_size", "16", "--memory_size", "8",
+            "--word_size", "8", "--num_bits", "3", "--batch_size", "4",
+            "--num_training_iterations", "15", "--report_interval", "5",
+            "--checkpoint_dir", str(tmp_path / "ckpt"),
+        ]) == 0
+
+
+class TestHeatmapSmoke:
+    def test_frame_serialization_runs(self, dataset, tmp_path, capsys):
+        assert _run([
+            "train-heatmap", *MODEL_TINY,
+            "--sequences_dir", dataset,
+            "--serialization", "frame",
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--num_epochs", "1", "--log_interval", "1",
+            "--validation_interval", "1000",
+            "--log_dir", str(tmp_path),
+        ]) == 0
+
+
+class TestSanityCheckSmoke:
+    def test_runs(self, dataset, tmp_path, capsys):
+        assert _run([
+            "sanity-check", *MODEL_TINY,
+            "--sequences_dir", dataset, "--compress_dim", "8",
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--log_dir", str(tmp_path),
+        ]) == 0
+        assert "similarity" in capsys.readouterr().out.lower()
+
+
+class TestFindValidationBatchSmoke:
+    def test_runs(self, dataset, tmp_path, capsys):
+        assert _run([
+            "find-validation-batch", "--sequences_dir", dataset,
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--target_step", "2", "--log_dir", str(tmp_path),
+        ]) == 0
+
+
+class TestInspectBatchSmoke:
+    def test_writes_grid(self, dataset, tmp_path, capsys):
+        assert _run([
+            "inspect-batch", "--sequences_dir", dataset,
+            "--out_dir", str(tmp_path), "--sequence_length", str(SEQ_LEN),
+        ]) == 0
+        assert list(tmp_path.glob("*.png"))
+
+
+class TestCachedTrainSmoke:
+    def test_cache_then_train(self, dataset, tmp_path, capsys):
+        cache = str(tmp_path / "cache")
+        assert _run([
+            "cache-features", "--sequences_dir", dataset,
+            "--cache_dir", cache,
+        ]) == 0
+        assert _run([
+            "train-offsets", *MODEL_TINY,
+            "--sequences_dir", dataset, "--feature_cache", cache,
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--num_epochs", "1", "--log_interval", "1",
+            "--validation_interval", "1000",
+            "--log_dir", str(tmp_path / "log"),
+        ]) == 0
