@@ -105,9 +105,14 @@ def main():
         _, step_rest = build_frame_step(
             cfg, core, vgg_params, params, donate_state=True
         )
-        crops = jnp.asarray(
-            rng.rand(B, 224, 224, 3).astype(np.float32) * 150 - 75
-        )
+        # bound the host transient: rng.rand at the sweep's B=4096 ceiling
+        # would allocate ~4.9 GB of float64 scratch; tile a 64-sample block
+        # instead (identical tiles don't change the per-frame conv cost)
+        nb = min(B, 64)
+        block = rng.rand(nb, 224, 224, 3).astype(np.float32) * 150 - 75
+        if B > nb:
+            block = np.tile(block, (-(-B // nb), 1, 1, 1))[:B]
+        crops = jnp.asarray(block)
         state = core.init_state(params, B)
         # warmup (compile)
         for _ in range(warmup):

@@ -80,6 +80,7 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
 
 def _tracker_config(args, core: str):
     from ntm_tracker_tpu.config import (
+        DataConfig,
         DNCConfig,
         NTMConfig,
         TrackerConfig,
@@ -88,8 +89,18 @@ def _tracker_config(args, core: str):
 
     import jax.numpy as jnp
 
+    # gt_width != 8 changes the token/heatmap grid for EVERY consumer of
+    # the gt records (loader gts are gt_width^2): a centered stride-2 grid
+    # on the 28x28 conv4_3 map (the reference's 7x7 variants, main.py:54,80)
+    gw = getattr(args, "gt_width", 8)
+    grid_kwargs = (
+        {} if gw == 8
+        else {"num_features": gw * gw, "feature_points": _centered_grid(gw)}
+    )
     return TrackerConfig(
         core=core,
+        **grid_kwargs,
+        data=DataConfig(gt_width=gw),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         ntm=NTMConfig(
             output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
@@ -155,13 +166,7 @@ def _make_experiment(args, cfg, vgg_params):
     import dataclasses as _dc
 
     serialization = getattr(args, "serialization", "sequential")
-    # heatmap grid follows gt_width (7x7 or 8x8 in the reference's variants,
-    # main.py:54,80): a centered stride-2 grid on the 28x28 conv4_3 map
-    gw = getattr(args, "gt_width", 8)
-    if gw != 8:
-        cfg = _dc.replace(
-            cfg, num_features=gw * gw, feature_points=_centered_grid(gw)
-        )
+    # the gt_width-derived token grid is already applied by _tracker_config
     out_dim = 1 if serialization == "sequential" else cfg.num_features
     cfg = _dc.replace(
         cfg,
@@ -195,7 +200,7 @@ def cmd_train_offsets(args) -> int:
     from ntm_tracker_tpu.data.loader import PrefetchIterator, batch_iterator
     from ntm_tracker_tpu.data.sequences import get_valid_sequences
     from ntm_tracker_tpu.parallel.mesh import make_mesh, parallel_train_step, shard_batch
-    from ntm_tracker_tpu.train.harness import CheckpointManager, MetricLogger, train_loop
+    from ntm_tracker_tpu.train.harness import CheckpointManager, train_loop
 
     cfg = _tracker_config(args, args.core)
     real_log_dir = os.path.abspath(
@@ -529,13 +534,38 @@ def cmd_track_vot(args) -> int:
     return 0
 
 
+def _pickle_epoch_loop(args, cfg, seqs, make_batch, step, params, opt_state,
+                       ckpt, real_log_dir) -> int:
+    """The shuffle/step/log/checkpoint epoch loop shared by the
+    pickle-dataset trainers (the reference's train_and_val shape,
+    main.py:603-693). make_batch(index, seqs) -> (device batch, new index)."""
+    import random as _random
+
+    rng = _random.Random(cfg.train.seed)
+    stepno = 0
+    B = cfg.train.batch_size
+    for _epoch in range(cfg.train.num_epochs):
+        rng.shuffle(seqs)
+        index = 0
+        usable = len(seqs) // B * B
+        while index < usable:
+            batch, index = make_batch(index, seqs)
+            params, opt_state, m = step(params, opt_state, batch)
+            if stepno % args.log_interval == 0:
+                print(f"{stepno}: loss {float(m['loss']):.5f}")
+            if stepno and stepno % args.validation_interval == 0:
+                ckpt.save(stepno, {"params": params, "opt_state": opt_state})
+            stepno += 1
+    ckpt.save(stepno, {"params": params, "opt_state": opt_state})
+    print(f"trained {stepno} steps; checkpoint in {real_log_dir}/ckpt")
+    return 0
+
+
 def cmd_train_wholeframe(args) -> int:
     """ntm()/ntm_two_step() on the pickle-based mined dataset
     (main.py:780-977 + default_get_batch)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    import optax
 
     from ntm_tracker_tpu.data.pickle_dataset import (
         default_get_batch,
@@ -567,29 +597,17 @@ def cmd_train_wholeframe(args) -> int:
 
     seqs = load_generated_sequences(args.pickle_path, cfg.train.sequence_length)
     print(f"{len(seqs)} sequences after length filtering")
-    import random as _random
 
-    rng = _random.Random(cfg.train.seed)
-    stepno = 0
-    for epoch in range(cfg.train.num_epochs):
-        rng.shuffle(seqs)
-        index = 0
-        usable = len(seqs) // cfg.train.batch_size * cfg.train.batch_size
-        while index < usable:
-            frame_names, gts, index = default_get_batch(
-                index, cfg.train.batch_size, cfg.train.sequence_length, seqs
-            )
-            images = load_wholeframe_batch(frame_names, cfg.data.crop_size)
-            batch = {"images": jnp.asarray(images), "gts": jnp.asarray(gts)}
-            params, opt_state, m = step(params, opt_state, batch)
-            if stepno % args.log_interval == 0:
-                print(f"{stepno}: loss {float(m['loss']):.5f}")
-            if stepno and stepno % args.validation_interval == 0:
-                ckpt.save(stepno, {"params": params, "opt_state": opt_state})
-            stepno += 1
-    ckpt.save(stepno, {"params": params, "opt_state": opt_state})
-    print(f"trained {stepno} steps; checkpoint in {real_log_dir}/ckpt")
-    return 0
+    def make_batch(index, seqs):
+        frame_names, gts, index = default_get_batch(
+            index, cfg.train.batch_size, cfg.train.sequence_length, seqs
+        )
+        images = load_wholeframe_batch(frame_names, cfg.data.crop_size)
+        return {"images": jnp.asarray(images), "gts": jnp.asarray(gts)}, index
+
+    return _pickle_epoch_loop(
+        args, cfg, seqs, make_batch, step, params, opt_state, ckpt, real_log_dir
+    )
 
 
 def cmd_train_active_resize(args) -> int:
@@ -597,7 +615,6 @@ def cmd_train_active_resize(args) -> int:
     unfinished ntm_active_resize (main.py:1294-1422; train/active_resize.py)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ntm_tracker_tpu.data.pickle_dataset import (
         active_resize_get_batch,
@@ -625,32 +642,19 @@ def cmd_train_active_resize(args) -> int:
 
     seqs = load_generated_sequences(args.pickle_path, cfg.train.sequence_length)
     print(f"{len(seqs)} sequences after length filtering")
-    import random as _random
+    B, L, S = cfg.train.batch_size, cfg.train.sequence_length, cfg.data.crop_size
 
-    rng = _random.Random(cfg.train.seed)
-    stepno = 0
-    B, L = cfg.train.batch_size, cfg.train.sequence_length
-    for _epoch in range(cfg.train.num_epochs):
-        rng.shuffle(seqs)
-        index = 0
-        usable = len(seqs) // B * B
-        while index < usable:
-            frame_names, boxes, index = active_resize_get_batch(index, B, L, seqs)
-            frames = load_wholeframe_batch(frame_names, cfg.data.crop_size)
-            S = cfg.data.crop_size
-            batch = {
-                "frames": jnp.asarray(frames.reshape(B, L, S, S, 3)),
-                "bboxes": jnp.asarray(boxes),
-            }
-            params, opt_state, m = step(params, opt_state, batch)
-            if stepno % args.log_interval == 0:
-                print(f"{stepno}: loss {float(m['loss']):.5f}")
-            if stepno and stepno % args.validation_interval == 0:
-                ckpt.save(stepno, {"params": params, "opt_state": opt_state})
-            stepno += 1
-    ckpt.save(stepno, {"params": params, "opt_state": opt_state})
-    print(f"trained {stepno} steps; checkpoint in {real_log_dir}/ckpt")
-    return 0
+    def make_batch(index, seqs):
+        frame_names, boxes, index = active_resize_get_batch(index, B, L, seqs)
+        frames = load_wholeframe_batch(frame_names, S)
+        return {
+            "frames": jnp.asarray(frames.reshape(B, L, S, S, 3)),
+            "bboxes": jnp.asarray(boxes),
+        }, index
+
+    return _pickle_epoch_loop(
+        args, cfg, seqs, make_batch, step, params, opt_state, ckpt, real_log_dir
+    )
 
 
 def cmd_lstm_only(args) -> int:
@@ -662,7 +666,6 @@ def cmd_lstm_only(args) -> int:
 
     from ntm_tracker_tpu.data.loader import batch_iterator
     from ntm_tracker_tpu.data.sequences import get_valid_sequences
-    from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
     from ntm_tracker_tpu.train.optim import reference_optimizer
     from ntm_tracker_tpu.train.zoo import (
         compress_features,
@@ -692,7 +695,9 @@ def cmd_lstm_only(args) -> int:
             lambda im, cb: preprocess_frame(im, cb, resize_hw=cfg.data.resize_hw,
                                             crop_size=cfg.data.crop_size)
         )(images, cropboxes)
-        feats = extract_features(vgg16_features(vgg_params, crops))
+        from ntm_tracker_tpu.train.experiments import frame_tokens
+
+        feats = frame_tokens(cfg, vgg_params, crops)
         L = cfg.train.sequence_length
         B = feats.shape[0] // L
         feats = compress_features(
@@ -732,7 +737,6 @@ def cmd_sanity_check(args) -> int:
     from ntm_tracker_tpu.data.image_ops import preprocess_frame
     from ntm_tracker_tpu.data.loader import load_frame_batch
     from ntm_tracker_tpu.data.sequences import get_valid_sequences, sevenbyseven_get_batch
-    from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
     from ntm_tracker_tpu.train.zoo import sanity_check_pca, sanity_check_similarity
     from ntm_tracker_tpu.utils.viz import save_imgs
 
@@ -746,7 +750,9 @@ def cmd_sanity_check(args) -> int:
                                         resize_hw=cfg.data.resize_hw,
                                         crop_size=cfg.data.crop_size)
     )(jnp.asarray(fb.images, jnp.float32), jnp.asarray(fb.cropboxes))
-    feats = extract_features(vgg16_features(vgg_params, crops))
+    from ntm_tracker_tpu.train.experiments import frame_tokens
+
+    feats = frame_tokens(cfg, vgg_params, crops)
     L = cfg.train.sequence_length
     B = feats.shape[0] // L
     F = cfg.num_features

@@ -41,6 +41,10 @@ bool load_one(const char* path, int gt_elems, float* cropbox, float* bbox,
   size_t got = std::fread(buf, 1, sizeof(buf) - 1, f);
   std::fclose(f);
   if (got == 0) return false;
+  // a record that fills the buffer may be truncated mid-field (e.g. the
+  // trailing dx losing digits) — fail loudly like the Python reader would
+  // rather than silently training on a clipped offset
+  if (got == sizeof(buf) - 1) return false;
   buf[got] = '\0';
 
   // split on commas; the image path itself contains no commas (the writer

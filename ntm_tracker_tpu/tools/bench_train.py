@@ -54,10 +54,15 @@ def main() -> int:
     rng = np.random.RandomState(0)
     raw = synthetic_offset_batch(cfg, rng)
     n = args.batch * args.seq_len
+    modes = {m for m in args.modes.split(",") if m}
+    unknown = modes - {"images", "tokens"}
+    if unknown or not modes:
+        raise SystemExit(f"--modes must name 'images' and/or 'tokens', got "
+                         f"{args.modes!r}")
     batches = {}
-    if "images" in args.modes:
+    if "images" in modes:
         batches["images"] = {k: jnp.asarray(v) for k, v in raw.items()}
-    if "tokens" in args.modes:
+    if "tokens" in modes:
         feats = rng.rand(n, cfg.num_features, cfg.feature_depth)
         batches["tokens"] = {
             "features": jnp.asarray((feats * 40).astype(np.float16)),

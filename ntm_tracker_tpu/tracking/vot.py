@@ -127,7 +127,13 @@ class VOT:
             return None
         if self._frame >= len(self._files):
             return None
-        return self._files[self._frame]
+        path = self._files[self._frame]
+        # images.txt entries are commonly relative to the sequence dir (the
+        # reference runs from that dir; the workdir generalization must
+        # resolve them against workdir, not the process CWD)
+        if not os.path.isabs(path):
+            path = os.path.join(self._workdir, path)
+        return path
 
     def quit(self) -> None:
         if hasattr(self, "_trax"):  # pragma: no cover

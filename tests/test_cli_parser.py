@@ -60,3 +60,25 @@ def test_preprocess_defaults_match_dataconfig():
     assert args.cropbox_grid == cfg.cropbox_grid
     assert args.bbox_grid == cfg.bbox_grid
     assert args.focus == cfg.focus
+
+
+def test_gt_width_adapts_grid_for_all_commands():
+    """gt_width != 8 must adapt num_features/feature_points/data.gt_width in
+    _tracker_config itself (not only the heatmap branch): loader gts are
+    gt_width^2, so a 64-token config against a 7x7 dataset crashes
+    train-offsets / lstm-only / sanity-check."""
+    from ntm_tracker_tpu.cli import _tracker_config, build_parser
+
+    args = build_parser().parse_args(
+        ["train-offsets", "--sequences_dir", "x", "--gt_width", "7"]
+    )
+    cfg = _tracker_config(args, "ntm")
+    assert cfg.num_features == 49
+    assert len(cfg.feature_points) == 49
+    assert cfg.data.gt_width == 7
+    # the canonical 8x8 keeps the reference conv43Points grid (which starts
+    # at (6,6) — NOT the centered grid)
+    args8 = build_parser().parse_args(["train-offsets", "--sequences_dir", "x"])
+    cfg8 = _tracker_config(args8, "ntm")
+    assert cfg8.num_features == 64 and cfg8.feature_points is None
+    assert cfg8.data.gt_width == 8

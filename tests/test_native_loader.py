@@ -110,3 +110,20 @@ class TestNativeJpegPipeline:
             raise
         except RuntimeError as e:
             pytest.skip(f"native jpeg pipeline unavailable: {e}")
+
+
+def test_native_rejects_truncated_oversize_record(tmp_path):
+    """A .txt record longer than the reader's buffer must FAIL (the
+    truncation could clip the trailing dx field's digits into a silently
+    wrong offset), not parse."""
+    import os
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    long_path = "/img/" + "x" * 4200 + ".JPEG"  # pushes the line past 4095
+    (d / "000000.txt").write_text(
+        "0.1,0.2,0.8,0.9,0.125,0.125,0.875,0.875," + long_path + ",0.05,-0.0625"
+    )
+    (np.ones((8, 8)) / 64).astype(np.float64).tofile(str(d / "000000.bin"))
+    with pytest.raises(IOError, match="record"):
+        load_records_native([str(d / "000000")], gt_width=8)

@@ -120,7 +120,10 @@ class TestVOT:
                 break
             frames.append(f)
             handle.report(vot.Rectangle(1, 2, 3, 4))
-        assert frames == ["a.jpg", "b.jpg", "c.jpg"]
+        # relative images.txt entries resolve against WORKDIR, not the CWD
+        # (the reference always ran from the sequence dir; the workdir
+        # generalization must not depend on where the process started)
+        assert frames == [os.path.join(wd, x) for x in ("a.jpg", "b.jpg", "c.jpg")]
         handle.quit()
         out = (tmp_path / "output.txt").read_text().strip().splitlines()
         assert out == ["1,2,3,4"] * 3
