@@ -12,9 +12,13 @@ MEASURED (v5e, 65-step scan): this single-step kernel is SLOWER than the
 XLA-fused jnp path (B=1: 2.21ms vs 1.69ms; B=256: 5.19ms vs 3.23ms) — XLA
 already fuses the elementwise chain well, and the kernel pays boundary
 transposes plus batch-grid serialization. It therefore stays OFF by default
-(NTMConfig.use_pallas=False) and is kept as a verified building block for
-the full-sequence kernel (ops/pallas/scan_cell.py), where keeping weights
-and state VMEM-resident across all 65 steps is the actual win.
+(NTMConfig.use_pallas=False). The full-sequence kernel
+(ops/pallas/scan_cell.py) implements the same addressing math in its own
+[B,H,N]-vectorized layout (the code is NOT shared — the two layouts are
+each pinned to the jnp oracle by tests and the hardware check, so a
+contract change must be made in ops/memory.py, models/ntm_cell.py AND both
+kernels); keeping weights and state VMEM-resident across all 65 steps is
+where the fused win actually is.
 
 Layout strategy (TPU tiles the LAST TWO dims; lanes = last dim wants 128):
   * mem_size N=128 lives on the lane axis everywhere.
@@ -264,7 +268,7 @@ def _pallas_forward(
     # chain's temporaries; 64 batch rows ~ 8 MB)
     bb = B
     for cand in (64, 32, 16, 8, 4, 2, 1):
-        if B % cand == 0 and cand <= B:
+        if B % cand == 0:
             bb = cand
             break
     grid = (B // bb,)

@@ -226,6 +226,10 @@ def ntm_scan_fused(
       scanning ntm_cell_step (jnp path), forward only.
     """
     B, T, IN = tokens.shape
+    if T == 0:
+        # a zero-length grid would skip the t==0 init and return
+        # uninitialized accumulators; the jnp scan echoes the state
+        return jnp.zeros((B, 0, cfg.output_dim), jnp.float32), state
     H, R, W = cfg.num_heads, cfg.read_head_size, cfg.write_head_size
     D, N, S = cfg.mem_dim, cfg.mem_size, cfg.shift_space
     Hc, L = cfg.controller_hidden_size, cfg.controller_num_layers
@@ -319,13 +323,24 @@ def ntm_scan_fused(
     return jnp.swapaxes(logits, 0, 1), final_state
 
 
-def _jnp_scan_reference(params, cfg: NTMConfig, tokens, state, remat: bool):
+def _jnp_scan_reference(params, cfg: NTMConfig, tokens, state, remat: bool,
+                        compute_dtype=None):
     """The jnp lax.scan the kernel must match — used as the backward
-    (and the parity oracle). f32 like the kernel."""
+    (and the parity oracle). Forces use_pallas=False: with a kernel-enabled
+    cfg the 'jnp backward' would otherwise route every recompute step
+    through the single-step Pallas kernel (and fail to lower in interpret
+    runs on CPU)."""
+    import dataclasses as _dc
+
     from ntm_tracker_tpu.models.ntm_cell import ntm_cell_step
 
+    if cfg.use_pallas:
+        cfg = _dc.replace(cfg, use_pallas=False)
+
     def body(carry, x_t):
-        _out, logit, new_state = ntm_cell_step(params, cfg, x_t, carry)
+        _out, logit, new_state = ntm_cell_step(
+            params, cfg, x_t, carry, compute_dtype=compute_dtype
+        )
         return new_state, logit
 
     if remat:
@@ -336,15 +351,19 @@ def _jnp_scan_reference(params, cfg: NTMConfig, tokens, state, remat: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _trainable_wrapped(cfg: NTMConfig, interpret: bool, bwd_remat: bool):
+def _trainable_wrapped(cfg: NTMConfig, interpret: bool, bwd_remat: bool,
+                       compute_dtype):
     """custom_vjp closure per static config: Pallas whole-sequence forward,
-    jnp-scan backward. The backward re-runs the T-step forward in jnp (the
-    kernel keeps no residuals), so a train step costs
-    fused_forward + jnp_forward + backward; with bwd_remat=True the inner
-    scan also remats (lower memory, one more recompute)."""
+    jnp-scan backward AT THE SAME compute_dtype. The backward re-runs the
+    T-step forward in jnp (the kernel keeps no residuals), so a train step
+    costs fused_forward + jnp_forward + backward; with bwd_remat=True the
+    inner scan also remats (lower memory, one more recompute)."""
 
     def forward(params, tokens, state):
-        return ntm_scan_fused(params, cfg, tokens, state, interpret=interpret)
+        return ntm_scan_fused(
+            params, cfg, tokens, state, interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
 
     f = jax.custom_vjp(forward)
 
@@ -354,7 +373,9 @@ def _trainable_wrapped(cfg: NTMConfig, interpret: bool, bwd_remat: bool):
     def bwd(residuals, cotangents):
         params, tokens, state = residuals
         _, vjp = jax.vjp(
-            lambda p, t, s: _jnp_scan_reference(p, cfg, t, s, remat=bwd_remat),
+            lambda p, t, s: _jnp_scan_reference(
+                p, cfg, t, s, remat=bwd_remat, compute_dtype=compute_dtype
+            ),
             params, tokens, state,
         )
         return vjp(cotangents)
@@ -370,6 +391,7 @@ def ntm_scan_fused_trainable(
     state: Dict[str, Any],
     interpret: bool = False,
     bwd_remat: bool = False,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """ntm_scan_fused with gradients: differentiable wrt params, tokens and
     the initial state (custom VJP through the jnp reference scan).
@@ -382,5 +404,9 @@ def ntm_scan_fused_trainable(
     so TRAINING STAYS ON THE JNP PATH (ntm_tracker_unroll). This wrapper
     remains for completeness (e.g. fine-tuning in a serving process that
     already runs the fused kernel); grads are parity-tested at 1e-4.
+    compute_dtype mirrors ntm_scan_fused's so the tuned model and the
+    serving kernel agree on matmul precision.
     """
-    return _trainable_wrapped(cfg, interpret, bwd_remat)(params, tokens, state)
+    return _trainable_wrapped(cfg, interpret, bwd_remat, compute_dtype)(
+        params, tokens, state
+    )

@@ -44,6 +44,8 @@ CONFIGS = {
         controller_hidden_size=64,
     ),
     "write-first": NTMConfig(write_first=True, controller_hidden_size=64),
+    # the opt-in PROPER cosine (each memory slot normalized over mem_dim)
+    "slotwise": NTMConfig(slotwise_cosine=True, controller_hidden_size=64),
 }
 
 

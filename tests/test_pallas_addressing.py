@@ -33,16 +33,19 @@ def _raw_params(rng, B, H, D, W, S):
     )
 
 
-def _jnp_reference(p, R, write_first):
+def _jnp_reference(p, R, write_first, slotwise=False):
     """Direct transcription of the ntm_cell_step jnp math."""
     from ntm_tracker_tpu.ops.memory import (
         batched_circular_convolution,
+        batched_slotwise_cosine_similarity,
         batched_smooth_cosine_similarity,
         sharpen,
     )
 
     k = jnp.tanh(p["k"])
-    sim = batched_smooth_cosine_similarity(p["M_prev"], k)
+    cos = (batched_slotwise_cosine_similarity if slotwise
+           else batched_smooth_cosine_similarity)
+    sim = cos(p["M_prev"], k)
     beta = jax.nn.softplus(p["beta"])[..., None]
     w_c = jax.nn.softmax(sim * beta, -1)
     g = jax.nn.sigmoid(p["g"])[..., None]
@@ -63,17 +66,19 @@ def _jnp_reference(p, R, write_first):
     return M, w, read
 
 
+@pytest.mark.parametrize("slotwise", [False, True])
 @pytest.mark.parametrize("write_first", [False, True])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_fused_matches_reference(seed, write_first):
+def test_fused_matches_reference(seed, write_first, slotwise):
     B, H, D, W, S = 3, 5, 8, 1, 3
     R = H - W
     p = _raw_params(seed, B, H, D, W, S)
-    M1, w1, r1 = _jnp_reference(p, R, write_first)
+    M1, w1, r1 = _jnp_reference(p, R, write_first, slotwise)
     M2, w2, r2 = fused_ntm_addressing(
         p["k"], p["beta"], p["g"], p["sw"], p["gamma"], p["erase"], p["add"],
         p["M_prev"], p["w_prev"],
-        read_heads=R, write_first=write_first, interpret=True,
+        read_heads=R, write_first=write_first, slotwise=slotwise,
+        interpret=True,
     )
     np.testing.assert_allclose(np.asarray(M1), np.asarray(M2), atol=2e-6)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=2e-6)

@@ -21,8 +21,11 @@ from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
                   controller_hidden_size=8, controller_num_layers=2,
                   read_head_size=1, write_head_size=2, shift_range=2,
                   write_first=True),
+        NTMConfig(output_dim=2, mem_size=16, mem_dim=8,
+                  controller_hidden_size=16, controller_num_layers=1,
+                  read_head_size=2, write_head_size=1, slotwise_cosine=True),
     ],
-    ids=["default-ish", "multilayer-writefirst-s5"],
+    ids=["default-ish", "multilayer-writefirst-s5", "slotwise-cosine"],
 )
 def test_fused_scan_matches_jnp_scan(cfg):
     B, T, IN = 2, 7, 10
@@ -160,3 +163,62 @@ def test_fused_scan_compute_dtype_matches_jnp_bf16():
     # is actually plumbed through)
     logits_f32, _ = ntm_scan_fused(params, cfg, tokens, state, interpret=True)
     assert float(np.max(np.abs(np.asarray(logits_f) - np.asarray(logits_f32)))) > 0
+
+
+def test_zero_length_stream_echoes_state():
+    """T=0: the kernel must return the state unchanged like the jnp scan
+    (a zero grid would otherwise leave the accumulators uninitialized)."""
+    cfg = NTMConfig(output_dim=2, mem_size=16, mem_dim=8,
+                    controller_hidden_size=16, read_head_size=2)
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, 10)
+    state = init_ntm_state(params, cfg, 2)
+    logits, final = ntm_scan_fused(
+        params, cfg, jnp.zeros((2, 0, 10)), state, interpret=True
+    )
+    assert logits.shape == (2, 0, 2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        final, state,
+    )
+
+
+def test_trainable_backward_with_pallas_enabled_cfg():
+    """cfg.use_pallas=True must not leak into the jnp backward: grads under
+    interpret mode on CPU would otherwise try to Mosaic-compile the
+    single-step kernel inside the recompute scan."""
+    import dataclasses
+
+    from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused_trainable
+
+    cfg = NTMConfig(output_dim=2, mem_size=8, mem_dim=4,
+                    controller_hidden_size=8, read_head_size=1,
+                    use_pallas=True)
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, 6)
+    state = init_ntm_state(params, cfg, 1)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 6))
+
+    def loss(p):
+        logits, _ = ntm_scan_fused_trainable(
+            p, cfg, tokens, state, interpret=True
+        )
+        return jnp.sum(logits ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads)
+    )
+    # and the backward really is the jnp path: parity with a use_pallas=False
+    # run of the same weights
+    cfg_off = dataclasses.replace(cfg, use_pallas=False)
+    def loss_off(p):
+        logits, _ = ntm_scan_fused_trainable(
+            p, cfg_off, tokens, state, interpret=True
+        )
+        return jnp.sum(logits ** 2)
+    g2 = jax.grad(loss_off)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        grads, g2,
+    )
