@@ -137,6 +137,14 @@ def make_device_track_step(
     are decoded with *dim but re-normalized with /(dim-1), so each recrop
     scales the box by dim/(dim-1)); tests assert trajectory parity.
 
+    Trajectory-parity caveat (measured, v5e): under TPU's DEFAULT matmul
+    precision the two paths are separately-compiled programs whose bf16
+    rounding differs (~1e-3 relative per conv); an UNTRAINED cell amplifies
+    this chaotically across recrops (frame-1 regions agree to 0.001 px at
+    jax_default_matmul_precision=highest but drift px-scale per frame at
+    default precision with random weights). A trained tracker is
+    contractive, and each path is internally deterministic.
+
     Returns (init_fn, step_fn):
       init_fn(frames [B,H,W,3] raw RGB, bbox0 [B,4] y1x1y2x2 in the
               tracker's /(dim-1) normalization, state) -> state
