@@ -118,7 +118,17 @@ def train_repeat_copy(
         accum += float(loss)
         losses.append(float(loss))
         if (it + 1) % cfg.report_interval == 0:
-            log(f"{it + 1}: avg training loss {accum / cfg.report_interval:.4f}")
+            # the reference logs a human-readable obs/target/model-output
+            # sample with every report (dnc/train.py:151-156)
+            logits, _ = jax.jit(
+                lambda p, o: dnc_unroll(p, dcfg, o, time_major=True)
+            )(params, jnp.asarray(batch.observations))
+            rounded = jnp.round(jax.nn.sigmoid(logits)) * jnp.asarray(
+                batch.mask
+            )[..., None]
+            sample = task.to_human_readable(batch, np.asarray(rounded))
+            log(f"{it + 1}: avg training loss "
+                f"{accum / cfg.report_interval:.4f}\n{sample}")
             accum = 0.0
         if ckpt is not None and cfg.checkpoint_interval > 0 and (
             (it + 1) % cfg.checkpoint_interval == 0
