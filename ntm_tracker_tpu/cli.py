@@ -503,7 +503,13 @@ def cmd_track_vot(args) -> int:
     vgg_params = _load_vgg(args)
     core = make_core(cfg)
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if args.ckpt_path:
+    if getattr(args, "ntm_npz", ""):
+        # converted REFERENCE weights (convert-ntm): serve a TF-trained
+        # tracker without retraining
+        from ntm_tracker_tpu.tools.convert_ntm_ckpt import load_params_npz
+
+        params = load_params_npz(args.ntm_npz)
+    elif args.ckpt_path:
         restored = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True
         )
@@ -823,6 +829,32 @@ def cmd_convert_vgg(args) -> int:
     return 0
 
 
+def cmd_convert_ntm(args) -> int:
+    """Reference NTM training checkpoint -> our param pytree .npz
+    (tools/convert_ntm_ckpt.py; pass the model flags the checkpoint was
+    trained with — the converter validates every shape against them)."""
+    from ntm_tracker_tpu.config import NTMConfig
+    from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
+        convert_checkpoint,
+        save_params_npz,
+    )
+
+    ntm_cfg = NTMConfig(
+        output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
+        controller_hidden_size=args.hidden_size,
+        controller_num_layers=args.num_layers,
+        read_head_size=args.read_head_size,
+        write_head_size=args.write_head_size,
+        write_first=args.write_first,
+    )
+    params = convert_checkpoint(args.ckpt, ntm_cfg)
+    save_params_npz(args.out, params)
+    n = 7 + 2 * len(params["controller"])
+    print(f"converted {n} cell parameters -> {args.out}")
+    print("serve with: track-vot --ntm_npz", args.out)
+    return 0
+
+
 def cmd_cache_features(args) -> int:
     """Precompute the frozen VGG tokens of every frame record (and
     optionally the flipped variant) so training can skip the VGG entirely
@@ -1070,6 +1102,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     v.add_argument("--vgg_weights", default="")
     v.add_argument("--workdir", default=".")
+    v.add_argument("--ntm_npz", default="",
+                   help="converted reference weights (convert-ntm output); "
+                   "overrides --ckpt_path")
     v.add_argument("--delimiter_first", action="store_true",
                    help="use the reference's streaming token order "
                    "(delimiter prepended; train/inference mismatch)")
@@ -1127,6 +1162,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_train_flags(val)
     val.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
     val.add_argument("--vgg_weights", default="")
+    val.add_argument("--ntm_npz", default="",
+                     help="converted reference weights (convert-ntm output)")
     val.add_argument("--pickle_path", required=True)
     val.add_argument("--delimiter_first", action="store_true")
     val.set_defaults(fn=cmd_validate)
@@ -1162,6 +1199,20 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--require_conv5", action="store_true",
                     help="fail unless the conv5 block is present")
     cv.set_defaults(fn=cmd_convert_vgg)
+
+    cn = sub.add_parser(
+        "convert-ntm",
+        help="convert a REFERENCE training checkpoint (TF1 Saver, "
+        "direct_offset_output graph) into this framework's NTM params "
+        "(.npz usable via track-vot/validate --ntm_npz) — serve a "
+        "TF-trained tracker without retraining",
+    )
+    _add_model_flags(cn)
+    cn.add_argument("--ckpt", required=True,
+                    help="checkpoint prefix (the model.ckpt-NNN the "
+                    "reference's save_path.txt points at)")
+    cn.add_argument("--out", required=True, help="destination .npz")
+    cn.set_defaults(fn=cmd_convert_ntm)
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=cmd_bench)

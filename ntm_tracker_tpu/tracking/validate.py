@@ -83,7 +83,11 @@ def validate_tracker(args) -> int:
     vgg_params = _load_vgg(args)
     core = make_core(cfg)
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if args.ckpt_path:
+    if getattr(args, "ntm_npz", ""):
+        from ntm_tracker_tpu.tools.convert_ntm_ckpt import load_params_npz
+
+        params = load_params_npz(args.ntm_npz)
+    elif args.ckpt_path:
         params = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True
         )["params"]

@@ -1132,6 +1132,14 @@ def main():
     )
     print(f"  wrote tf_goldens_dnc_core.npz ({len(core)} arrays)")
 
+    print("Saver round trip of the reference training graph (ckpt "
+          "converter oracle) ...")
+    ck = gen_ckpt_convert_fixture()
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_ckpt_convert.npz"), **ck
+    )
+    print(f"  wrote tf_goldens_ckpt_convert.npz ({len(ck)} arrays)")
+
     print("executing reference NTM cell: flagship config, 65-step rollout ...")
     flagship = gen_cell_rollout(
         seed=1, batch=2, steps=65, input_size=30, mem_size=128, mem_dim=20,
@@ -1193,3 +1201,68 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gen_ckpt_convert_fixture():
+    """Build the reference cell under the TRAINING graph's variable scoping
+    (tf.variable_scope('ntm-tracker') + cell default 'ntm-cell' + zero_state
+    'init_state', direct_offset_output.py:529-543), randomize every
+    variable, run a real tf.train.Saver save -> load_checkpoint round trip,
+    and execute a rollout — the oracle for tools/convert_ntm_ckpt.py."""
+    import tempfile
+
+    _load_reference_stack()
+    ref_cell_mod = _load_patched_module(
+        "ntm_cell.py", "_ref_ntm_cell_ckpt",
+        extra_globals={
+            "_SHIM_MultiRNNCell": _ShimMultiRNNCell,
+            "_SHIM_BasicLSTMCell": _ShimBasicLSTMCell,
+        },
+    )
+    rs = np.random.RandomState(17)
+    B, steps, input_size = 2, 12, 10
+    mem_size, mem_dim, hidden, L, R, W = 16, 8, 24, 2, 2, 1
+    inputs = rs.uniform(-1, 1, (steps, B, input_size)).astype(np.float32)
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        with tf.variable_scope("ntm-tracker"):
+            cell = ref_cell_mod.NTMCell(
+                output_dim=2, mem_size=mem_size, mem_dim=mem_dim,
+                shift_range=1, controller_hidden_size=hidden,
+                controller_num_layers=L, read_head_size=R, write_head_size=W,
+            )
+            state = cell.zero_state(B)
+            logits = []
+            for t in range(steps):
+                if t > 0:
+                    tf.get_variable_scope().reuse_variables()
+                (_o, logit, state, _dbg, _M, _w, _r, _cs) = cell(
+                    tf.constant(inputs[t]), state
+                )
+                logits.append(logit)
+
+        sess.run(tf.global_variables_initializer())
+        for v in tf.global_variables():
+            v.load(
+                rs.uniform(-0.3, 0.3, v.shape.as_list()).astype(np.float32),
+                sess,
+            )
+        logits_v = sess.run(logits)
+
+        tmp = tempfile.mkdtemp(prefix="ref_ckpt_")
+        save_path = tf.train.Saver().save(sess, os.path.join(tmp, "model.ckpt"))
+
+    reader = tf.train.load_checkpoint(save_path)
+    names = sorted(reader.get_variable_to_shape_map())
+    out = {
+        "ckptcv_config": np.array(
+            [B, steps, input_size, mem_size, mem_dim, hidden, L, R, W],
+            np.int64,
+        ),
+        "ckptcv_inputs": inputs,
+        "ckptcv_logits": np.stack(logits_v),
+        "ckptcv_names": np.array(names, np.str_),
+    }
+    for i, n in enumerate(names):
+        out[f"ckptcv_var_{i}"] = reader.get_tensor(n)
+    return out

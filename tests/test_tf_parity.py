@@ -27,6 +27,9 @@ Fixture provenance (committed .npz, regenerable with TF + /root/reference):
                                 LSTM controller + MemoryAccess + output
                                 linear, clip_value wiring) executed 4 steps
                                 with all 24 variables injected
+  tf_goldens_ckpt_convert.npz — a real tf.train.Saver round trip of the
+                                reference training graph + its executed
+                                rollout (the convert-ntm oracle)
   (tf_goldens_ops.npz also holds the reference's dnc/addressing.py outputs,
   executed under a minimal sonnet stub — cosine/linkage/usage/allocation)
 
@@ -657,3 +660,49 @@ def test_dnc_core_matches_executed_reference():
     c, h = state.controller_state[0]
     np.testing.assert_allclose(h, g["dnccore_final_ctrl_hidden"], atol=1e-5)
     np.testing.assert_allclose(c, g["dnccore_final_ctrl_cell"], atol=1e-5)
+
+
+def test_convert_reference_checkpoint():
+    """tools/convert_ntm_ckpt vs a REAL tf.train.Saver round trip of the
+    executed reference cell under the training graph's scoping
+    ('ntm-tracker'/'ntm-cell'/'lstm-controller'/'init_state',
+    direct_offset_output.py:529-543): convert the checkpoint variables and
+    reproduce the reference's 12-step rollout from its own learnable
+    zero_state at <=1e-4 — a reference-trained tracker can be served here
+    without retraining."""
+    from ntm_tracker_tpu.config import NTMConfig
+    from ntm_tracker_tpu.models.ntm_cell import init_ntm_state
+    from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+    from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
+        convert_ntm_variables,
+        load_params_npz,
+        save_params_npz,
+    )
+
+    g = _load("tf_goldens_ckpt_convert.npz")
+    B, steps, IN, N, D, Hc, L, R, W = [int(x) for x in g["ckptcv_config"]]
+    cfg = NTMConfig(
+        output_dim=2, mem_size=N, mem_dim=D, controller_hidden_size=Hc,
+        controller_num_layers=L, read_head_size=R, write_head_size=W,
+    )
+    variables = {
+        str(name): g[f"ckptcv_var_{i}"]
+        for i, name in enumerate(g["ckptcv_names"])
+    }
+    params = convert_ntm_variables(variables, cfg)
+
+    # npz round trip preserves everything (the TF-free serving path)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        save_params_npz(f.name, params)
+        params = load_params_npz(f.name)
+
+    tokens = jnp.asarray(g["ckptcv_inputs"]).swapaxes(0, 1)  # [B, T, IN]
+    state = init_ntm_state(params, cfg, B)
+    _, logits, _ = ntm_tracker_unroll(params, cfg, tokens, state=state,
+                                      remat=False)
+    ref = np.asarray(g["ckptcv_logits"]).swapaxes(0, 1)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=TOL)
+    worst = float(np.abs(np.asarray(logits) - ref).max())
+    assert worst <= TOL, worst
