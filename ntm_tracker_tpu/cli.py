@@ -506,9 +506,14 @@ def cmd_track_vot(args) -> int:
     if getattr(args, "ntm_npz", ""):
         # converted REFERENCE weights (convert-ntm): serve a TF-trained
         # tracker without retraining
-        from ntm_tracker_tpu.tools.convert_ntm_ckpt import load_params_npz
+        from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
+            load_params_npz,
+            validate_params_like,
+        )
 
-        params = load_params_npz(args.ntm_npz)
+        loaded = load_params_npz(args.ntm_npz)
+        validate_params_like(loaded, params)
+        params = loaded
     elif args.ckpt_path:
         restored = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True

@@ -38,13 +38,19 @@ bool load_one(const char* path, int gt_elems, float* cropbox, float* bbox,
   FILE* f = std::fopen(txt.c_str(), "rb");
   if (!f) return false;
   char buf[4096];
-  size_t got = std::fread(buf, 1, sizeof(buf) - 1, f);
+  // reject records LARGER than the buffer (reading would truncate
+  // mid-field, e.g. clipping the trailing dx's digits into a silently
+  // wrong offset); a record exactly filling the buffer is still valid
+  std::fseek(f, 0, SEEK_END);
+  long txt_size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (txt_size <= 0 || txt_size > static_cast<long>(sizeof(buf)) - 1) {
+    std::fclose(f);
+    return false;
+  }
+  size_t got = std::fread(buf, 1, txt_size, f);
   std::fclose(f);
-  if (got == 0) return false;
-  // a record that fills the buffer may be truncated mid-field (e.g. the
-  // trailing dx losing digits) — fail loudly like the Python reader would
-  // rather than silently training on a clipped offset
-  if (got == sizeof(buf) - 1) return false;
+  if (got != static_cast<size_t>(txt_size)) return false;
   buf[got] = '\0';
 
   // split on commas; the image path itself contains no commas (the writer
@@ -58,6 +64,9 @@ bool load_one(const char* path, int gt_elems, float* cropbox, float* bbox,
   if (fields.size() != 11) return false;
   for (int i = 0; i < 4; ++i) cropbox[i] = std::strtof(fields[i], nullptr);
   for (int i = 0; i < 4; ++i) bbox[i] = std::strtof(fields[4 + i], nullptr);
+  // an over-cap image path would be silently clipped by snprintf -> a
+  // wrong file opened downstream; reject instead
+  if (std::strlen(fields[8]) >= kImgPathCap) return false;
   std::snprintf(img_path, kImgPathCap, "%s", fields[8]);
   offsets[0] = std::strtof(fields[9], nullptr);   // y
   offsets[1] = std::strtof(fields[10], nullptr);  // x

@@ -170,3 +170,34 @@ def convert_checkpoint(ckpt_path: str, cfg: NTMConfig, verbose: bool = True):
         for name in reader.get_variable_to_shape_map()
     }
     return convert_ntm_variables(variables, cfg, verbose=verbose)
+
+
+def validate_params_like(params: Dict[str, Any], template: Dict[str, Any]) -> None:
+    """Loaded params must match the model's template pytree structurally
+    and shape-for-shape — fail fast with a named message instead of an
+    opaque jax shape error deep in the cell (used by --ntm_npz loads)."""
+    import jax
+
+    p_paths = {
+        jax.tree_util.keystr(k): tuple(np.shape(v))
+        for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    t_paths = {
+        jax.tree_util.keystr(k): tuple(np.shape(v))
+        for k, v in jax.tree_util.tree_flatten_with_path(template)[0]
+    }
+    missing = sorted(set(t_paths) - set(p_paths))
+    extra = sorted(set(p_paths) - set(t_paths))
+    if missing or extra:
+        raise ValueError(
+            f"--ntm_npz params do not match the model config: "
+            f"missing {missing or 'none'}, unexpected {extra or 'none'} "
+            f"(check the model flags match the converted checkpoint's)"
+        )
+    for k in t_paths:
+        if p_paths[k] != t_paths[k]:
+            raise ValueError(
+                f"--ntm_npz {k}: shape {p_paths[k]} != model config "
+                f"{t_paths[k]} (check mem_size/mem_dim/hidden_size/"
+                f"read_head_size/... match the converted checkpoint's)"
+            )

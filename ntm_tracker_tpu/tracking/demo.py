@@ -44,26 +44,9 @@ def _crop_jit(size: int):
     )
 
 
-def make_video(
-    rng: np.random.RandomState, n_frames: int, hw: Tuple[int, int] = (180, 320)
-):
-    """(frames [L,H,W,3] float32 RGB, boxes [L,4] normalized y1,x1,y2,x2)."""
-    H, W = hw
-    frames = (rng.rand(n_frames, H, W, 3) * 40).astype(np.float32)
-    boxes = np.zeros((n_frames, 4), np.float32)
-    cy, cx = rng.uniform(0.4, 0.6, 2)
-    half = rng.uniform(0.08, 0.12)
-    vy = vx = 0.0
-    for t in range(n_frames):
-        vy = np.clip(vy + rng.uniform(-0.01, 0.01), -0.02, 0.02)
-        vx = np.clip(vx + rng.uniform(-0.01, 0.01), -0.02, 0.02)
-        cy = float(np.clip(cy + vy, 0.25, 0.75))
-        cx = float(np.clip(cx + vx, 0.25, 0.75))
-        boxes[t] = (cy - half, cx - half, cy + half, cx + half)
-        y0, y1 = int((cy - half) * H), int((cy + half) * H)
-        x0, x1 = int((cx - half) * W), int((cx + half) * W)
-        frames[t, y0:y1, x0:x1] = 220.0
-    return frames, boxes
+# re-exported for callers/tests; the generator is shared with the
+# active-resize toy batches (data/synthetic.py)
+from ntm_tracker_tpu.data.synthetic import make_video  # noqa: E402,F401
 
 
 def demo_config(crop_size: int = 64):

@@ -151,9 +151,6 @@ def make_device_track_step(
       step_fn(frames, bbox, state) ->
               (region [B,4] x,y,w,h pixels, next_bbox [B,4], state)
     """
-    import numpy as _np
-
-    from ntm_tracker_tpu.data import geometry
     from ntm_tracker_tpu.data.geometry_jnp import (
         canonical_box,
         cropbox_of,
@@ -162,17 +159,7 @@ def make_device_track_step(
 
     d = cfg.data
     canon = canonical_box(d.cropbox_grid, d.bbox_grid)
-    # the frame-0 indicator: the gt box in its own crop IS the canonical
-    # box, so the heatmap is a constant (same one StreamingTracker computes
-    # per track via first_frame_gt)
-    gt_side = int(round(cfg.num_features ** 0.5))
-    half = d.bbox_grid / float(d.cropbox_grid) / 2.0
-    heat0 = jnp.asarray(
-        geometry.generate_gt(
-            (0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half),
-            gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
-        ).astype(_np.float32).reshape(-1)
-    )
+    heat0 = jnp.asarray(canonical_first_frame_gt(cfg))
 
     step_first, _ = build_frame_step(
         cfg, core, vgg_params, params,
@@ -237,6 +224,20 @@ def decode_region(transformation, image_size, normalized_bbox):
     )
     w, h = image_size
     return (x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h)
+
+
+def canonical_first_frame_gt(cfg) -> np.ndarray:
+    """The frame-0 indicator when the gt box IS the box the crop was built
+    around: its crop-space image is exactly the canonical centered box, so
+    the heatmap is a per-config CONSTANT ([num_features] float32). Shared
+    by the device-resident track step and the active-resize trainer."""
+    d = cfg.data
+    gt_side = int(round(cfg.num_features ** 0.5))
+    half = d.bbox_grid / float(d.cropbox_grid) / 2.0
+    return geometry.generate_gt(
+        (0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half),
+        gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
+    ).astype(np.float32).reshape(-1)
 
 
 def first_frame_gt(cfg, normalized_bbox, transformation) -> np.ndarray:

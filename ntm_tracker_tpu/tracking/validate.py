@@ -84,9 +84,14 @@ def validate_tracker(args) -> int:
     core = make_core(cfg)
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
     if getattr(args, "ntm_npz", ""):
-        from ntm_tracker_tpu.tools.convert_ntm_ckpt import load_params_npz
+        from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
+            load_params_npz,
+            validate_params_like,
+        )
 
-        params = load_params_npz(args.ntm_npz)
+        loaded = load_params_npz(args.ntm_npz)
+        validate_params_like(loaded, params)
+        params = loaded
     elif args.ckpt_path:
         params = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True

@@ -119,8 +119,8 @@ class ActiveResizeExperiment:
         """batch: frames [B,L,S,S,3] raw RGB whole frames (read_imgs
         semantics, resized to crop_size), bboxes [B,L,4] normalized
         (y1,x1,y2,x2) gt boxes per frame."""
-        from ntm_tracker_tpu.data import geometry
         from ntm_tracker_tpu.models.vgg import VGG_MEAN
+        from ntm_tracker_tpu.tracking.tracker import canonical_first_frame_gt
 
         cfg = self.cfg
         d = cfg.data
@@ -136,15 +136,9 @@ class ActiveResizeExperiment:
         # (the canonical centered heatmap — same value for every sample)
         bbox0 = gt_boxes[:, 0]
         crop0 = crop(frames[:, 0], cropbox_of(bbox0, d.cropbox_grid, d.bbox_grid))
-        gt_side = int(round(cfg.num_features ** 0.5))
-        half = d.bbox_grid / float(d.cropbox_grid) / 2.0
-        heat0 = jnp.asarray(
-            geometry.generate_gt(
-                (0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half),
-                gt_side, gt_side * d.bbox_grid / d.cropbox_grid,
-            ).astype(np.float32).reshape(-1)
+        heat0 = jnp.tile(
+            jnp.asarray(canonical_first_frame_gt(cfg))[None], (B, 1)
         )
-        heat0 = jnp.tile(heat0[None], (B, 1))
         state = self.core.init_state(params["core"], B)
         _, state = self._frame_offsets(params, crop0, heat0, state)
 
@@ -199,19 +193,14 @@ class ActiveResizeExperiment:
 def synthetic_active_batch(
     cfg: TrackerConfig, rng: np.random.RandomState, frame_hw: Optional[Tuple[int, int]] = None
 ) -> Dict[str, np.ndarray]:
-    """A moving bright square on noise — a learnable closed-loop toy."""
+    """A moving bright square on noise — a learnable closed-loop toy
+    (the shared clip generator, data/synthetic.py)."""
+    from ntm_tracker_tpu.data.synthetic import make_video
+
     B, L = cfg.train.batch_size, cfg.train.sequence_length
     H, W = frame_hw or (cfg.data.crop_size, cfg.data.crop_size)
-    frames = rng.rand(B, L, H, W, 3).astype(np.float32) * 40
+    frames = np.zeros((B, L, H, W, 3), np.float32)
     boxes = np.zeros((B, L, 4), np.float32)
     for b in range(B):
-        cy, cx = rng.uniform(0.35, 0.65, 2)
-        half = rng.uniform(0.08, 0.12)
-        for t in range(L):
-            cy = np.clip(cy + rng.uniform(-0.02, 0.02), 0.2, 0.8)
-            cx = np.clip(cx + rng.uniform(-0.02, 0.02), 0.2, 0.8)
-            boxes[b, t] = (cy - half, cx - half, cy + half, cx + half)
-            y0, y1 = int((cy - half) * H), int((cy + half) * H)
-            x0, x1 = int((cx - half) * W), int((cx + half) * W)
-            frames[b, t, y0:y1, x0:x1] = 220.0
+        frames[b], boxes[b] = make_video(rng, L, (H, W), velocity=False)
     return {"frames": frames, "bboxes": boxes}

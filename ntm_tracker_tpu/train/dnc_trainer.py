@@ -106,6 +106,10 @@ def train_repeat_copy(
         updates, s = opt.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    # compiled ONCE, not per report (a fresh jit() in the loop would
+    # re-trace the whole unroll at every report interval)
+    report_fwd = jax.jit(lambda p, o: dnc_unroll(p, dcfg, o, time_major=True))
+
     total = num_iterations if num_iterations is not None else cfg.num_training_iterations
     losses, accum = [], 0.0
     for it in range(start_iter, total):
@@ -120,9 +124,7 @@ def train_repeat_copy(
         if (it + 1) % cfg.report_interval == 0:
             # the reference logs a human-readable obs/target/model-output
             # sample with every report (dnc/train.py:151-156)
-            logits, _ = jax.jit(
-                lambda p, o: dnc_unroll(p, dcfg, o, time_major=True)
-            )(params, jnp.asarray(batch.observations))
+            logits, _ = report_fwd(params, jnp.asarray(batch.observations))
             rounded = jnp.round(jax.nn.sigmoid(logits)) * jnp.asarray(
                 batch.mask
             )[..., None]

@@ -200,8 +200,6 @@ class OffsetExperiment:
         device work per validation batch)."""
         from ntm_tracker_tpu.models.core import unroll_states
 
-        cfg = self.cfg
-        L = cfg.train.sequence_length
         tokens, core_params = self._tokens(params, batch)
         T = tokens.shape[1]
         stride = max(1, -(-T // max_snapshots))

@@ -127,3 +127,25 @@ def test_native_rejects_truncated_oversize_record(tmp_path):
     (np.ones((8, 8)) / 64).astype(np.float64).tofile(str(d / "000000.bin"))
     with pytest.raises(IOError, match="record"):
         load_records_native([str(d / "000000")], gt_width=8)
+
+
+def test_native_accepts_record_exactly_filling_buffer(tmp_path):
+    """A valid record of EXACTLY 4095 bytes (the reader's capacity) must
+    load — only records larger than the buffer are rejected."""
+    import os
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    path = "/img/" + "x" * 500 + ".JPEG"
+    rest = ",0.2,0.8,0.9,0.125,0.125,0.875,0.875," + path + ",0.05,-0.0625"
+    # pad the first numeric field with leading zeros to land on 4095 exactly
+    record = "0" * (4095 - len(rest) - len("0.1")) + "0.1" + rest
+    assert len(record) == 4095
+    (d / "000000.txt").write_text(record)
+    (np.ones((8, 8)) / 64).astype(np.float64).tofile(str(d / "000000.bin"))
+    crop, _bbox, off, _gts, img_paths = load_records_native(
+        [str(d / "000000")], gt_width=8
+    )
+    np.testing.assert_allclose(crop[0][0], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(off[0], [0.05, -0.0625], rtol=1e-6)
+    assert img_paths[0] == path
