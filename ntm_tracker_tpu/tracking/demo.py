@@ -12,9 +12,9 @@ uses) on a fresh clip.
     python -m ntm_tracker_tpu.tracking.demo --train_steps 0 # untrained baseline
     python -m ntm_tracker_tpu.tracking.demo --platform cpu --train_steps 30
 
-Measured on TPU v5e at the defaults: mean IoU 0.386 untrained ->
-**0.685 after 400 steps** (~10 min; the full-size pipeline measured
-0.288 -> 0.826 over 360 steps).
+Measured on TPU v5e at the defaults (lr 1e-4): mean IoU 0.386 untrained ->
+**0.812 after 400 steps** (~7 min) -> **0.834 after 1200** (the full-size
+pipeline measured 0.288 -> 0.826 over 360 steps).
 """
 
 from __future__ import annotations
@@ -69,7 +69,7 @@ def demo_config(crop_size: int = 64):
                       read_head_size=4),
         data=DataConfig(crop_size=crop_size, gt_width=g),
         train=TrainConfig(batch_size=4, sequence_length=8,
-                          learning_rate=3e-4),
+                          learning_rate=1e-4),
         num_features=g * g,
         feature_points=tuple((y, x) for y in range(g) for x in range(g)),
     )
