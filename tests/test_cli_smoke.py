@@ -151,3 +151,88 @@ class TestCachedTrainSmoke:
             "--validation_interval", "1000",
             "--log_dir", str(tmp_path / "log"),
         ]) == 0
+
+
+class TestTrackVotSmoke:
+    def test_file_protocol_runs(self, tmp_path, capsys):
+        from PIL import Image
+
+        rng = np.random.RandomState(1)
+        names = []
+        for i in range(3):
+            arr = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+            n = f"{i:08d}.jpg"
+            Image.fromarray(arr).save(tmp_path / n)
+            names.append(n)
+        (tmp_path / "images.txt").write_text("\n".join(names) + "\n")
+        (tmp_path / "region.txt").write_text("60,40,30,25")
+        assert _run([
+            "track-vot", *MODEL_TINY, "--workdir", str(tmp_path),
+        ]) == 0
+        assert "tracked" in capsys.readouterr().out
+        assert (tmp_path / "output.txt").exists()
+
+
+class TestValidateSmoke:
+    def test_replay_runs(self, dataset, tmp_path, capsys):
+        import pickle
+
+        seq_dir = os.path.join(dataset, "train_seq00_0")
+        frames = [f"{i:06d}" for i in range(3)]
+        pkl = tmp_path / "val.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump([(seq_dir, frames)], f)
+        assert _run([
+            "validate", *MODEL_TINY, "--pickle_path", str(pkl),
+            "--log_dir", str(tmp_path),
+        ]) == 0
+        assert "mean IoU" in capsys.readouterr().out
+
+
+def _tiny_pickle(tmp_path, rng, n_seqs=1, n_frames=4, gt_side=28):
+    """generated_sequences.pkl shape (mining.gen_sequences) with real JPEGs."""
+    import pickle
+
+    from PIL import Image
+
+    seqs = []
+    for s in range(n_seqs):
+        frames = []
+        for i in range(n_frames):
+            arr = (rng.rand(90, 160, 3) * 255).astype(np.uint8)
+            p = str(tmp_path / f"s{s}_f{i}.JPEG")
+            Image.fromarray(arr).save(p)
+            bbox = [(40.0 + i, 20.0), (110.0 + i, 70.0)]
+            gts = [rng.rand(gt_side, gt_side) > 0.9]
+            frames.append((p, (160.0, 90.0), bbox, gts))
+        seqs.append((f"seq{s}", "obj", 0, n_frames, frames))
+    pkl = tmp_path / "gen.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(seqs, f)
+    return str(pkl)
+
+
+class TestWholeframeSmoke:
+    def test_runs_a_step(self, tmp_path, capsys):
+        pkl = _tiny_pickle(tmp_path, np.random.RandomState(2))
+        assert _run([
+            "train-wholeframe", *MODEL_TINY,
+            "--pickle_path", pkl, "--sequence_length", "4",
+            "--batch_size", "1", "--num_epochs", "1", "--log_interval", "1",
+            "--compress_dim", "8", "--feature_layer", "conv4/conv4_3",
+            "--log_dir", str(tmp_path / "log"),
+        ]) == 0
+        assert "loss" in capsys.readouterr().out
+
+
+class TestActiveResizeSmoke:
+    def test_runs_a_step(self, tmp_path, capsys):
+        pkl = _tiny_pickle(tmp_path, np.random.RandomState(3))
+        assert _run([
+            "train-active-resize", *MODEL_TINY,
+            "--pickle_path", pkl, "--sequence_length", "4",
+            "--batch_size", "1", "--num_epochs", "1", "--log_interval", "1",
+            "--compress_dim", "8",
+            "--log_dir", str(tmp_path / "log"),
+        ]) == 0
+        assert "loss" in capsys.readouterr().out
