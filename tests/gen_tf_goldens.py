@@ -1122,6 +1122,8 @@ def main():
     ops.update(gen_dnc_addressing_goldens())
     print("executing reference DNC MemoryAccess (stubbed sonnet) ...")
     ops.update(gen_dnc_access_goldens())
+    print("executing reference repeat-copy cost (all variants) ...")
+    ops.update(gen_repeat_copy_cost_goldens())
     np.savez_compressed(os.path.join(FIXTURE_DIR, "tf_goldens_ops.npz"), **ops)
     print(f"  wrote tf_goldens_ops.npz ({len(ops)} arrays)")
 
@@ -1265,4 +1267,36 @@ def gen_ckpt_convert_fixture():
     }
     for i, n in enumerate(names):
         out[f"ckptcv_var_{i}"] = reader.get_tensor(n)
+    return out
+
+
+def gen_repeat_copy_cost_goldens():
+    """Execute the reference's masked_sigmoid_cross_entropy
+    (dnc/repeat_copy.py:29-66) for all four (time_average,
+    log_prob_in_bits) variants on seeded time-major logits/targets/mask."""
+    rc = _load_patched_module(
+        "dnc/repeat_copy.py", "_ref_repeat_copy",
+        # sonnet import only feeds the RepeatCopy module class, which the
+        # cost function does not touch
+        extra_patches=[("import sonnet as snt", "")],
+        extra_globals={"snt": types.SimpleNamespace(AbstractModule=object)},
+    )
+    rs = np.random.RandomState(23)
+    T, B, C = 9, 4, 5
+    logits = rs.uniform(-3, 3, (T, B, C)).astype(np.float32)
+    target = (rs.rand(T, B, C) > 0.5).astype(np.float32)
+    mask = (rs.rand(T, B) > 0.3).astype(np.float32)
+    out = {
+        "rccost_logits": logits,
+        "rccost_target": target,
+        "rccost_mask": mask,
+    }
+    with tf.Graph().as_default(), tf.Session() as sess:
+        for ta in (False, True):
+            for bits in (False, True):
+                val = sess.run(rc.masked_sigmoid_cross_entropy(
+                    tf.constant(logits), tf.constant(target),
+                    tf.constant(mask), time_average=ta, log_prob_in_bits=bits,
+                ))
+                out[f"rccost_ta{int(ta)}_bits{int(bits)}"] = np.float32(val)
     return out

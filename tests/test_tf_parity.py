@@ -706,3 +706,26 @@ def test_convert_reference_checkpoint():
     np.testing.assert_allclose(np.asarray(logits), ref, atol=TOL)
     worst = float(np.abs(np.asarray(logits) - ref).max())
     assert worst <= TOL, worst
+
+
+@pytest.mark.parametrize("time_average", [False, True])
+@pytest.mark.parametrize("log_prob_in_bits", [False, True])
+def test_repeat_copy_cost_matches_executed_reference(
+    ops_g, time_average, log_prob_in_bits
+):
+    """masked_sigmoid_cross_entropy vs the reference's EXECUTED cost
+    (dnc/repeat_copy.py:29-66), all four variants on the same seeded
+    time-major logits/targets/mask."""
+    from ntm_tracker_tpu.models.dnc.repeat_copy import (
+        masked_sigmoid_cross_entropy,
+    )
+
+    got = masked_sigmoid_cross_entropy(
+        jnp.asarray(ops_g["rccost_logits"]),
+        jnp.asarray(ops_g["rccost_target"]),
+        jnp.asarray(ops_g["rccost_mask"]),
+        time_average=time_average,
+        log_prob_in_bits=log_prob_in_bits,
+    )
+    ref = float(ops_g[f"rccost_ta{int(time_average)}_bits{int(log_prob_in_bits)}"])
+    np.testing.assert_allclose(float(got), ref, rtol=1e-5)
