@@ -1201,10 +1201,6 @@ def main():
     print("  wrote tf_goldens_legacy_variant.npz")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def gen_ckpt_convert_fixture():
     """Build the reference cell under the TRAINING graph's variable scoping
     (tf.variable_scope('ntm-tracker') + cell default 'ntm-cell' + zero_state
@@ -1300,3 +1296,9 @@ def gen_repeat_copy_cost_goldens():
                 ))
                 out[f"rccost_ta{int(ta)}_bits{int(bits)}"] = np.float32(val)
     return out
+
+
+if __name__ == "__main__":
+    main()
+
+
