@@ -11,8 +11,18 @@ as no computation ran yet.
 
 import os
 
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # override an inherited count rather than failing the whole session on
+    # the 8-device assert below
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags,
+    )
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()

@@ -119,20 +119,30 @@ def main():
         )
         ours = collect_tree(ours_out)
         print(f"ours wrote {n} frames, {len(ours)} files")
+        ok = True
         if set(ours) != set(files):
+            ok = False
             print("PATH MISMATCH:")
             print("  only ref :", sorted(set(files) - set(ours)))
             print("  only ours:", sorted(set(ours) - set(files)))
         for p in sorted(set(files) & set(ours)):
             if files[p] != ours[p]:
+                ok = False
                 print(f"BYTE MISMATCH {p}:")
                 if p.endswith(".txt"):
                     print("  ref :", files[p].decode())
                     print("  ours:", ours[p].decode())
+                elif len(files[p]) != len(ours[p]):
+                    print(f"  length {len(ours[p])} != ref {len(files[p])}")
                 else:
                     a = np.frombuffer(files[p], np.float64)
                     b = np.frombuffer(ours[p], np.float64)
                     print("  max abs diff:", np.abs(a - b).max())
+        if not ok:
+            # never exit 0 with a golden the parity suite is guaranteed to
+            # fail on
+            raise SystemExit("self-check FAILED: see mismatches above")
+        print("self-check passed: byte-identical")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1054,6 +1054,22 @@ def gen_legacy_rollout(
         gvars = {v.op.name: v for v in tf.global_variables()}
         unmapped = set(name_map) - set(gvars)
         assert not unmapped, sorted(unmapped)
+        # the ONLY unseeded variables may be deterministic init_cell
+        # artifacts: the dummy-input weights (zero input -> no effect), the
+        # dummy constant Variable itself, and the zero-initialized
+        # new_output bias (ntm.py:278,318 — constant initializers, so the
+        # golden stays reproducible); anything else unseeded would make the
+        # golden depend on random initialization
+        extra = set(gvars) - set(name_map)
+        bad = [
+            n for n in extra
+            if not (
+                (n.startswith("ntm/init_cell/Linear/") and n.endswith("_w"))
+                or n == "ntm/init_cell/Variable"
+                or n == "ntm/init_cell/Linear/new_output_b"
+            )
+        ]
+        assert not bad, f"unseeded non-deterministic variables: {sorted(bad)}"
         for vname, key in name_map.items():
             value = params[key] if isinstance(key, str) else params[key[0]][key[1]]
             assert tuple(gvars[vname].shape.as_list()) == value.shape, (

@@ -11,6 +11,7 @@ whole-sequence kernel (scan_cell.ntm_scan_fused) and the single-step
 addressing kernel (addressing.fused_ntm_addressing).
 """
 
+import os
 import sys
 
 import jax
@@ -21,14 +22,12 @@ import numpy as np
 # bound is meaningful (the bf16 configurations test the fast path)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ntm_tracker_tpu.config import NTMConfig
 from ntm_tracker_tpu.models.ntm_cell import (
-    head_param_sizes,
     init_ntm_params,
     init_ntm_state,
-    ntm_cell_step,
 )
 from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
 from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
@@ -122,6 +121,8 @@ def main():
                compute_dtype=jnp.bfloat16)
     check_addressing("flagship", CONFIGS["flagship"])
     check_addressing("write2-shift2", CONFIGS["write2-shift2"])
+    check_addressing("write-first", CONFIGS["write-first"])
+    check_addressing("slotwise", CONFIGS["slotwise"])
     print("ALL HARDWARE PALLAS CHECKS PASSED")
     return 0
 
