@@ -150,6 +150,18 @@ def build_feature_cache(
         )(images, cropboxes)
         return frame_tokens(cfg, vgg_params, crops)
 
+    # cache entries are keyed by the sequence dir's BASENAME (_frame_path),
+    # so two sequence dirs sharing a basename under different parents would
+    # silently overwrite / cross-read each other's tokens — refuse up front
+    basenames = [os.path.basename(os.path.normpath(s)) for s in sequence_dirs]
+    dups = sorted({b for b in basenames if basenames.count(b) > 1})
+    if dups:
+        raise ValueError(
+            f"sequence dirs with duplicate basenames would collide in the "
+            f"cache layout: {dups} (cache entries are keyed by basename; "
+            f"pass dirs with unique names or use separate cache_dirs)"
+        )
+
     frames: List[str] = []
     for seqdir in sequence_dirs:
         names = sorted(

@@ -78,6 +78,12 @@ def process_shard_sequences(
     n = jax.process_count() if process_count is None else process_count
     if not 0 <= pid < n:
         raise ValueError(f"process_id {pid} out of range for {n} processes")
+    if 0 < len(items) < n:
+        raise ValueError(
+            f"{len(items)} sequences cannot be sharded over {n} processes: "
+            f"len(items)//n == 0, so EVERY host would get an empty shard and "
+            f"the epoch would be a silent no-op (add data or shrink the fleet)"
+        )
     per = len(items) // n
     return list(items)[pid::n][:per]
 

@@ -80,11 +80,24 @@ def convert_ntm_variables(
     L = cfg.controller_num_layers
     out: Dict[str, Any] = {"controller": [dict() for _ in range(L)]}
     skipped = []
+    claimed: Dict[tuple, str] = {}  # pytree address -> checkpoint var name
     for name, arr in variables.items():
         addr = classify_variable(name, np.shape(arr), cfg)
         if addr is None:
             skipped.append(name)
             continue
+        if addr in claimed:
+            # e.g. an unrelated same-shape '*weights' variable matching the
+            # output-head shape fallback: last-write-wins would silently
+            # substitute the real head, and the completeness check below
+            # could never notice — fail loudly instead
+            raise ValueError(
+                f"checkpoint variables {claimed[addr]!r} and {name!r} both "
+                f"map to pytree address {addr}; the checkpoint layout is "
+                f"ambiguous (is an unrelated variable shaped like the "
+                f"output head?)"
+            )
+        claimed[addr] = name
         arr = np.asarray(arr, np.float32)
         if addr[0] == "controller":
             _, layer, kind = addr

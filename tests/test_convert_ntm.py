@@ -82,6 +82,20 @@ def test_pre_tf11_lstm_names_accepted():
     np.testing.assert_array_equal(params["controller"][0]["kernel"], k)
 
 
+def test_duplicate_address_claim_raises():
+    """Two checkpoint variables mapping to the same pytree address (e.g. an
+    unrelated head-shaped '*weights') must fail loudly — last-write-wins
+    would silently substitute the real output head."""
+    cfg = _cfg()
+    rng = np.random.RandomState(0)
+    v = _fake_ckpt(cfg, rng)
+    v["some-other-scope/weights"] = rng.rand(
+        cfg.controller_hidden_size, cfg.output_dim
+    ).astype(np.float32)
+    with pytest.raises(ValueError, match="both"):
+        convert_ntm_variables(v, cfg)
+
+
 def test_classifier_addresses():
     cfg = _cfg(controller_num_layers=2)
     assert classify_variable("a/ntm-cell/addressing/weights", (24, 1), cfg) == ("heads_w",)

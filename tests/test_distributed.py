@@ -38,6 +38,13 @@ class TestProcessShard:
         with pytest.raises(ValueError):
             process_shard_sequences([1, 2], process_id=3, process_count=2)
 
+    def test_fewer_items_than_processes_fails_loudly(self):
+        """per-host shard length 0 would turn every epoch into a silent
+        no-op fleet-wide; refuse instead."""
+        with pytest.raises(ValueError, match="empty shard"):
+            process_shard_sequences([1, 2], process_id=0, process_count=3)
+        assert process_shard_sequences([], process_id=0, process_count=3) == []
+
 
 class TestGlobalBatch:
     def test_matches_shard_batch_single_process(self):

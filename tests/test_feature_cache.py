@@ -207,6 +207,21 @@ class TestFeatureCache:
         )
 
 
+def test_duplicate_sequence_basenames_rejected(tmp_path):
+    """Cache entries are keyed by sequence-dir basename; two dirs sharing a
+    basename under different parents would silently collide — refused."""
+    cfg = tiny_cfg("ntm", batch=1, seq_len=SEQ_LEN)
+    a = tmp_path / "rootA" / "seq00"
+    b = tmp_path / "rootB" / "seq00"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        build_feature_cache(
+            cfg, None, [str(a), str(b)], str(tmp_path / "cache"),
+            gt_width=cfg.data.gt_width,
+        )
+
+
 def test_flip_rejected_with_device_resize():
     """Library-level guard: flip must follow the host resize (the TF1 grid
     is not flip-equivariant), so reverse_image + decode_resize_hw=None is
