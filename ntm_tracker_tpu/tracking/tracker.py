@@ -319,6 +319,8 @@ class StreamingTracker:
         d = self.cfg.data
         init_bbox = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
         new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
+        # kept as an attribute like the reference's tracker (test_tracker.py:171)
+        self.output_bbox = new_bbox
         region = self._decode_bbox(new_bbox)
         self._update_bbox(self.image_size, region)
         return region

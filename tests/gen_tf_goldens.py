@@ -47,7 +47,7 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 # ---------------------------------------------------------------------------
 
 def _load_patched_module(filename: str, name: str, extra_globals=None,
-                         extra_patches=()):
+                         extra_patches=(), truncate_at=None):
     """Exec a reference source file with the minimal shims needed to run
     2017-era TF1/Py2 code on this machine's TF2 + Py3:
 
@@ -65,6 +65,10 @@ def _load_patched_module(filename: str, name: str, extra_globals=None,
     path = os.path.join(REFERENCE_DIR, filename)
     with open(path) as f:
         src = f.read()
+    if truncate_at is not None:
+        # drop everything from the marker on (module-level driver code —
+        # e.g. test_tracker.py's VOT loop, or a Py2-print __main__ block)
+        src = src[: src.index(truncate_at)]
     src = src.replace("import tensorflow as tf", "import tensorflow.compat.v1 as tf")
     src = src.replace("-shift_space/2", "-shift_space//2")
     src = src.replace("tf.mul(", "tf.multiply(")  # TF<1.0 alias (ops.py:291,300)

@@ -729,3 +729,115 @@ def test_repeat_copy_cost_matches_executed_reference(
     )
     ref = float(ops_g[f"rccost_ta{int(time_average)}_bits{int(log_prob_in_bits)}"])
     np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# the FULL streaming tracker loop vs the executed reference
+# (tests/gen_tracker_loop_golden.py ran test_tracker.NTMTracker itself)
+# ---------------------------------------------------------------------------
+
+def run_repo_tracker_loop():
+    """Drive this repo's StreamingTracker (delimiter_first=True — the
+    reference's streaming protocol, test_tracker.py:400-404) over the seeded
+    synthetic video with the seeded VGG + cell weights; returns the same
+    trajectory records the golden generator captured from the reference.
+    Shared with gen_tracker_loop_golden.py's generation-time self-check."""
+    from tests.fixture_params import (
+        TRACKER_LOOP_CONFIG,
+        TRACKER_LOOP_REGION0,
+        seeded_loop_cell_params,
+        seeded_loop_video,
+        seeded_vgg_params,
+    )
+    from ntm_tracker_tpu.config import NTMConfig, TrackerConfig
+    from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+    c = TRACKER_LOOP_CONFIG
+    cfg = TrackerConfig(
+        core="ntm",
+        ntm=NTMConfig(
+            mem_size=c["mem_size"], mem_dim=c["mem_dim"],
+            shift_range=c["shift_range"],
+            controller_hidden_size=c["hidden"],
+            controller_num_layers=c["num_layers"],
+            read_head_size=c["read_heads"],
+            write_head_size=c["write_heads"],
+        ),
+    )
+    vgg = {
+        name: {"weights": jnp.asarray(p["weights"]),
+               "biases": jnp.asarray(p["biases"])}
+        for name, p in seeded_vgg_params(VGG16_PREFIX).items()
+    }
+    sp = seeded_loop_cell_params()
+    params = {
+        "controller": [
+            {"kernel": jnp.asarray(sp[f"ctrl_kernel_{layer}"]),
+             "bias": jnp.asarray(sp[f"ctrl_bias_{layer}"])}
+            for layer in range(c["num_layers"])
+        ],
+        "heads_w": jnp.asarray(sp["heads_w"]),
+        "heads_b": jnp.asarray(sp["heads_b"]),
+        "out_w": jnp.asarray(sp["out_w"]),
+        "out_b": jnp.asarray(sp["out_b"]),
+        "init_M": jnp.asarray(sp["init_M"]),
+        "init_w": jnp.asarray(sp["init_w"]),
+        "init_read": jnp.asarray(sp["init_read"]),
+    }
+    video = seeded_loop_video()
+    trk = StreamingTracker(cfg, vgg, params, delimiter_first=True)
+    trk.init(video[0], TRACKER_LOOP_REGION0)
+    cropboxes = [list(trk.cropbox)]
+    regions, out_bboxes = [], []
+    for t in range(1, len(video)):
+        region = trk.track(video[t])
+        regions.append(list(region))
+        out_bboxes.append(list(trk.output_bbox))
+        cropboxes.append(list(trk.cropbox))
+    return {
+        "loop_regions": np.array(regions, np.float64),
+        "loop_output_bboxes": np.array(out_bboxes, np.float64),
+        "loop_cropboxes": np.array(cropboxes, np.float64),
+    }
+
+
+class TestExecutedReferenceTrackerLoop:
+    """The cross-frame composition — np-side preprocess padding -> 65 cell
+    steps -> offset decode -> recrop feedback -> reported region
+    (test_tracker.py:104-405) — pinned against an end-to-end EXECUTION of
+    the reference's own NTMTracker class (real frozen-VGG .pb import, real
+    Saver restore, its own scipy/np geometry), not just its pieces."""
+
+    @pytest.fixture(scope="class")
+    def loop(self):
+        g = _load("tf_goldens_tracker_loop.npz")
+        from tests.fixture_params import seeded_loop_video
+        import hashlib
+
+        video_sha = hashlib.sha256(seeded_loop_video().tobytes()).digest()
+        assert bytes(g["loop_video_sha"]) == video_sha, (
+            "seeded video drifted from the one the golden was generated on"
+        )
+        return g, run_repo_tracker_loop()
+
+    @pytest.mark.parametrize(
+        "key", ["loop_regions", "loop_output_bboxes", "loop_cropboxes"]
+    )
+    def test_trajectory_matches(self, loop, key):
+        g, ours = loop
+        ref = np.asarray(g[key])
+        got = np.asarray(ours[key])
+        assert got.shape == ref.shape
+        # <=1e-4 relative on the reported trajectory (pixels for regions,
+        # normalized units for boxes); atol covers near-zero coords
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=key)
+
+    def test_loop_actually_moved(self, loop):
+        """Guard against a degenerate golden (all-identical frames would
+        pass parity trivially): the recrop feedback must actually move the
+        cropbox across frames."""
+        g, _ = loop
+        crops = np.asarray(g["loop_cropboxes"])
+        assert np.abs(np.diff(crops, axis=0)).max() > 1e-3
