@@ -489,6 +489,30 @@ def cmd_copy_paste(args) -> int:
     return 0
 
 
+def _load_converted_npz(args, cfg, template_params):
+    """Load converted REFERENCE weights (--ntm_npz / --dnc_npz), validated
+    structurally against the live model config before serving."""
+    from ntm_tracker_tpu.tools.convert_ntm_ckpt import validate_params_like
+
+    ntm_npz = getattr(args, "ntm_npz", "")
+    dnc_npz = getattr(args, "dnc_npz", "")
+    if ntm_npz and dnc_npz:
+        raise SystemExit("pass only one of --ntm_npz / --dnc_npz")
+    if ntm_npz:
+        if cfg.core != "ntm":
+            raise SystemExit("--ntm_npz serves the NTM core; pass --core ntm "
+                             "(or use --dnc_npz for DNC checkpoints)")
+        from ntm_tracker_tpu.tools.convert_ntm_ckpt import load_params_npz
+        loaded = load_params_npz(ntm_npz)
+    else:
+        if cfg.core != "dnc":
+            raise SystemExit("--dnc_npz serves the DNC core; pass --core dnc")
+        from ntm_tracker_tpu.tools.convert_dnc_ckpt import load_params_npz
+        loaded = load_params_npz(dnc_npz)
+    validate_params_like(loaded, template_params)
+    return loaded
+
+
 def cmd_track_vot(args) -> int:
     import jax
     import numpy as np
@@ -503,17 +527,10 @@ def cmd_track_vot(args) -> int:
     vgg_params = _load_vgg(args)
     core = make_core(cfg)
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if getattr(args, "ntm_npz", ""):
-        # converted REFERENCE weights (convert-ntm): serve a TF-trained
-        # tracker without retraining
-        from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
-            load_params_npz,
-            validate_params_like,
-        )
-
-        loaded = load_params_npz(args.ntm_npz)
-        validate_params_like(loaded, params)
-        params = loaded
+    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
+        # converted REFERENCE weights (convert-ntm / convert-dnc): serve a
+        # TF-trained tracker without retraining
+        params = _load_converted_npz(args, cfg, params)
     elif args.ckpt_path:
         restored = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True
@@ -860,6 +877,29 @@ def cmd_convert_ntm(args) -> int:
     return 0
 
 
+def cmd_convert_dnc(args) -> int:
+    """Reference DNC training checkpoint -> our param pytree .npz
+    (tools/convert_dnc_ckpt.py; pass the model flags the checkpoint was
+    trained with — the converter validates every shape against them)."""
+    from ntm_tracker_tpu.config import DNCConfig
+    from ntm_tracker_tpu.tools.convert_dnc_ckpt import (
+        convert_checkpoint,
+        save_params_npz,
+    )
+
+    dnc_cfg = DNCConfig(
+        output_dim=2, memory_size=args.mem_size, word_size=args.mem_dim,
+        num_reads=args.read_head_size, num_writes=args.write_head_size,
+        hidden_size=args.hidden_size,
+    )
+    params = convert_checkpoint(args.ckpt, dnc_cfg)
+    save_params_npz(args.out, params)
+    print(f"converted controller + 10 interface heads + output linear "
+          f"-> {args.out}")
+    print("serve with: track-vot --core dnc --dnc_npz", args.out)
+    return 0
+
+
 def cmd_cache_features(args) -> int:
     """Precompute the frozen VGG tokens of every frame record (and
     optionally the flipped variant) so training can skip the VGG entirely
@@ -1110,6 +1150,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--ntm_npz", default="",
                    help="converted reference weights (convert-ntm output); "
                    "overrides --ckpt_path")
+    v.add_argument("--dnc_npz", default="",
+                   help="converted reference DNC weights (convert-dnc "
+                   "output, requires --core dnc); overrides --ckpt_path")
     v.add_argument("--delimiter_first", action="store_true",
                    help="use the reference's streaming token order "
                    "(delimiter prepended; train/inference mismatch)")
@@ -1169,6 +1212,9 @@ def build_parser() -> argparse.ArgumentParser:
     val.add_argument("--vgg_weights", default="")
     val.add_argument("--ntm_npz", default="",
                      help="converted reference weights (convert-ntm output)")
+    val.add_argument("--dnc_npz", default="",
+                     help="converted reference DNC weights (convert-dnc "
+                     "output, requires --core dnc)")
     val.add_argument("--pickle_path", required=True)
     val.add_argument("--delimiter_first", action="store_true")
     val.set_defaults(fn=cmd_validate)
@@ -1218,6 +1264,20 @@ def build_parser() -> argparse.ArgumentParser:
                     "reference's save_path.txt points at)")
     cn.add_argument("--out", required=True, help="destination .npz")
     cn.set_defaults(fn=cmd_convert_ntm)
+
+    cd = sub.add_parser(
+        "convert-dnc",
+        help="convert a REFERENCE DNC training checkpoint (TF1 Saver, "
+        "direct_offset_output_with_dnc graph: dnc/lstm + "
+        "dnc/memory_access/* + dnc/output_linear) into this framework's "
+        "DNC params (.npz usable via track-vot/validate --core dnc "
+        "--dnc_npz)",
+    )
+    _add_model_flags(cd)
+    cd.add_argument("--ckpt", required=True,
+                    help="checkpoint prefix (model.ckpt-NNN)")
+    cd.add_argument("--out", required=True, help="destination .npz")
+    cd.set_defaults(fn=cmd_convert_dnc)
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -83,15 +83,10 @@ def validate_tracker(args) -> int:
     vgg_params = _load_vgg(args)
     core = make_core(cfg)
     params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if getattr(args, "ntm_npz", ""):
-        from ntm_tracker_tpu.tools.convert_ntm_ckpt import (
-            load_params_npz,
-            validate_params_like,
-        )
+    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
+        from ntm_tracker_tpu.cli import _load_converted_npz
 
-        loaded = load_params_npz(args.ntm_npz)
-        validate_params_like(loaded, params)
-        params = loaded
+        params = _load_converted_npz(args, cfg, params)
     elif args.ckpt_path:
         params = CheckpointManager(args.ckpt_path).restore(
             template={"params": params}, partial=True

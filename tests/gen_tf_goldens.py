@@ -844,6 +844,155 @@ def gen_dnc_core_goldens():
     return out
 
 
+def gen_dnc_ckpt_convert_fixture():
+    """Saver round trip of the reference DNC training core (the oracle for
+    tools/convert_dnc_ckpt.py): build dnc.DNC exactly as the training entry
+    does (direct_offset_output_with_dnc.py:66-88) with the stubbed-sonnet
+    modules, randomize every variable, save with a REAL tf.train.Saver,
+    re-read via load_checkpoint, and record an executed rollout.
+
+    The stub reproduces sonnet-v1's variable naming for this graph
+    (dnc/lstm/w_gates, dnc/memory_access/<head>/w|b, dnc/output_linear/w|b)
+    — asserted exactly below, so the fixture's names ARE the names a real
+    reference checkpoint carries."""
+    import tempfile
+
+    # rebuild the full stub stack exactly as gen_dnc_core_goldens does
+    # (fresh module registrations; safe to run after it in the same process)
+    core_fixture_mod_names = [
+        "_dnc_util3", "_dnc_addressing3", "_dnc_access3", "_dnc_core3",
+    ]
+    snt = _make_sonnet_stub()
+
+    import collections
+
+    _LSTMState = collections.namedtuple("LSTMState", ("hidden", "cell"))
+
+    class _LSTM:
+        def __init__(self, hidden_size, name="lstm", **_kw):
+            self._hidden_size = hidden_size
+            self._name = name
+
+        def __call__(self, inputs, prev_state):
+            with tf.variable_scope(self._name, reuse=tf.AUTO_REUSE):
+                prev_hidden, prev_cell = prev_state
+                in_dim = int(inputs.shape[1])
+                w = tf.get_variable(
+                    "w_gates",
+                    [in_dim + self._hidden_size, 4 * self._hidden_size],
+                )
+                b = tf.get_variable(
+                    "b_gates", [4 * self._hidden_size],
+                    initializer=tf.zeros_initializer(),
+                )
+                gates = tf.matmul(tf.concat([inputs, prev_hidden], 1), w) + b
+                i, j, f, o = tf.split(gates, 4, axis=1)
+                next_cell = (
+                    tf.sigmoid(f + 1.0) * prev_cell + tf.sigmoid(i) * tf.tanh(j)
+                )
+                next_hidden = tf.tanh(next_cell) * tf.sigmoid(o)
+                return next_hidden, _LSTMState(next_hidden, next_cell)
+
+        @property
+        def state_size(self):
+            return _LSTMState(
+                tf.TensorShape([self._hidden_size]),
+                tf.TensorShape([self._hidden_size]),
+            )
+
+        def initial_state(self, batch_size, dtype=tf.float32):
+            z = tf.zeros([batch_size, self._hidden_size], dtype)
+            return _LSTMState(z, z)
+
+    class _BatchFlatten:
+        def __call__(self, x):
+            return tf.reshape(x, [tf.shape(x)[0], -1])
+
+    snt.LSTM = _LSTM
+    snt.BatchFlatten = _BatchFlatten
+    snt.nest = types.SimpleNamespace(map=tf.nest.map_structure)
+
+    util_mod = _load_patched_module("dnc/util.py", core_fixture_mod_names[0])
+    addr = _load_patched_module(
+        "dnc/addressing.py", core_fixture_mod_names[1],
+        extra_globals={"util": util_mod},
+        extra_patches=[("from . import util", "")],
+    )
+    access = _load_patched_module(
+        "dnc/access.py", core_fixture_mod_names[2],
+        extra_globals={"addressing": addr, "util": util_mod},
+        extra_patches=[("from . import addressing", ""),
+                       ("from . import util", "")],
+    )
+    dnc_mod = _load_patched_module(
+        "dnc/dnc.py", core_fixture_mod_names[3],
+        extra_globals={"access": access},
+        extra_patches=[("from . import access", "")],
+    )
+
+    rs = np.random.RandomState(29)
+    B, N, W, R, Wh, IN, HID, OUT, T = 2, 16, 6, 3, 1, 11, 14, 2, 5
+    CLIP = 20.0
+    inputs = rs.uniform(-1, 1, (T, B, IN)).astype(np.float32)
+
+    from ntm_tracker_tpu.models.dnc.access import _interface_sizes
+    from ntm_tracker_tpu.config import DNCConfig
+
+    sizes = _interface_sizes(DNCConfig(
+        output_dim=OUT, memory_size=N, word_size=W, num_reads=R,
+        num_writes=Wh, hidden_size=HID,
+    ))
+
+    with tf.Graph().as_default(), tf.Session() as sess:
+        core = dnc_mod.DNC(
+            access_config=dict(
+                memory_size=N, word_size=W, num_reads=R, num_writes=Wh
+            ),
+            controller_config=dict(hidden_size=HID),
+            output_size=OUT,
+            clip_value=CLIP,
+        )
+        state = core.initial_state(B)
+        outs = []
+        for t in range(T):
+            out_t, state = core(tf.constant(inputs[t]), state)
+            outs.append(out_t)
+
+        sess.run(tf.global_variables_initializer())
+        gvars = {v.op.name: v for v in tf.global_variables()}
+        expected = (
+            {"dnc/lstm/w_gates", "dnc/lstm/b_gates",
+             "dnc/output_linear/w", "dnc/output_linear/b"}
+            | {f"dnc/memory_access/{head}/{s}"
+               for head in sizes for s in ("w", "b")}
+        )
+        assert set(gvars) == expected, (sorted(gvars), sorted(expected))
+        for v in gvars.values():
+            v.load(
+                rs.uniform(-0.3, 0.3, v.shape.as_list()).astype(np.float32),
+                sess,
+            )
+        outs_v = sess.run(outs)
+
+        tmp = tempfile.mkdtemp(prefix="ref_dnc_ckpt_")
+        save_path = tf.train.Saver().save(sess, os.path.join(tmp, "model.ckpt"))
+
+    reader = tf.train.load_checkpoint(save_path)
+    names = sorted(reader.get_variable_to_shape_map())
+    out = {
+        "dncckpt_config": np.array(
+            [B, N, W, R, Wh, IN, HID, OUT, T], np.int64,
+        ),
+        "dncckpt_clip": np.array(CLIP, np.float32),
+        "dncckpt_inputs": inputs,
+        "dncckpt_outputs": np.stack(outs_v),
+        "dncckpt_names": np.array(names, np.str_),
+    }
+    for i, n in enumerate(names):
+        out[f"dncckpt_var_{i}"] = reader.get_tensor(n)
+    return out
+
+
 def gen_tracker_rollout(*, seed, two_step, batch, frames, input_size,
                         target_size, mem_size, mem_dim, hidden, read_heads):
     """Execute the reference's tracker WRAPPER (ntm_tracker_new.NTMTracker,
@@ -1161,6 +1310,13 @@ def main():
         os.path.join(FIXTURE_DIR, "tf_goldens_ckpt_convert.npz"), **ck
     )
     print(f"  wrote tf_goldens_ckpt_convert.npz ({len(ck)} arrays)")
+
+    print("Saver round trip of the reference DNC core (convert-dnc oracle) ...")
+    dck = gen_dnc_ckpt_convert_fixture()
+    np.savez_compressed(
+        os.path.join(FIXTURE_DIR, "tf_goldens_dnc_ckpt_convert.npz"), **dck
+    )
+    print(f"  wrote tf_goldens_dnc_ckpt_convert.npz ({len(dck)} arrays)")
 
     print("executing reference NTM cell: flagship config, 65-step rollout ...")
     flagship = gen_cell_rollout(

@@ -172,6 +172,51 @@ class TestTrackVotSmoke:
         assert "tracked" in capsys.readouterr().out
         assert (tmp_path / "output.txt").exists()
 
+    def test_serves_converted_dnc_npz(self, tmp_path, capsys):
+        """track-vot --core dnc --dnc_npz: serve a converted reference DNC
+        checkpoint through the file protocol."""
+        import jax
+
+        from PIL import Image
+
+        from ntm_tracker_tpu.config import DNCConfig, TrackerConfig
+        from ntm_tracker_tpu.models.dnc.dnc import init_dnc_params
+        from ntm_tracker_tpu.tools.convert_dnc_ckpt import save_params_npz
+
+        dnc_cfg = DNCConfig(
+            output_dim=2, memory_size=16, word_size=8, num_reads=2,
+            num_writes=1, hidden_size=24,
+        )
+        params = init_dnc_params(
+            jax.random.PRNGKey(7), dnc_cfg, TrackerConfig().input_depth
+        )
+        npz = tmp_path / "dnc_params.npz"
+        save_params_npz(str(npz), params)
+
+        rng = np.random.RandomState(5)
+        names = []
+        for i in range(3):
+            arr = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+            n = f"{i:08d}.jpg"
+            Image.fromarray(arr).save(tmp_path / n)
+            names.append(n)
+        (tmp_path / "images.txt").write_text("\n".join(names) + "\n")
+        (tmp_path / "region.txt").write_text("60,40,30,25")
+        assert _run([
+            "track-vot", *MODEL_TINY, "--core", "dnc",
+            "--dnc_npz", str(npz), "--workdir", str(tmp_path),
+        ]) == 0
+        assert "tracked" in capsys.readouterr().out
+        assert (tmp_path / "output.txt").exists()
+
+    def test_dnc_npz_requires_dnc_core(self, tmp_path):
+        with pytest.raises(SystemExit, match="core dnc"):
+            _run([
+                "track-vot", *MODEL_TINY,
+                "--dnc_npz", str(tmp_path / "x.npz"),
+                "--workdir", str(tmp_path),
+            ])
+
 
 class TestValidateSmoke:
     def test_replay_runs(self, dataset, tmp_path, capsys):

@@ -841,3 +841,49 @@ class TestExecutedReferenceTrackerLoop:
         g, _ = loop
         crops = np.asarray(g["loop_cropboxes"])
         assert np.abs(np.diff(crops, axis=0)).max() > 1e-3
+
+
+def test_convert_reference_dnc_checkpoint(tmp_path):
+    """convert-dnc oracle: a REAL tf.train.Saver round trip of the
+    reference DNC core (sonnet scoping dnc/lstm, dnc/memory_access/<head>,
+    dnc/output_linear — direct_offset_output_with_dnc.py:66-88) converted
+    onto the models/dnc pytree reproduces the executed rollout, through the
+    .npz round trip inference hosts use."""
+    from ntm_tracker_tpu.config import DNCConfig
+    from ntm_tracker_tpu.models.dnc.dnc import dnc_step, init_dnc_state
+    from ntm_tracker_tpu.tools.convert_dnc_ckpt import (
+        convert_dnc_variables,
+        load_params_npz,
+        save_params_npz,
+    )
+
+    g = _load("tf_goldens_dnc_ckpt_convert.npz")
+    B, N, W, R, Wh, IN, HID, OUT, T = [int(x) for x in g["dncckpt_config"]]
+    cfg = DNCConfig(
+        memory_size=N, word_size=W, num_reads=R, num_writes=Wh,
+        hidden_size=HID, output_dim=OUT, clip_value=float(g["dncckpt_clip"]),
+    )
+    variables = {
+        str(n): np.asarray(g[f"dncckpt_var_{i}"])
+        for i, n in enumerate(g["dncckpt_names"])
+    }
+    # prove non-core variables are skipped, and an extra enclosing scope
+    # (dynamic_rnn's 'rnn/') still converts
+    variables["global_step"] = np.int64(2600)
+    variables["dnc/lstm/w_gates/RMSProp"] = np.zeros((3, 3), np.float32)
+    variables = {
+        (f"rnn/{k}" if k.startswith("dnc/") else k): v
+        for k, v in variables.items()
+    }
+    params = convert_dnc_variables(variables, cfg)
+    save_params_npz(str(tmp_path / "dnc.npz"), params)
+    params = load_params_npz(str(tmp_path / "dnc.npz"))
+
+    state = init_dnc_state(cfg, B)
+    outs = []
+    for t in range(T):
+        out_t, state = jax.jit(dnc_step, static_argnums=1)(
+            params, cfg, jnp.asarray(g["dncckpt_inputs"][t]), state
+        )
+        outs.append(np.asarray(out_t))
+    np.testing.assert_allclose(np.stack(outs), g["dncckpt_outputs"], atol=TOL)
