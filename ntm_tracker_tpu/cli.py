@@ -786,13 +786,38 @@ def cmd_sanity_check(args) -> int:
     F = cfg.num_features
     feats = feats.reshape(B, L, F, cfg.feature_depth)
     gts = jnp.asarray(fb.gts).reshape(B, L, F)
+    name = "sanity_check"
+    if args.pca and args.compressor_ckpt:
+        raise SystemExit("--pca and --compressor_ckpt are mutually exclusive")
     if args.pca:
         sim = sanity_check_pca(np.asarray(feats), gts, args.compress_dim)
+    elif args.compressor_ckpt:
+        # the sanity_check_trained dispatch (main.py:2608-2632): run the
+        # cosine check through a TRAINED 1x1 compressor restored from a
+        # train-heatmap --compress_dim checkpoint
+        from ntm_tracker_tpu.train.harness import CheckpointManager
+
+        template = {"params": {"compressor": jnp.zeros(
+            (cfg.feature_depth, args.compress_dim), jnp.float32
+        )}}
+        try:
+            w = CheckpointManager(args.compressor_ckpt).restore(
+                template=template, partial=True
+            )["params"]["compressor"]
+        except (KeyError, ValueError, FileNotFoundError) as e:
+            raise SystemExit(
+                f"--compressor_ckpt {args.compressor_ckpt} has no "
+                f"[{cfg.feature_depth},{args.compress_dim}] compressor — "
+                f"was it trained with train-heatmap --compress_dim "
+                f"{args.compress_dim}? ({e})"
+            )
+        sim = sanity_check_similarity(feats, gts, compressor_w=w)
+        name = "sanity_check_trained"
     else:
         sim = sanity_check_similarity(feats, gts)
     side = int(round(F ** 0.5))
     grid = lambda x: np.asarray(x).reshape(B, L, side, side, 1) * 255.0
-    path = save_imgs([grid(sim), grid(gts * F)], "sanity_check", args.log_dir)
+    path = save_imgs([grid(sim), grid(gts * F)], name, args.log_dir)
     print("similarity-vs-gt grid written to", path)
     return 0
 
@@ -840,14 +865,24 @@ def cmd_bench(args) -> int:
 def cmd_convert_vgg(args) -> int:
     """One-off vgg_16.ckpt -> .npz conversion (the reference's freeze_vgg
     workflow, freeze_vgg.py:4-16, re-targeted at load_params_npz)."""
-    from ntm_tracker_tpu.tools.convert_vgg import convert_vgg_checkpoint
+    from ntm_tracker_tpu.tools.convert_vgg import (
+        activation_stats,
+        convert_vgg_checkpoint,
+    )
 
     shapes = convert_vgg_checkpoint(
-        args.ckpt, args.out, require_conv5=args.require_conv5
+        args.ckpt, args.out, require_conv5=args.require_conv5,
+        expect_sha256=args.expect_sha256 or None,
     )
     for key in sorted(shapes):
         print(f"  {key}  {shapes[key]}")
     print(f"wrote {len(shapes)} arrays to {args.out}")
+    stats = activation_stats(args.out)
+    print("conv4_3 self-check on a deterministic ramp image "
+          "(ImageNet weights give O(10-100) activations; a wrong/"
+          "random-looking conversion reads very differently):")
+    for k, v in stats.items():
+        print(f"  {k}: {v:.4f}")
     return 0
 
 
@@ -1203,6 +1238,11 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--vgg_weights", default="")
     sc.add_argument("--pca", action="store_true")
     sc.add_argument("--compress_dim", type=int, default=128)
+    sc.add_argument("--compressor_ckpt", default="",
+                    help="checkpoint dir of a train-heatmap --compress_dim "
+                    "run: run the check through the TRAINED compressor "
+                    "(the reference's sanity_check_trained dispatch, "
+                    "main.py:2608-2632)")
     sc.set_defaults(fn=cmd_sanity_check)
 
     val = sub.add_parser("validate", help="replay pickled validation sequences")
@@ -1249,6 +1289,10 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--out", required=True, help="destination .npz")
     cv.add_argument("--require_conv5", action="store_true",
                     help="fail unless the conv5 block is present")
+    cv.add_argument("--expect_sha256", default="",
+                    help="verify the checkpoint bytes hash to this hex "
+                    "digest before converting (guards against a corrupt "
+                    "or wrong download)")
     cv.set_defaults(fn=cmd_convert_vgg)
 
     cn = sub.add_parser(

@@ -98,6 +98,11 @@ class TrainConfig:
     # on v5e at the cost of ~13x scan-body compile time (models/ntm_tracker
     # perf notes); 1 = fastest compile
     scan_unroll: int = 1
+    # BPTT rematerialization policy: "full" (recompute the cell forward in
+    # the backward), "dots" (save each step's matmul outputs, recompute
+    # only elementwise addressing), "none" (save everything). See
+    # models/ntm_tracker.ntm_tracker_unroll and tools/profile_train.py.
+    remat_policy: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)

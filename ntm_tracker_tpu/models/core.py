@@ -104,8 +104,11 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
             return ntm_cell.init_ntm_state(params, ncfg, batch)
 
         def unroll(params, inputs, state=None, remat=True):
+            # remat=True defers to the config's policy; False stays False
+            # (e.g. inference paths that never differentiate)
+            policy = cfg.train.remat_policy if remat is True else remat
             _, logits, final = ntm_tracker.ntm_tracker_unroll(
-                params, ncfg, inputs, state=state, remat=remat,
+                params, ncfg, inputs, state=state, remat=policy,
                 compute_dtype=cfg.compute_dtype,
                 unroll=cfg.train.scan_unroll,
             )

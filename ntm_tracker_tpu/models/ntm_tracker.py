@@ -48,11 +48,22 @@ def ntm_tracker_unroll(
     Returns:
       (outputs [B,T,out], logits [B,T,out], final_state)
 
+    remat accepts a bool or a policy string:
+      True / "full"  — jax.checkpoint, recompute everything in the backward
+      "dots"         — jax.checkpoint(policy=dots_saveable): SAVE each
+                       step's matmul outputs (gates/head projections,
+                       [B,4H]+[B,P] per step ~ the only MXU work),
+                       recompute just the cheap elementwise addressing.
+                       Skips the whole forward recompute at the price of
+                       T*(4H+P)*B floats of HBM.
+      False / "none" — save every intermediate (XLA default).
+
     Perf notes (v5e, B=8, T=1300 grad step): remat=True is ~1.8x FASTER
     than remat=False (33ms vs 58ms) — recomputing the cheap cell forward
     beats streaming 1300 steps of saved activations through HBM. unroll=13
     shaves a further ~6% (31.3ms) at the cost of ~13x scan-body compile
-    time; expose it for long production runs.
+    time; expose it for long production runs. For the B=256 cached-token
+    training knee, see tools/profile_train.py (round-3 sweep).
 
     Chunked remat (outer scan over frames, jax.checkpoint per 65-token
     chunk, plain inner scan) was measured at B=32/T=1300 and REJECTED:
@@ -68,8 +79,14 @@ def ntm_tracker_unroll(
         out, logit, new_state = ntm_cell_step(params, cfg, x_t, carry, compute_dtype)
         return new_state, (out, logit)
 
-    if remat:
+    if remat is True or remat == "full":
         body = jax.checkpoint(body)
+    elif remat == "dots":
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable
+        )
+    elif remat not in (False, "none"):
+        raise ValueError(f"unknown remat policy {remat!r}")
 
     # scan over time: move steps to the leading axis
     xs = jnp.swapaxes(inputs, 0, 1)  # [T,B,D]

@@ -1,0 +1,252 @@
+"""Train-step profiling sweep: attribute the cached-token BPTT's time.
+
+The feature-cache training step (train-offsets --feature_cache) is the
+memory-core 1300-step BPTT alone — the perf frontier after the VGG left
+the hot path. This sweep measures the full jitted step (loss + grads +
+clip + RMSProp) across the knobs that matter on TPU:
+
+  * remat policy: full recompute vs dots_saveable (save each step's matmul
+    outputs, recompute only elementwise addressing) vs none
+  * compute dtype: f32 (reference parity) vs bf16 (MXU native)
+  * scan unroll factor
+  * the Pallas fused addressing forward (NTMConfig.use_pallas)
+  * forward-only (loss, no grads) and an LSTM-only BPTT as bounds
+
+Prints one JSON line per variant: {"variant", "step_ms", "frames_per_sec",
+"train_mfu"}. train_mfu counts the CANONICAL 3x-forward matmul FLOPs
+(fwd + 2x bwd, remat recompute NOT credited) against the chip's bf16 peak.
+
+Usage: python -m ntm_tracker_tpu.tools.profile_train --batch 256
+Optionally --trace DIR captures a jax.profiler trace of the baseline step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cell_step_flops(cfg) -> float:
+    """Matmul FLOPs of ONE forward cell step at batch 1 (the >99% terms)."""
+    from ntm_tracker_tpu.models.ntm_cell import head_param_sizes
+
+    n = cfg.ntm
+    ctrl_in = cfg.input_depth + n.read_head_size * n.mem_dim
+    hidden = n.controller_hidden_size
+    per_step = 0.0
+    ins = [ctrl_in] + [hidden] * (n.controller_num_layers - 1)
+    for d in ins:
+        per_step += 2.0 * (d + hidden) * 4 * hidden  # LSTM gates
+    P = sum(head_param_sizes(n).values())
+    per_step += 2.0 * hidden * P                      # fused head unpack
+    per_step += 2.0 * hidden * n.output_dim           # output head
+    per_step += 2.0 * n.num_heads * n.mem_size * n.mem_dim * 4  # addressing
+    return per_step
+
+
+def train_step_flops(cfg) -> float:
+    """Canonical training FLOPs of one optimizer step: 3x the forward
+    matmul math (fwd + dL/dx + dL/dW) over every token of every sample."""
+    return 3.0 * cell_step_flops(cfg) * cfg.total_steps * cfg.train.batch_size
+
+
+def _mfu(cfg, step_ms: float, peak_tflops: float | None) -> float | None:
+    if not peak_tflops or step_ms != step_ms:
+        return None
+    achieved = train_step_flops(cfg) / (step_ms / 1e3) / 1e12
+    return round(achieved / peak_tflops, 4)
+
+
+def measure_step(cfg, iters: int = 8, forward_only: bool = False,
+                 trace_dir: str | None = None) -> float:
+    """Compile + time the cached-token train step for a config. Returns ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.models.vgg import init_vgg_params
+    from ntm_tracker_tpu.train.experiments import (
+        OffsetExperiment,
+        synthetic_offset_batch,
+    )
+
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    exp = OffsetExperiment(
+        cfg, init_vgg_params(jax.random.PRNGKey(0)), image_mode="cropped"
+    )
+    params, opt_state = exp.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    raw = synthetic_offset_batch(cfg, rng)
+    n = B * L
+    batch = {
+        "features": jnp.asarray(
+            (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
+                np.float16
+            )
+        ),
+        "gts": jnp.asarray(raw["gts"]),
+        "y_offsets": jnp.asarray(raw["y_offsets"]),
+        "x_offsets": jnp.asarray(raw["x_offsets"]),
+    }
+    if forward_only:
+        loss_fn = jax.jit(lambda p, b: exp.loss_fn(p, b)[0])
+        loss = loss_fn(params, batch)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss = loss_fn(params, batch)
+        float(loss)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+    p, o, m = step(params, opt_state, batch)
+    float(m["loss"])
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            p, o, m = step(p, o, batch)
+            float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, o, m = step(p, o, batch)
+    float(m["loss"])  # value fetch = hard sync (tunneled-backend rule)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def measure_lstm_only(cfg, iters: int = 8) -> float:
+    """Grad step of a PURE LSTM scan at the same shapes — the controller-
+    only lower bound (everything above it is addressing/memory cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.ops.lstm import (
+        init_lstm_params,
+        multi_lstm_step,
+        zero_lstm_state,
+    )
+
+    n = cfg.ntm
+    B, T = cfg.train.batch_size, cfg.total_steps
+    ctrl_in = cfg.input_depth + n.read_head_size * n.mem_dim
+    params = init_lstm_params(
+        jax.random.PRNGKey(0), ctrl_in, n.controller_hidden_size,
+        n.controller_num_layers,
+    )
+    xs = jnp.asarray(
+        np.random.RandomState(0).rand(T, B, ctrl_in).astype(np.float32)
+    )
+    dt = cfg.compute_dtype
+
+    def loss(p):
+        def body(carry, x):
+            out, new = multi_lstm_step(p, x.astype(dt), carry)
+            return new, out
+
+        s0 = zero_lstm_state(B, n.controller_hidden_size, n.controller_num_layers)
+        _, outs = jax.lax.scan(jax.checkpoint(body), s0, xs)
+        return jnp.mean(outs.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    r = g(params)
+    jax.tree.map(lambda a: np.asarray(a), r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = g(params)
+    np.asarray(jax.tree.leaves(r)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seq_len", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--variants", default="all",
+                    help="comma list or 'all'")
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler trace of the baseline")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.benchmarks import _chip_peak_tflops
+    from ntm_tracker_tpu.config import NTMConfig, TrackerConfig, TrainConfig
+
+    peak = _chip_peak_tflops(jax.devices()[0])
+
+    def make_cfg(dtype=jnp.float32, remat="full", unroll=1, pallas=False):
+        return TrackerConfig(
+            compute_dtype=dtype,
+            ntm=NTMConfig(use_pallas=pallas),
+            train=TrainConfig(
+                batch_size=args.batch, sequence_length=args.seq_len,
+                remat_policy=remat, scan_unroll=unroll,
+            ),
+        )
+
+    variants = {
+        "baseline_f32_full": dict(),
+        "f32_dots": dict(remat="dots"),
+        "f32_none": dict(remat="none"),
+        "f32_unroll13": dict(unroll=13),
+        "f32_dots_unroll13": dict(remat="dots", unroll=13),
+        "bf16_full": dict(dtype=jnp.bfloat16),
+        "bf16_dots": dict(dtype=jnp.bfloat16, remat="dots"),
+        "bf16_dots_unroll13": dict(dtype=jnp.bfloat16, remat="dots", unroll=13),
+        "f32_pallas_fwd": dict(pallas=True),
+        "bf16_pallas_fwd": dict(dtype=jnp.bfloat16, pallas=True),
+    }
+    selected = (
+        list(variants) if args.variants == "all" else args.variants.split(",")
+    )
+
+    for name in selected:
+        if name == "forward_only_f32":
+            cfg = make_cfg()
+            ms = measure_step(cfg, args.iters, forward_only=True)
+        elif name == "lstm_only_f32":
+            cfg = make_cfg()
+            ms = measure_lstm_only(cfg, args.iters)
+        elif name in variants:
+            cfg = make_cfg(**variants[name])
+            trace = args.trace if name == "baseline_f32_full" else None
+            try:
+                ms = measure_step(cfg, args.iters, trace_dir=trace or None)
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+                continue
+        else:
+            print(json.dumps({"variant": name, "error": "unknown variant"}))
+            continue
+        out = {
+            "variant": name,
+            "step_ms": round(ms, 2),
+            "frames_per_sec": round(args.batch * args.seq_len / (ms / 1e3), 1),
+            "train_mfu": _mfu(cfg, ms, peak),
+        }
+        print(json.dumps(out))
+        sys.stdout.flush()
+    # the two bounds, always useful
+    for name in ("forward_only_f32", "lstm_only_f32"):
+        if args.variants == "all":
+            cfg = make_cfg()
+            ms = (
+                measure_step(cfg, args.iters, forward_only=True)
+                if name == "forward_only_f32"
+                else measure_lstm_only(cfg, args.iters)
+            )
+            print(json.dumps({"variant": name, "step_ms": round(ms, 2)}))
+            sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

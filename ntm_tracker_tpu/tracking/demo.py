@@ -122,6 +122,10 @@ def main() -> int:
     ap.add_argument("--crop_size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--vgg_weights", default="",
+                    help="converted vgg16 .npz (convert-vgg output); the "
+                    "default is RANDOM frozen VGG — fine for the synthetic "
+                    "demo, required for real-video accuracy")
     args = ap.parse_args()
 
     import jax
@@ -136,7 +140,12 @@ def main() -> int:
 
     cfg = demo_config(args.crop_size)
     rng = np.random.RandomState(args.seed)
-    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    if args.vgg_weights:
+        from ntm_tracker_tpu.models.vgg import load_params_npz
+
+        vgg = load_params_npz(args.vgg_weights)
+    else:
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
     exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
     params, opt_state = exp.init(jax.random.PRNGKey(1))
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))

@@ -117,6 +117,42 @@ class TestSanityCheckSmoke:
         ]) == 0
         assert "similarity" in capsys.readouterr().out.lower()
 
+    def test_trained_compressor_roundtrip(self, dataset, tmp_path, capsys):
+        """sanity_check_trained (main.py:2608-2632): train-heatmap with a
+        compressor, then feed its checkpoint back into the cosine check."""
+        assert _run([
+            "train-heatmap", *MODEL_TINY,
+            "--sequences_dir", dataset,
+            "--serialization", "frame", "--compress_dim", "8",
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--num_epochs", "1", "--log_interval", "1",
+            "--validation_interval", "1000",
+            "--log_dir", str(tmp_path / "hm"),
+        ]) == 0
+        runs = list((tmp_path / "hm").iterdir())
+        assert len(runs) == 1
+        ckpt_dir = runs[0] / "ckpt"
+        assert ckpt_dir.is_dir()
+        assert _run([
+            "sanity-check", *MODEL_TINY,
+            "--sequences_dir", dataset, "--compress_dim", "8",
+            "--compressor_ckpt", str(ckpt_dir),
+            "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+            "--log_dir", str(tmp_path),
+        ]) == 0
+        out = capsys.readouterr().out.lower()
+        assert "sanity_check_trained" in out
+
+    def test_trained_compressor_wrong_dim_fails_loudly(self, dataset, tmp_path):
+        with pytest.raises(SystemExit, match="compressor"):
+            _run([
+                "sanity-check", *MODEL_TINY,
+                "--sequences_dir", dataset, "--compress_dim", "8",
+                "--compressor_ckpt", str(tmp_path / "nonexistent"),
+                "--sequence_length", str(SEQ_LEN), "--batch_size", "1",
+                "--log_dir", str(tmp_path),
+            ])
+
 
 class TestFindValidationBatchSmoke:
     def test_runs(self, dataset, tmp_path, capsys):

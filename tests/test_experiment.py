@@ -159,3 +159,47 @@ def test_sharded_inference_matches_single_device():
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(state_new["M"]),
                                np.asarray(state_ref["M"]), rtol=2e-4, atol=1e-5)
+
+
+def test_remat_policies_identical_grads():
+    """remat_policy full / dots / none are pure perf knobs: identical loss
+    and gradients (same math, different save/recompute schedule)."""
+    import dataclasses
+
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    results = []
+    for policy in ("full", "dots", "none"):
+        cfg = tiny_cfg("ntm")
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat_policy=policy)
+        )
+        exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
+        params, _ = exp.init(jax.random.PRNGKey(1))
+        batch = {
+            k: jnp.array(v)
+            for k, v in synthetic_offset_batch(cfg, np.random.RandomState(0)).items()
+        }
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(exp.loss_fn, has_aux=True)
+        )(params, batch)
+        results.append((float(loss), grads))
+    for loss, grads in results[1:]:
+        assert loss == results[0][0]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            grads, results[0][1],
+        )
+
+
+def test_unknown_remat_policy_raises():
+    from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+    from ntm_tracker_tpu.config import NTMConfig
+
+    cfg = NTMConfig(mem_size=4, mem_dim=2, controller_hidden_size=4,
+                    read_head_size=1)
+    from ntm_tracker_tpu.models.ntm_cell import init_ntm_params
+
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, 3)
+    with pytest.raises(ValueError, match="remat"):
+        ntm_tracker_unroll(params, cfg, jnp.zeros((1, 2, 3)), remat="bogus")

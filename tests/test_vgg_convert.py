@@ -116,3 +116,41 @@ def test_converted_weights_reach_reference_features(mini_ckpt, tmp_path):
     # ULP per layer; measured 2.5e-6 relative over the 10-conv stack
     scale = float(np.abs(ref).max())
     np.testing.assert_allclose(got, ref, atol=1e-5 * scale)
+
+
+def test_expect_sha256_gate(mini_ckpt, tmp_path):
+    """--expect_sha256: matching digest converts; a wrong one refuses
+    BEFORE writing anything."""
+    from ntm_tracker_tpu.tools.convert_vgg import (
+        checkpoint_sha256,
+        convert_vgg_checkpoint,
+    )
+
+    ckpt_path, _ = mini_ckpt
+    digest = checkpoint_sha256(ckpt_path)
+    out = str(tmp_path / "ok.npz")
+    convert_vgg_checkpoint(ckpt_path, out, expect_sha256=digest.upper())
+    assert os.path.exists(out)
+    bad = str(tmp_path / "bad.npz")
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        convert_vgg_checkpoint(ckpt_path, bad, expect_sha256="0" * 64)
+    assert not os.path.exists(bad)
+
+
+def test_activation_stats_selfcheck(mini_ckpt, tmp_path):
+    """The post-conversion self-check runs TF-free on the written .npz and
+    reports finite ReLU statistics."""
+    from ntm_tracker_tpu.tools.convert_vgg import (
+        activation_stats,
+        convert_vgg_checkpoint,
+    )
+
+    ckpt_path, _ = mini_ckpt
+    out = str(tmp_path / "vgg16.npz")
+    convert_vgg_checkpoint(ckpt_path, out)
+    stats = activation_stats(out)
+    assert set(stats) == {
+        "conv43_mean", "conv43_std", "conv43_max", "conv43_sparsity"
+    }
+    assert all(np.isfinite(v) for v in stats.values())
+    assert stats["conv43_max"] >= 0 and 0 <= stats["conv43_sparsity"] <= 1
