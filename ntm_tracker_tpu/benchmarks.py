@@ -197,6 +197,40 @@ def main():
         "platform": platform,
     }
     print(json.dumps(result))
+    import sys
+
+    sys.stdout.flush()
+
+    # per-round accuracy artifact TRACK_r0N.json (stderr/file only — the
+    # stdout contract stays one JSON line). Runs AFTER the bench line so a
+    # driver-side timeout cannot cost the round its benchmark record.
+    if platform != "cpu":
+        try:
+            _write_track_artifact()
+        except Exception as e:
+            print(f"bench: TRACK artifact failed: {e}", file=sys.stderr)
+
+
+def _write_track_artifact():
+    """TRACK_r0N.json at the repo root; N = 1 + the latest BENCH round on
+    disk (bench.py runs before the driver records BENCH_r0N, so the next
+    round number is max+1). NTM_TRACK_STEPS overrides the training budget."""
+    import glob
+    import os
+    import re
+
+    from ntm_tracker_tpu.tools.track_artifact import write_artifact
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
+        if m
+    ]
+    n = max(ns, default=0) + 1
+    steps = int(os.environ.get("NTM_TRACK_STEPS", "400"))
+    write_artifact(os.path.join(root, f"TRACK_r{n:02d}.json"), steps)
 
 
 def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):

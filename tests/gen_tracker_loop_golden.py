@@ -204,6 +204,13 @@ def run_reference_loop(pb_path: str, ckpt_path: str, log_dir: str):
         ],
     )
 
+    # the reference's module-level logging.basicConfig put the ROOT logger
+    # at DEBUG (test_tracker.py:14-15); quiet it so jax's debug stream does
+    # not flood the generator output
+    import logging
+
+    logging.getLogger().setLevel(logging.WARNING)
+
     import vot as vot_mod  # the patched module registered above
 
     x0, y0, w0, h0 = TRACKER_LOOP_REGION0
