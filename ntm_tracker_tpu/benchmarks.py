@@ -194,6 +194,7 @@ def main():
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
         "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
+        "train_mfu": _train_mfu(train_ms, peak) if train_ms else None,
         "platform": platform,
     }
     print(json.dumps(result))
@@ -209,6 +210,22 @@ def main():
             _write_track_artifact()
         except Exception as e:
             print(f"bench: TRACK artifact failed: {e}", file=sys.stderr)
+
+
+def _train_mfu(train_ms: float, peak_tflops: float | None):
+    """Canonical 3x-forward matmul FLOPs of the B=256 cached train step
+    against the chip's bf16 peak (remat recompute not credited). The
+    number is intentionally low-looking: the 1300-step BPTT is HBM/VPU
+    bound, not MXU bound — see tools/profile_train.py's sweep (bf16
+    matmuls measured ZERO speedup at this shape)."""
+    if not peak_tflops:
+        return None
+    from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
+    from ntm_tracker_tpu.tools.profile_train import train_step_flops
+
+    cfg = TrackerConfig(train=TrainConfig(batch_size=256, sequence_length=20))
+    achieved = train_step_flops(cfg) / (train_ms / 1e3) / 1e12
+    return round(achieved / peak_tflops, 4)
 
 
 def _write_track_artifact():

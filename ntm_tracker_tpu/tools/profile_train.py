@@ -159,6 +159,134 @@ def measure_lstm_only(cfg, iters: int = 8) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def measure_ablation(cfg, skips: frozenset, iters: int = 8) -> float:
+    """Grad-step time of the BPTT scan with selected cell components
+    REPLACED by cheap pass-throughs — a surgical probe that attributes the
+    backward's cost (the numbers are meaningless as a model; the deltas vs
+    the 'none' ablation are the attribution). Components:
+
+      'cos'     similarity = mean of M rows (skips l2_normalize+einsum)
+      'shift'   w_conv = w_gated (skips the roll-stack conv)
+      'sharpen' w = w_conv (skips pow/normalize)
+      'write'   M = M_prev (skips erase/add outer products)
+      'read'    read = prev read (skips the read einsum)
+      'gate'    w_gated = w_content (skips the interpolation)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.models.ntm_cell import (
+        head_param_sizes,
+        init_ntm_params,
+        init_ntm_state,
+    )
+    from ntm_tracker_tpu.ops.lstm import multi_lstm_step
+    from ntm_tracker_tpu.ops.memory import (
+        batched_circular_convolution,
+        batched_smooth_cosine_similarity,
+        sharpen,
+    )
+
+    n = cfg.ntm
+    B, T = cfg.train.batch_size, cfg.total_steps
+    R, W, H, D = n.read_head_size, n.write_head_size, n.num_heads, n.mem_dim
+    params = init_ntm_params(jax.random.PRNGKey(0), n, cfg.input_depth)
+    xs = jnp.asarray(
+        np.random.RandomState(0).rand(T, B, cfg.input_depth).astype(np.float32)
+    )
+    sizes = head_param_sizes(n)
+
+    def cell(params, x, state):
+        M_prev, w_prev, read_prev = state["M"], state["w"], state["read"]
+        ctrl_in = jnp.concatenate([x, read_prev.reshape(B, R * D)], axis=1)
+        ctrl_out, ctrl_state = multi_lstm_step(
+            params["controller"], ctrl_in, state["controller_state"],
+            forget_bias=0.0,
+        )
+        mc = ctrl_out @ params["heads_w"] + params["heads_b"]
+        off, parts = 0, {}
+        for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
+            parts[name] = mc[:, off : off + sizes[name]]
+            off += sizes[name]
+        logit = ctrl_out @ params["out_w"] + params["out_b"]
+
+        k = jnp.tanh(parts["k"].reshape(B, H, D))
+        if "cos" in skips:
+            similarity = jnp.mean(M_prev, axis=2)[:, None, :] + jnp.mean(
+                k, axis=2
+            )[..., None]
+        else:
+            similarity = batched_smooth_cosine_similarity(M_prev, k)
+        beta = jax.nn.softplus(parts["beta"])[..., None]
+        w_content = jax.nn.softmax(similarity * beta, axis=-1)
+        if "gate" in skips:
+            w_gated = w_content
+        else:
+            g = jax.nn.sigmoid(parts["g"])[..., None]
+            w_gated = w_content * g + w_prev * (1.0 - g)
+        if "shift" in skips:
+            w_conv = w_gated
+        else:
+            sw = jax.nn.softmax(parts["sw"].reshape(B, H, n.shift_space), axis=-1)
+            w_conv = batched_circular_convolution(w_gated, sw)
+        if "sharpen" in skips:
+            w = w_conv
+        else:
+            gamma = (jax.nn.softplus(parts["gamma"]) + 1.0)[..., None]
+            w = sharpen(w_conv, gamma)
+        w_read, w_write = w[:, :R, :], w[:, R:, :]
+        if "write" in skips:
+            M = M_prev
+        else:
+            erase = jax.nn.sigmoid(parts["erase"].reshape(B, W, D))
+            add = jnp.tanh(parts["add"].reshape(B, W, D))
+            w_write_e = w_write[..., :, None]
+            M_erase = jnp.prod(1.0 - w_write_e * erase[:, :, None, :], axis=1)
+            M_write = jnp.sum(w_write_e * add[:, :, None, :], axis=1)
+            M = M_prev * M_erase + M_write
+        if "read" in skips:
+            read = read_prev
+        else:
+            read = jnp.einsum(
+                "brn,bnd->brd", w_read, M_prev,
+                preferred_element_type=jnp.float32,
+            )
+        return logit, {"M": M, "w": w, "read": read,
+                       "controller_state": ctrl_state}
+
+    def loss(p):
+        def body(carry, x):
+            logit, new_state = cell(p, x, carry)
+            return new_state, logit
+
+        s0 = init_ntm_state(p, n, B)
+        _, logits = jax.lax.scan(jax.checkpoint(body), s0, xs)
+        return jnp.mean(logits ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    r = g(params)
+    np.asarray(jax.tree.leaves(r)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = g(params)
+    np.asarray(jax.tree.leaves(r)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+ABLATIONS = {
+    "abl_none": frozenset(),
+    "abl_no_cos": frozenset({"cos"}),
+    "abl_no_shift": frozenset({"shift"}),
+    "abl_no_sharpen": frozenset({"sharpen"}),
+    "abl_no_write": frozenset({"write"}),
+    "abl_no_read": frozenset({"read"}),
+    "abl_no_gate": frozenset({"gate"}),
+    "abl_ctrl_only": frozenset({"cos", "shift", "sharpen", "write", "read",
+                                "gate"}),
+    "abl_no_memory_side": frozenset({"cos", "write", "read"}),
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -215,6 +343,16 @@ def main() -> int:
         elif name == "lstm_only_f32":
             cfg = make_cfg()
             ms = measure_lstm_only(cfg, args.iters)
+        elif name in ABLATIONS:
+            cfg = make_cfg()
+            try:
+                ms = measure_ablation(cfg, ABLATIONS[name], args.iters)
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+                continue
+            print(json.dumps({"variant": name, "step_ms": round(ms, 2)}))
+            sys.stdout.flush()
+            continue
         elif name in variants:
             cfg = make_cfg(**variants[name])
             trace = args.trace if name == "baseline_f32_full" else None
