@@ -103,6 +103,14 @@ class TrainConfig:
     # only elementwise addressing), "none" (save everything). See
     # models/ntm_tracker.ntm_tracker_unroll and tools/profile_train.py.
     remat_policy: str = "full"
+    # memory layout of the NTM training-scan carry: "nd" (default) is the
+    # reference layout; "dn" carries M transposed ([B, mem_dim, mem_size])
+    # so the slot axis fills the TPU's 128 lanes. MEASURED EQUIVALENT on
+    # v5e at the B=256 knee (288.8 vs 288.7 ms — XLA's layout assignment
+    # already avoids the naive lane-padding tax); kept as a knob because
+    # the balance can differ on other shapes/toolchains. Same math up to
+    # float reassociation (models/ntm_cell.ntm_cell_step_dn).
+    scan_layout: str = "nd"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,6 +111,7 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
                 params, ncfg, inputs, state=state, remat=policy,
                 compute_dtype=cfg.compute_dtype,
                 unroll=cfg.train.scan_unroll,
+                layout=cfg.train.scan_layout,
             )
             return logits, final
 

@@ -38,7 +38,9 @@ from ntm_tracker_tpu.ops.lstm import init_lstm_params, multi_lstm_step, zero_lst
 from ntm_tracker_tpu.ops.memory import (
     batched_circular_convolution,
     batched_slotwise_cosine_similarity,
+    batched_slotwise_cosine_similarity_dn,
     batched_smooth_cosine_similarity,
+    batched_smooth_cosine_similarity_dn,
     sharpen,
 )
 
@@ -223,3 +225,119 @@ def ntm_cell_step(
         }
         return output, logit, new_state, debug
     return output, logit, new_state
+
+
+def ntm_cell_step_dn(
+    params: Dict[str, Any],
+    cfg: NTMConfig,
+    inputs: jax.Array,
+    state: NTMState,
+    compute_dtype=None,
+) -> Tuple[jax.Array, jax.Array, NTMState]:
+    """Layout-optimized twin of `ntm_cell_step` for the training scan.
+
+    The memory is carried TRANSPOSED as state['M_dn'] [B, mem_dim, mem_size]
+    instead of [B, mem_size, mem_dim]. Why this matters on TPU: XLA tiles
+    the two minor dims to (8 sublanes, 128 lanes), so the reference layout's
+    mem_dim=20 minor axis is padded to 128 lanes — a 6.4x tax on the HBM
+    bytes and VPU work of EVERY M-shaped tensor (the scan carry, erase/add
+    intermediates, and all their backward cotangents, each touched 2600
+    times per 1300-step BPTT). In [B, D, N] the 128-slot axis fills the
+    lanes exactly and D=20 pads only 20->24 sublanes.
+
+    MEASURED OUTCOME (v5e, B=256 knee, tools/profile_train.py dn_layout
+    variants): 288.8 ms vs the reference layout's 288.7 — XLA's layout
+    assignment already avoids the naive padding tax, so this is a
+    documented NEGATIVE result kept behind TrainConfig.scan_layout for
+    shapes/toolchains where the balance differs.
+
+    Same math as ntm_cell_step up to float reassociation (einsum operand
+    order); equivalence is asserted in tests/test_ntm_cell.py. The
+    addressing quirk chain (across-slot cosine, Py2 shifts, +1e-3 sharpen)
+    is untouched. cfg.use_pallas is ignored here (the jnp path IS the fast
+    path at training batch sizes).
+
+    Returns (output, logit, new_state) with new_state carrying 'M_dn'.
+    """
+    M_dn, w_prev, read_prev = state["M_dn"], state["w"], state["read"]
+    B = inputs.shape[0]
+    R, W, H, D = (
+        cfg.read_head_size,
+        cfg.write_head_size,
+        cfg.num_heads,
+        cfg.mem_dim,
+    )
+
+    ctrl_in = jnp.concatenate([inputs, read_prev.reshape(B, R * D)], axis=1)
+    ctrl_out, ctrl_state = multi_lstm_step(
+        params["controller"], ctrl_in, state["controller_state"],
+        forget_bias=0.0, compute_dtype=compute_dtype,
+    )
+
+    mm_dtype = compute_dtype or ctrl_out.dtype
+    memory_controls = (
+        ctrl_out.astype(mm_dtype) @ params["heads_w"].astype(mm_dtype)
+    ).astype(jnp.float32) + params["heads_b"]
+    sizes = head_param_sizes(cfg)
+    splits = []
+    off = 0
+    for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
+        splits.append(memory_controls[:, off : off + sizes[name]])
+        off += sizes[name]
+    k, beta, g, sw, gamma, erase, add = splits
+
+    logit = (
+        ctrl_out.astype(mm_dtype) @ params["out_w"].astype(mm_dtype)
+    ).astype(jnp.float32) + params["out_b"]
+    output = jax.nn.softmax(logit, axis=-1)
+
+    k = jnp.tanh(k.reshape(B, H, D))
+    cos_fn = (
+        batched_slotwise_cosine_similarity_dn
+        if cfg.slotwise_cosine
+        else batched_smooth_cosine_similarity_dn
+    )
+    similarity = cos_fn(M_dn, k)
+    beta = jax.nn.softplus(beta)[..., None]
+    w_content = jax.nn.softmax(similarity * beta, axis=-1)
+    g = jax.nn.sigmoid(g)[..., None]
+    w_gated = w_content * g + w_prev * (1.0 - g)
+    sw = jax.nn.softmax(sw.reshape(B, H, cfg.shift_space), axis=-1)
+    w_conv = batched_circular_convolution(w_gated, sw)
+    gamma = (jax.nn.softplus(gamma) + 1.0)[..., None]
+    w = sharpen(w_conv, gamma)
+
+    w_read = w[:, :R, :]
+    w_write = w[:, R:, :]
+
+    erase = jax.nn.sigmoid(erase.reshape(B, W, D))
+    add = jnp.tanh(add.reshape(B, W, D))
+    # [B,W,D,1] x [B,W,1,N] -> [B,D,N] (prod/sum over write heads)
+    w_write_e = w_write[:, :, None, :]
+    M_erase = jnp.prod(1.0 - erase[..., None] * w_write_e, axis=1)
+    M_write = jnp.sum(add[..., None] * w_write_e, axis=1)
+    M_new = M_dn * M_erase + M_write
+
+    read_src = M_new if cfg.write_first else M_dn
+    read = jnp.einsum(
+        "brn,bdn->brd", w_read, read_src, preferred_element_type=jnp.float32
+    )
+
+    new_state = {
+        "M_dn": M_new, "w": w, "read": read, "controller_state": ctrl_state,
+    }
+    return output, logit, new_state
+
+
+def state_to_dn(state: NTMState) -> NTMState:
+    """Reference-layout state -> the training scan's transposed carry."""
+    out = dict(state)
+    out["M_dn"] = jnp.swapaxes(out.pop("M"), 1, 2)
+    return out
+
+
+def state_from_dn(state_dn: NTMState) -> NTMState:
+    """Transposed carry -> reference-layout state (M [B, N, D])."""
+    out = dict(state_dn)
+    out["M"] = jnp.swapaxes(out.pop("M_dn"), 1, 2)
+    return out

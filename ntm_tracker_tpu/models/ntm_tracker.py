@@ -27,6 +27,9 @@ from ntm_tracker_tpu.models.ntm_cell import (
     init_ntm_params,
     init_ntm_state,
     ntm_cell_step,
+    ntm_cell_step_dn,
+    state_from_dn,
+    state_to_dn,
 )
 
 
@@ -38,6 +41,7 @@ def ntm_tracker_unroll(
     remat: bool = True,
     compute_dtype=None,
     unroll: int = 1,
+    layout: str = "nd",
 ) -> Tuple[jax.Array, jax.Array, NTMState]:
     """Run the cell over a serialized token sequence.
 
@@ -75,9 +79,30 @@ def ntm_tracker_unroll(
     if state is None:
         state = init_ntm_state(params, cfg, B)
 
-    def body(carry: NTMState, x_t: jax.Array):
-        out, logit, new_state = ntm_cell_step(params, cfg, x_t, carry, compute_dtype)
-        return new_state, (out, logit)
+    # layout="dn" carries the memory transposed ([B, mem_dim, mem_size])
+    # through the scan so the 128-slot axis fills the TPU's 128 lanes —
+    # the reference layout pads mem_dim=20 to 128 lanes, a 6.4x HBM/VPU tax
+    # on every M-shaped buffer and cotangent (see ntm_cell_step_dn).
+    # Transposes happen ONCE at entry/exit; same math up to reassociation.
+    if layout == "dn":
+        state = state_to_dn(state)
+
+        def body(carry: NTMState, x_t: jax.Array):
+            out, logit, new_state = ntm_cell_step_dn(
+                params, cfg, x_t, carry, compute_dtype
+            )
+            return new_state, (out, logit)
+
+    elif layout == "nd":
+
+        def body(carry: NTMState, x_t: jax.Array):
+            out, logit, new_state = ntm_cell_step(
+                params, cfg, x_t, carry, compute_dtype
+            )
+            return new_state, (out, logit)
+
+    else:
+        raise ValueError(f"unknown scan layout {layout!r}")
 
     if remat is True or remat == "full":
         body = jax.checkpoint(body)
@@ -91,6 +116,8 @@ def ntm_tracker_unroll(
     # scan over time: move steps to the leading axis
     xs = jnp.swapaxes(inputs, 0, 1)  # [T,B,D]
     final_state, (outputs, logits) = jax.lax.scan(body, state, xs, unroll=unroll)
+    if layout == "dn":
+        final_state = state_from_dn(final_state)
     return (
         jnp.swapaxes(outputs, 0, 1),
         jnp.swapaxes(logits, 0, 1),

@@ -73,6 +73,30 @@ def batched_slotwise_cosine_similarity(memory: jax.Array, keys: jax.Array) -> ja
     )
 
 
+def batched_smooth_cosine_similarity_dn(memory_dn: jax.Array, keys: jax.Array) -> jax.Array:
+    """The EXECUTED-reference normalization (across-slot quirk) on memory
+    carried TRANSPOSED as [batch, mem_dim, mem_size].
+
+    Same math as batched_smooth_cosine_similarity up to float
+    reassociation: the quirk normalizes each mem_dim row across the slots,
+    which in this layout is the LANE axis — the whole point of the layout
+    (see models/ntm_cell.ntm_cell_step_dn)."""
+    mem_n = _l2_normalize(memory_dn, axis=2)  # across slots (the quirk)
+    key_n = _l2_normalize(keys, axis=2)
+    return jnp.einsum(
+        "bhd,bdn->bhn", key_n, mem_n, preferred_element_type=jnp.float32
+    )
+
+
+def batched_slotwise_cosine_similarity_dn(memory_dn: jax.Array, keys: jax.Array) -> jax.Array:
+    """True slot-vector cosine on [batch, mem_dim, mem_size] memory."""
+    mem_n = _l2_normalize(memory_dn, axis=1)  # across mem_dim = per slot
+    key_n = _l2_normalize(keys, axis=2)
+    return jnp.einsum(
+        "bhd,bdn->bhn", key_n, mem_n, preferred_element_type=jnp.float32
+    )
+
+
 def smooth_cosine_similarity(m: jax.Array, v: jax.Array) -> jax.Array:
     """Legacy unbatched form (ops.py:161-178): dot / (|m||v| + 1e-3).
 

@@ -159,7 +159,38 @@ def measure_lstm_only(cfg, iters: int = 8) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def measure_ablation(cfg, skips: frozenset, iters: int = 8) -> float:
+def _mm_bf16():
+    """Matmul whose BACKWARD also runs in bf16 (custom VJP). Plain
+    `a.astype(bf16) @ w.astype(bf16)` only puts the FORWARD pass on the
+    bf16 MXU path: autodiff's cotangent matmuls mix an f32 cotangent with
+    the bf16 operand and XLA promotes them to f32 — which is why
+    compute_dtype=bf16 measured ZERO grad-step speedup."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def mm(a, w):
+        return jax.lax.dot(
+            a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    def fwd(a, w):
+        return mm(a, w), (a.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+
+    def bwd(res, g):
+        a16, w16 = res
+        g16 = g.astype(jnp.bfloat16)
+        da = jax.lax.dot(g16, w16.T, preferred_element_type=jnp.float32)
+        dw = jax.lax.dot(a16.T, g16, preferred_element_type=jnp.float32)
+        return da, dw
+
+    mm.defvjp(fwd, bwd)
+    return mm
+
+
+def measure_ablation(cfg, skips: frozenset, iters: int = 8,
+                     bf16_vjp: bool = False) -> float:
     """Grad-step time of the BPTT scan with selected cell components
     REPLACED by cheap pass-throughs — a surgical probe that attributes the
     backward's cost (the numbers are meaningless as a model; the deltas vs
@@ -180,7 +211,6 @@ def measure_ablation(cfg, skips: frozenset, iters: int = 8) -> float:
         init_ntm_params,
         init_ntm_state,
     )
-    from ntm_tracker_tpu.ops.lstm import multi_lstm_step
     from ntm_tracker_tpu.ops.memory import (
         batched_circular_convolution,
         batched_smooth_cosine_similarity,
@@ -196,19 +226,34 @@ def measure_ablation(cfg, skips: frozenset, iters: int = 8) -> float:
     )
     sizes = head_param_sizes(n)
 
+    if bf16_vjp:
+        mm = _mm_bf16()
+    else:
+        mm = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    def lstm(p_list, x, st):
+        out, new = x, []
+        for lp, (c, h) in zip(p_list, st):
+            gates = mm(jnp.concatenate([out, h], axis=1), lp["kernel"]) + lp["bias"]
+            i, j, f, o = jnp.split(gates, 4, axis=1)
+            nc = c * jax.nn.sigmoid(f) + jax.nn.sigmoid(i) * jnp.tanh(j)
+            nh = jnp.tanh(nc) * jax.nn.sigmoid(o)
+            out = nh
+            new.append((nc, nh))
+        return out, new
+
     def cell(params, x, state):
         M_prev, w_prev, read_prev = state["M"], state["w"], state["read"]
         ctrl_in = jnp.concatenate([x, read_prev.reshape(B, R * D)], axis=1)
-        ctrl_out, ctrl_state = multi_lstm_step(
-            params["controller"], ctrl_in, state["controller_state"],
-            forget_bias=0.0,
+        ctrl_out, ctrl_state = lstm(
+            params["controller"], ctrl_in, state["controller_state"]
         )
-        mc = ctrl_out @ params["heads_w"] + params["heads_b"]
+        mc = mm(ctrl_out, params["heads_w"]) + params["heads_b"]
         off, parts = 0, {}
         for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
             parts[name] = mc[:, off : off + sizes[name]]
             off += sizes[name]
-        logit = ctrl_out @ params["out_w"] + params["out_b"]
+        logit = mm(ctrl_out, params["out_w"]) + params["out_b"]
 
         k = jnp.tanh(parts["k"].reshape(B, H, D))
         if "cos" in skips:
@@ -273,6 +318,41 @@ def measure_ablation(cfg, skips: frozenset, iters: int = 8) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def measure_fused_fwd(cfg, iters: int = 8, dtype=None) -> float:
+    """Whole-sequence fused Pallas forward (ops/pallas/scan_cell.py) at the
+    training shape — the go/no-go probe for a residual-saving Pallas BPTT:
+    if the fused forward cannot beat the XLA scan forward at B=256, a
+    fused backward built on the same structure will not either."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.models.ntm_cell import init_ntm_params, init_ntm_state
+    from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
+
+    n = cfg.ntm
+    B, T = cfg.train.batch_size, cfg.total_steps
+    params = init_ntm_params(jax.random.PRNGKey(0), n, cfg.input_depth)
+    state = init_ntm_state(params, n, B)
+    xs = jnp.asarray(
+        np.random.RandomState(0).rand(B, T, cfg.input_depth).astype(np.float32)
+    )
+
+    @jax.jit
+    def run(params, xs, state):
+        logits, final = ntm_scan_fused(
+            params, n, xs, state, compute_dtype=dtype or jnp.float32
+        )
+        return jnp.mean(logits ** 2), final
+
+    loss, final = run(params, xs, state)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, final = run(params, xs, state)
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 ABLATIONS = {
     "abl_none": frozenset(),
     "abl_no_cos": frozenset({"cos"}),
@@ -310,17 +390,21 @@ def main() -> int:
 
     peak = _chip_peak_tflops(jax.devices()[0])
 
-    def make_cfg(dtype=jnp.float32, remat="full", unroll=1, pallas=False):
+    def make_cfg(dtype=jnp.float32, remat="full", unroll=1, pallas=False,
+                 layout="nd"):
         return TrackerConfig(
             compute_dtype=dtype,
             ntm=NTMConfig(use_pallas=pallas),
             train=TrainConfig(
                 batch_size=args.batch, sequence_length=args.seq_len,
-                remat_policy=remat, scan_unroll=unroll,
+                remat_policy=remat, scan_unroll=unroll, scan_layout=layout,
             ),
         )
 
     variants = {
+        "dn_layout_f32": dict(layout="dn"),
+        "dn_layout_bf16": dict(layout="dn", dtype=jnp.bfloat16),
+        "dn_layout_f32_dots": dict(layout="dn", remat="dots"),
         "baseline_f32_full": dict(),
         "f32_dots": dict(remat="dots"),
         "f32_none": dict(remat="none"),
@@ -340,9 +424,38 @@ def main() -> int:
         if name == "forward_only_f32":
             cfg = make_cfg()
             ms = measure_step(cfg, args.iters, forward_only=True)
+        elif name == "forward_only_bf16":
+            cfg = make_cfg(dtype=jnp.bfloat16)
+            ms = measure_step(cfg, args.iters, forward_only=True)
+        elif name == "abl_bf16_vjp":
+            cfg = make_cfg()
+            try:
+                ms = measure_ablation(cfg, frozenset(), args.iters,
+                                      bf16_vjp=True)
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+                continue
+            print(json.dumps({"variant": name, "step_ms": round(ms, 2)}))
+            sys.stdout.flush()
+            continue
         elif name == "lstm_only_f32":
             cfg = make_cfg()
             ms = measure_lstm_only(cfg, args.iters)
+        elif name in ("fused_fwd_f32", "fused_fwd_bf16"):
+            import jax.numpy as jnp
+
+            cfg = make_cfg()
+            try:
+                ms = measure_fused_fwd(
+                    cfg, args.iters,
+                    dtype=jnp.bfloat16 if name.endswith("bf16") else jnp.float32,
+                )
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": str(e)[:200]}))
+                continue
+            print(json.dumps({"variant": name, "step_ms": round(ms, 2)}))
+            sys.stdout.flush()
+            continue
         elif name in ABLATIONS:
             cfg = make_cfg()
             try:

@@ -139,3 +139,68 @@ class TestUnrollStreamingParity:
         _, l1, _ = ntm_tracker_unroll(params, CFG, x, remat=True)
         _, l2, _ = ntm_tracker_unroll(params, CFG, x, remat=False)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+class TestDnLayout:
+    """The transposed-memory training layout (ntm_cell_step_dn) is a pure
+    perf transformation: same math as ntm_cell_step up to float
+    reassociation."""
+
+    import dataclasses as _dc
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "write_first,slotwise",
+        [(False, False), (True, False), (False, True)],
+    )
+    def test_step_matches_reference_layout(self, write_first, slotwise):
+        import dataclasses
+
+        from ntm_tracker_tpu.models.ntm_cell import (
+            ntm_cell_step_dn,
+            state_from_dn,
+            state_to_dn,
+        )
+
+        cfg = dataclasses.replace(
+            CFG, write_first=write_first, slotwise_cosine=slotwise
+        )
+        params = init_ntm_params(jax.random.PRNGKey(2), cfg, INPUT)
+        state = init_ntm_state(params, cfg, batch=3)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.uniform(-1, 1, (3, INPUT)).astype(np.float32))
+        # start from a non-trivial state (one reference step)
+        _, _, state = ntm_cell_step(params, cfg, x, state)
+
+        out_a, logit_a, new_a = ntm_cell_step(params, cfg, x, state)
+        out_b, logit_b, new_b_dn = ntm_cell_step_dn(
+            params, cfg, x, state_to_dn(state)
+        )
+        new_b = state_from_dn(new_b_dn)
+        np.testing.assert_allclose(out_a, out_b, atol=1e-6)
+        np.testing.assert_allclose(logit_a, logit_b, atol=1e-6)
+        for key in ("M", "w", "read"):
+            np.testing.assert_allclose(
+                new_a[key], new_b[key], atol=1e-6, err_msg=key
+            )
+
+    def test_unroll_layouts_agree_with_grads(self):
+        params = init_ntm_params(jax.random.PRNGKey(3), CFG, INPUT)
+        rs = np.random.RandomState(1)
+        xs = jnp.asarray(rs.uniform(-1, 1, (2, 9, INPUT)).astype(np.float32))
+
+        def loss(p, layout):
+            _, logits, final = ntm_tracker_unroll(
+                p, CFG, xs, layout=layout
+            )
+            return jnp.mean(logits ** 2) + jnp.mean(final["M"] ** 2)
+
+        for layout in ("nd", "dn"):
+            pass
+        (l_nd, g_nd) = jax.value_and_grad(lambda p: loss(p, "nd"))(params)
+        (l_dn, g_dn) = jax.value_and_grad(lambda p: loss(p, "dn"))(params)
+        np.testing.assert_allclose(float(l_nd), float(l_dn), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+            g_nd, g_dn,
+        )
