@@ -140,7 +140,7 @@ def measure_lstm_only(cfg, iters: int = 8) -> float:
     )
     dt = cfg.compute_dtype
 
-    def loss(p):
+    def loss(p, xs):
         def body(carry, x):
             out, new = multi_lstm_step(p, x.astype(dt), carry)
             return new, out
@@ -149,12 +149,15 @@ def measure_lstm_only(cfg, iters: int = 8) -> float:
         _, outs = jax.lax.scan(jax.checkpoint(body), s0, xs)
         return jnp.mean(outs.astype(jnp.float32) ** 2)
 
+    # xs is an ARGUMENT, not a closure constant: closing over the [T,B,IN]
+    # tokens bakes a ~700 MB literal into the HLO, which the tunneled
+    # remote-compile service rejects (HTTP 413)
     g = jax.jit(jax.grad(loss))
-    r = g(params)
+    r = g(params, xs)
     jax.tree.map(lambda a: np.asarray(a), r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = g(params)
+        r = g(params, xs)
     np.asarray(jax.tree.leaves(r)[0])
     return (time.perf_counter() - t0) / iters * 1e3
 
@@ -299,7 +302,7 @@ def measure_ablation(cfg, skips: frozenset, iters: int = 8,
         return logit, {"M": M, "w": w, "read": read,
                        "controller_state": ctrl_state}
 
-    def loss(p):
+    def loss(p, xs):
         def body(carry, x):
             logit, new_state = cell(p, x, carry)
             return new_state, logit
@@ -308,12 +311,14 @@ def measure_ablation(cfg, skips: frozenset, iters: int = 8,
         _, logits = jax.lax.scan(jax.checkpoint(body), s0, xs)
         return jnp.mean(logits ** 2)
 
+    # xs as an argument (closure constant -> ~700 MB HLO literal -> the
+    # tunneled remote compiler rejects it with HTTP 413)
     g = jax.jit(jax.grad(loss))
-    r = g(params)
+    r = g(params, xs)
     np.asarray(jax.tree.leaves(r)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = g(params)
+        r = g(params, xs)
     np.asarray(jax.tree.leaves(r)[0])
     return (time.perf_counter() - t0) / iters * 1e3
 
