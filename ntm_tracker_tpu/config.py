@@ -111,6 +111,12 @@ class TrainConfig:
     # the balance can differ on other shapes/toolchains. Same math up to
     # float reassociation (models/ntm_cell.ntm_cell_step_dn).
     scan_layout: str = "nd"
+    # run the NTM training BPTT as ONE fused Pallas forward + hand-derived
+    # Pallas backward (ops/pallas/scan_bptt.py) instead of lax.scan +
+    # autodiff. f32 compute only; grad-parity asserted in
+    # tests/test_pallas_bptt.py. See tools/profile_train.py for the v5e
+    # measurement that motivated it (XLA's reverse pass is ~5x the forward).
+    fused_bptt: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -112,6 +112,7 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
                 compute_dtype=cfg.compute_dtype,
                 unroll=cfg.train.scan_unroll,
                 layout=cfg.train.scan_layout,
+                fused_bptt=cfg.train.fused_bptt,
             )
             return logits, final
 

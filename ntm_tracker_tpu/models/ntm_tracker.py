@@ -42,6 +42,7 @@ def ntm_tracker_unroll(
     compute_dtype=None,
     unroll: int = 1,
     layout: str = "nd",
+    fused_bptt: bool = False,
 ) -> Tuple[jax.Array, jax.Array, NTMState]:
     """Run the cell over a serialized token sequence.
 
@@ -78,6 +79,21 @@ def ntm_tracker_unroll(
     B = inputs.shape[0]
     if state is None:
         state = init_ntm_state(params, cfg, B)
+
+    if fused_bptt:
+        # whole-sequence Pallas forward + hand-derived Pallas backward
+        # (ops/pallas/scan_bptt.py) — f32 only; remat/unroll/layout knobs
+        # do not apply inside the kernel. Grad-parity with the jnp scan is
+        # asserted in tests/test_pallas_bptt.py.
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            raise ValueError("fused_bptt supports float32 compute only")
+        from ntm_tracker_tpu.ops.pallas.scan_bptt import ntm_scan_fused_bptt
+
+        logits, final_state = ntm_scan_fused_bptt(
+            params, cfg, inputs, state,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return jax.nn.softmax(logits, axis=-1), logits, final_state
 
     # layout="dn" carries the memory transposed ([B, mem_dim, mem_size])
     # through the scan so the 128-slot axis fills the TPU's 128 lanes —

@@ -1,0 +1,721 @@
+"""Whole-sequence fused NTM BPTT: T forward steps AND the full backward
+pass as two pallas_calls — the round-3 answer to the training-path gap.
+
+Why (measured on v5e, B=256 knee, tools/profile_train.py): the XLA grad
+step is 288 ms of which the FORWARD scan is only 48 ms and the
+controller-only BPTT 27.7 ms — ~260 ms is the reverse pass of the
+addressing/memory chain, insensitive to matmul dtype / remat policy /
+scan unroll / memory layout (every probe measured flat). XLA's transposed
+program re-materializes the [B,N,D]-shaped cotangent chain through HBM at
+every one of the 1300 reverse steps; there is no XLA-level knob left.
+This kernel keeps the recurrent state, its cotangents AND the parameter
+gradient accumulators resident in VMEM for the whole sequence:
+
+  forward (grid=(T,)):  the ntm_scan_fused math (scan_cell.py) plus
+      t-indexed RESIDUAL streams of each step's INPUT state
+      (M_prev, w_prev, read_prev, c_prev, h_prev) — ~4 MB/step to HBM,
+      exactly what the backward needs to run recompute-free.
+  backward (grid=(T,) reversed): per step, recompute the forward's
+      intermediates from the residuals (VMEM-local), then hand-derived
+      VJPs of the full chain — output/head linears, stacked
+      BasicLSTMCell, tanh(k), the across-slot cosine quirk
+      (ops.py:147-156), beta-softmax, interpolation gate, Py2-offset
+      circular conv, pow-sharpen with the +1e-3 normalizer
+      (ntm_cell.py:169-176), erase/add memory update and the read —
+      accumulating parameter grads in VMEM and carrying the state
+      cotangents (dM, dw, dread, dc, dh) to the previous step.
+
+Semantics match jax.grad of the jnp lax.scan over ntm_cell_step at f32
+(asserted in tests/test_pallas_bptt.py, CPU interpret mode; the single
+intentional deviation is d/dgamma of pow at w_conv == 0 exactly, where
+jax.grad yields NaN*0 and this kernel yields 0).
+
+Training entry: ntm_tracker_unroll(..., fused_bptt=True) /
+TrainConfig.fused_bptt.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
+
+f32 = jnp.float32
+
+
+def _forward_math(x, M_prev, w_prev, read_prev, c_prev, h_prev, lstm_w,
+                  lstm_b, heads_w, heads_b, out_w, out_b, cs):
+    """One cell step on VMEM values; returns (logit, new state pieces) and
+    every intermediate the backward needs. Shared by the residual forward
+    kernel and the backward's recompute. Mirrors scan_cell._step_kernel
+    (itself pinned to ntm_cell_step by tests/test_pallas_scan.py)."""
+    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
+    B = x.shape[0]
+
+    inp = jnp.concatenate([x, read_prev], axis=1)
+    KIN = lstm_w.shape[1]
+    gates_l, li_l, c_l_new, h_l_new = [], [], [], []
+    for l in range(L):
+        li = jnp.concatenate([inp, h_prev[l]], axis=1)
+        if li.shape[1] < KIN:
+            li = jnp.pad(li, ((0, 0), (0, KIN - li.shape[1])))
+        gates = jnp.dot(li, lstm_w[l], preferred_element_type=f32) + lstm_b[l][None, :]
+        i_g = gates[:, 0 * Hc : 1 * Hc]
+        j_g = gates[:, 1 * Hc : 2 * Hc]
+        f_g = gates[:, 2 * Hc : 3 * Hc]
+        o_g = gates[:, 3 * Hc : 4 * Hc]
+        new_c = c_prev[l] * jax.nn.sigmoid(f_g) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        gates_l.append(gates)
+        li_l.append(li)
+        c_l_new.append(new_c)
+        h_l_new.append(new_h)
+        inp = new_h
+    ctrl_out = inp
+
+    controls = jnp.dot(ctrl_out, heads_w, preferred_element_type=f32) + heads_b[0][None, :]
+    o = 0
+    part = {}
+    for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
+        part[name] = controls[:, o : o + sizes[name]]
+        o += sizes[name]
+
+    logit = jnp.dot(ctrl_out, out_w, preferred_element_type=f32) + out_b[0][None, :]
+
+    # memory normalization (the across-slot quirk unless slotwise)
+    if slotwise:
+        m_ss = jnp.sum(M_prev * M_prev, axis=1)            # [B,N]
+        m_inv = jax.lax.rsqrt(jnp.maximum(m_ss, 1e-12))
+        Mtn = M_prev * m_inv[:, None, :]
+    else:
+        m_ss = jnp.sum(M_prev * M_prev, axis=2)            # [B,D]
+        m_inv = jax.lax.rsqrt(jnp.maximum(m_ss, 1e-12))
+        Mtn = M_prev * m_inv[:, :, None]
+
+    beta = jax.nn.softplus(part["beta"])
+    g = jax.nn.sigmoid(part["g"])
+    gamma = jax.nn.softplus(part["gamma"]) + 1.0
+
+    per_head = []
+    w_heads = []
+    for h in range(H):
+        k_h = jnp.tanh(part["k"][:, h * D : (h + 1) * D])   # [B,D]
+        k_ss = jnp.sum(k_h * k_h, axis=1, keepdims=True)    # [B,1]
+        k_inv = jax.lax.rsqrt(jnp.maximum(k_ss, 1e-12))
+        u = jnp.zeros((B, N), f32)
+        for d in range(D):
+            u = u + k_h[:, d][:, None] * Mtn[:, d, :]
+        sim = u * k_inv
+
+        s_pre = sim * beta[:, h][:, None]
+        w_c = jax.nn.softmax(s_pre, axis=-1)
+        g_h = g[:, h][:, None]
+        w_g = w_c * g_h + w_prev[:, h, :] * (1.0 - g_h)
+
+        sw_h = jax.nn.softmax(part["sw"][:, h * S : (h + 1) * S], axis=-1)
+        w_conv = jnp.zeros_like(w_g)
+        for j, s in enumerate(shifts):
+            w_conv = w_conv + sw_h[:, j][:, None] * pltpu.roll(w_g, (-s) % N, axis=1)
+        powed = jnp.power(w_conv, gamma[:, h][:, None])
+        denom = jnp.sum(powed, axis=1, keepdims=True) + 1e-3
+        w_h = powed / denom
+        w_heads.append(w_h)
+        per_head.append(dict(k_h=k_h, k_ss=k_ss, k_inv=k_inv, u=u, sim=sim,
+                             w_c=w_c, w_g=w_g, sw_h=sw_h, w_conv=w_conv,
+                             powed=powed, denom=denom))
+
+    erase = jax.nn.sigmoid(part["erase"])                   # [B, W*D]
+    add = jnp.tanh(part["add"])                             # [B, W*D]
+    M_rows, er_rows, ad_rows = [], [], []
+    for d in range(D):
+        er = jnp.ones((B, N), f32)
+        ad = jnp.zeros((B, N), f32)
+        for wh in range(W):
+            ww = w_heads[R + wh]
+            er = er * (1.0 - ww * erase[:, wh * D + d][:, None])
+            ad = ad + ww * add[:, wh * D + d][:, None]
+        er_rows.append(er)
+        ad_rows.append(ad)
+        M_rows.append(M_prev[:, d, :] * er + ad)
+
+    src_rows = M_rows if write_first else [M_prev[:, d, :] for d in range(D)]
+    read_cols = []
+    for r in range(R):
+        for d in range(D):
+            read_cols.append(jnp.sum(w_heads[r] * src_rows[d], axis=1, keepdims=True))
+    read = jnp.concatenate(read_cols, axis=1)               # [B, R*D]
+
+    inter = dict(
+        gates_l=gates_l, li_l=li_l, c_l_new=c_l_new, h_l_new=h_l_new,
+        ctrl_out=ctrl_out, part=part, m_ss=m_ss, m_inv=m_inv, Mtn=Mtn,
+        beta=beta, g=g, gamma=gamma, per_head=per_head, w_heads=w_heads,
+        erase=erase, add=add, er_rows=er_rows, ad_rows=ad_rows,
+        M_rows=M_rows, src_rows=src_rows,
+    )
+    return logit, M_rows, w_heads, read, c_l_new, h_l_new, inter
+
+
+def _fwd_res_kernel(
+    x_ref, lstm_w_ref, lstm_b_ref, heads_w_ref, heads_b_ref, out_w_ref,
+    out_b_ref, M0_ref, w0_ref, read0_ref, c0_ref, h0_ref,
+    # outputs
+    logits_ref, M_ref, w_ref, read_ref, c_ref, h_ref,
+    Mh_ref, wh_ref, readh_ref, ch_ref, hh_ref,
+    *, cs,
+):
+    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        M_ref[:] = M0_ref[:]
+        w_ref[:] = w0_ref[:]
+        read_ref[:] = read0_ref[:]
+        c_ref[:] = c0_ref[:]
+        h_ref[:] = h0_ref[:]
+
+    # residual streams: the step's INPUT state
+    Mh_ref[0] = M_ref[:]
+    wh_ref[0] = w_ref[:]
+    readh_ref[0] = read_ref[:]
+    ch_ref[0] = c_ref[:]
+    hh_ref[0] = h_ref[:]
+
+    logit, M_rows, w_heads, read, c_new, h_new, _ = _forward_math(
+        x_ref[0], M_ref[:], w_ref[:], read_ref[:],
+        [c_ref[l] for l in range(L)], [h_ref[l] for l in range(L)],
+        lstm_w_ref[:], lstm_b_ref[:], heads_w_ref[:], heads_b_ref[:],
+        out_w_ref[:], out_b_ref[:], cs,
+    )
+    for d in range(D):
+        M_ref[:, d, :] = M_rows[d]
+    for h in range(H):
+        w_ref[:, h, :] = w_heads[h]
+    read_ref[:] = read
+    for l in range(L):
+        c_ref[l] = c_new[l]
+        h_ref[l] = h_new[l]
+    logits_ref[0] = logit
+
+
+def _bwd_kernel(
+    # t-indexed (REVERSED maps): token, residuals, logit cotangent
+    x_ref, Mh_ref, wh_ref, readh_ref, ch_ref, hh_ref, dlogit_ref,
+    # constants
+    lstm_w_ref, lstm_b_ref, heads_w_ref, heads_b_ref, out_w_ref, out_b_ref,
+    lstm_wT_ref, heads_wT_ref, out_wT_ref,
+    # final-state cotangents (constants, consumed at i==0)
+    dMf_ref, dwf_ref, dreadf_ref, dcf_ref, dhf_ref,
+    # outputs: state-cotangent carries, param grads, token grads
+    dM_ref, dw_ref, dread_ref, dc_ref, dh_ref,
+    dlstm_w_ref, dlstm_b_ref, dheads_w_ref, dheads_b_ref, dout_w_ref,
+    dout_b_ref, dx_ref,
+    *, cs,
+):
+    (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
+    i = pl.program_id(0)
+    B = x_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        dM_ref[:] = dMf_ref[:]
+        dw_ref[:] = dwf_ref[:]
+        dread_ref[:] = dreadf_ref[:]
+        dc_ref[:] = dcf_ref[:]
+        dh_ref[:] = dhf_ref[:]
+        dlstm_w_ref[:] = jnp.zeros_like(dlstm_w_ref)
+        dlstm_b_ref[:] = jnp.zeros_like(dlstm_b_ref)
+        dheads_w_ref[:] = jnp.zeros_like(dheads_w_ref)
+        dheads_b_ref[:] = jnp.zeros_like(dheads_b_ref)
+        dout_w_ref[:] = jnp.zeros_like(dout_w_ref)
+        dout_b_ref[:] = jnp.zeros_like(dout_b_ref)
+
+    x = x_ref[0]
+    M_prev = Mh_ref[0]
+    w_prev = wh_ref[0]
+    read_prev = readh_ref[0]
+    c_prev = [ch_ref[0, l] for l in range(L)]
+    h_prev = [hh_ref[0, l] for l in range(L)]
+
+    # ---- recompute the forward step (VMEM-local) -------------------------
+    _logit, M_rows, w_heads, _read, _c_new, _h_new, it = _forward_math(
+        x, M_prev, w_prev, read_prev, c_prev, h_prev,
+        lstm_w_ref[:], lstm_b_ref[:], heads_w_ref[:], heads_b_ref[:],
+        out_w_ref[:], out_b_ref[:], cs,
+    )
+
+    dlogit = dlogit_ref[0]                        # [B,O]
+    dM_in = dM_ref[:]                             # cotangent of M_t
+    dw_in = dw_ref[:]                             # cotangent of w_t
+    dread_in = dread_ref[:]                       # cotangent of read_t
+
+    # ---- read backward ---------------------------------------------------
+    # read[r,d] = sum_n w_r * src_d ; src = M_rows (write_first) or M_prev
+    dw_head = [dw_in[:, h, :] for h in range(H)]  # incoming via state carry
+    dsrc_rows = [jnp.zeros((B, N), f32) for _ in range(D)]
+    for r in range(R):
+        for d in range(D):
+            dr = dread_in[:, r * D + d][:, None]  # [B,1]
+            dw_head[r] = dw_head[r] + dr * it["src_rows"][d]
+            dsrc_rows[d] = dsrc_rows[d] + dr * w_heads[r]
+
+    # ---- erase/add backward ---------------------------------------------
+    # M_new_d = M_prev_d * er_d + ad_d
+    dM_rows = [dM_in[:, d, :] for d in range(D)]
+    dM_prev_rows = [jnp.zeros((B, N), f32) for _ in range(D)]
+    if write_first:
+        # read consumed M_new
+        dM_rows = [dM_rows[d] + dsrc_rows[d] for d in range(D)]
+    else:
+        # read consumed M_prev
+        dM_prev_rows = [dM_prev_rows[d] + dsrc_rows[d] for d in range(D)]
+    derase = []   # [B] per (wh, d) lane, assembled later
+    dadd = []
+    derase_cols = [[None] * D for _ in range(W)]
+    dadd_cols = [[None] * D for _ in range(W)]
+    for d in range(D):
+        dM_prev_rows[d] = dM_prev_rows[d] + dM_rows[d] * it["er_rows"][d]
+        der = dM_rows[d] * M_prev[:, d, :]        # d/d er_d
+        dad = dM_rows[d]                          # d/d ad_d
+        for wh in range(W):
+            ww = w_heads[R + wh]
+            e_whd = it["erase"][:, wh * D + d][:, None]
+            a_whd = it["add"][:, wh * D + d][:, None]
+            # er_d = prod_w (1 - ww*e): gradient through THIS factor is
+            # der * prod_{others}
+            others = jnp.ones((B, N), f32)
+            for wo in range(W):
+                if wo != wh:
+                    others = others * (
+                        1.0 - w_heads[R + wo]
+                        * it["erase"][:, wo * D + d][:, None]
+                    )
+            dfac = der * others                   # d/d(1 - ww*e)
+            dw_head[R + wh] = dw_head[R + wh] - dfac * e_whd + dad * a_whd
+            derase_cols[wh][d] = jnp.sum(-dfac * ww, axis=1, keepdims=True)
+            dadd_cols[wh][d] = jnp.sum(dad * ww, axis=1, keepdims=True)
+    derase_flat = jnp.concatenate(
+        [derase_cols[wh][d] for wh in range(W) for d in range(D)], axis=1
+    )                                             # [B, W*D]
+    dadd_flat = jnp.concatenate(
+        [dadd_cols[wh][d] for wh in range(W) for d in range(D)], axis=1
+    )
+    # through the activations (erase = sigmoid, add = tanh)
+    derase_raw = derase_flat * it["erase"] * (1.0 - it["erase"])
+    dadd_raw = dadd_flat * (1.0 - it["add"] * it["add"])
+
+    # ---- per-head addressing backward ------------------------------------
+    dk_raw_cols = []
+    dbeta_cols = []
+    dg_cols = []
+    dsw_cols = []
+    dgamma_cols = []
+    dw_prev_heads = []
+    dMtn_rows = [jnp.zeros((B, N), f32) for _ in range(D)]
+    for h in range(H):
+        ph = it["per_head"][h]
+        dwh = dw_head[h]                          # cotangent of w_h
+        # sharpen: w = p / (sum p + 1e-3)
+        inv_den = 1.0 / ph["denom"]
+        dp = dwh * inv_den - jnp.sum(dwh * ph["powed"], axis=1, keepdims=True) * inv_den * inv_den
+        gam = it["gamma"][:, h][:, None]
+        # p = w_conv ** gamma
+        dw_conv = dp * gam * jnp.power(ph["w_conv"], gam - 1.0)
+        log_wc = jnp.where(ph["w_conv"] > 0.0, jnp.log(ph["w_conv"]), 0.0)
+        dgamma_h = jnp.sum(dp * ph["powed"] * log_wc, axis=1, keepdims=True)
+        # circular conv: w_conv = sum_j sw_j * roll(w_g, -s_j)
+        dw_g = jnp.zeros((B, N), f32)
+        dsw_h = []
+        for j, s in enumerate(shifts):
+            rolled = pltpu.roll(ph["w_g"], (-s) % N, axis=1)
+            dsw_h.append(jnp.sum(dw_conv * rolled, axis=1, keepdims=True))
+            dw_g = dw_g + ph["sw_h"][:, j][:, None] * pltpu.roll(
+                dw_conv, s % N, axis=1
+            )
+        # sw softmax backward
+        dsw_cat = jnp.concatenate(dsw_h, axis=1)  # [B,S]
+        dsw_pre = (dsw_cat - jnp.sum(dsw_cat * ph["sw_h"], axis=1, keepdims=True)) * ph["sw_h"]
+        # gate: w_g = w_c*g + w_prev*(1-g)
+        g_h = it["g"][:, h][:, None]
+        dw_c = dw_g * g_h
+        dw_prev_heads.append(dw_g * (1.0 - g_h))
+        dg_h = jnp.sum(dw_g * (ph["w_c"] - w_prev[:, h, :]), axis=1, keepdims=True)
+        # content softmax: w_c = softmax(sim * beta)
+        ds_pre = (dw_c - jnp.sum(dw_c * ph["w_c"], axis=1, keepdims=True)) * ph["w_c"]
+        b_h = it["beta"][:, h][:, None]
+        dsim = ds_pre * b_h
+        dbeta_h = jnp.sum(ds_pre * ph["sim"], axis=1, keepdims=True)
+        # sim = u * k_inv
+        du = dsim * ph["k_inv"]
+        dk_inv = jnp.sum(dsim * ph["u"], axis=1, keepdims=True)
+        # u = sum_d k_d * Mtn_d
+        dk_h = jnp.concatenate(
+            [jnp.sum(du * it["Mtn"][:, d, :], axis=1, keepdims=True)
+             for d in range(D)], axis=1,
+        )                                         # [B,D]
+        for d in range(D):
+            dMtn_rows[d] = dMtn_rows[d] + du * ph["k_h"][:, d][:, None]
+        # k_inv = rsqrt(max(k_ss, eps))
+        live_k = (ph["k_ss"] > 1e-12).astype(f32)
+        dk_ss = dk_inv * (-0.5) * ph["k_inv"] * ph["k_inv"] * ph["k_inv"] * live_k
+        dk_h = dk_h + 2.0 * ph["k_h"] * dk_ss
+        # k = tanh(k_raw)
+        dk_raw_cols.append(dk_h * (1.0 - ph["k_h"] * ph["k_h"]))
+        # activations of the scalars
+        braw = it["part"]["beta"][:, h][:, None]
+        dbeta_cols.append(dbeta_h * jax.nn.sigmoid(braw))
+        dg_cols.append(dg_h * g_h * (1.0 - g_h))
+        graw = it["part"]["gamma"][:, h][:, None]
+        dgamma_cols.append(dgamma_h * jax.nn.sigmoid(graw))
+        dsw_cols.append(dsw_pre)
+
+    # ---- memory-normalization backward ----------------------------------
+    if slotwise:
+        # m_inv per [B,N] (over D)
+        dm_inv = jnp.zeros((B, N), f32)
+        for d in range(D):
+            dM_prev_rows[d] = dM_prev_rows[d] + dMtn_rows[d] * it["m_inv"]
+            dm_inv = dm_inv + dMtn_rows[d] * M_prev[:, d, :]
+        live = (it["m_ss"] > 1e-12).astype(f32)
+        dss = dm_inv * (-0.5) * it["m_inv"] ** 3 * live    # [B,N]
+        for d in range(D):
+            dM_prev_rows[d] = dM_prev_rows[d] + 2.0 * M_prev[:, d, :] * dss
+    else:
+        for d in range(D):
+            m_inv_d = it["m_inv"][:, d][:, None]
+            dMtn_d = dMtn_rows[d]
+            dM_prev_rows[d] = dM_prev_rows[d] + dMtn_d * m_inv_d
+            dm_inv_d = jnp.sum(dMtn_d * M_prev[:, d, :], axis=1, keepdims=True)
+            live = (it["m_ss"][:, d] > 1e-12).astype(f32)[:, None]
+            dss_d = dm_inv_d * (-0.5) * m_inv_d * m_inv_d * m_inv_d * live
+            dM_prev_rows[d] = dM_prev_rows[d] + 2.0 * M_prev[:, d, :] * dss_d
+
+    # ---- assemble dcontrols and the head/output linear backward ---------
+    dcontrols = jnp.concatenate(
+        [jnp.concatenate(dk_raw_cols, axis=1),
+         jnp.concatenate(dbeta_cols, axis=1),
+         jnp.concatenate(dg_cols, axis=1),
+         jnp.concatenate(dsw_cols, axis=1),
+         jnp.concatenate(dgamma_cols, axis=1),
+         derase_raw, dadd_raw], axis=1,
+    )                                             # [B,P]
+    ctrl_out = it["ctrl_out"]
+    dheads_w_ref[:] += jax.lax.dot_general(
+        ctrl_out, dcontrols, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dheads_b_ref[0] += jnp.sum(dcontrols, axis=0)
+    dout_w_ref[:] += jax.lax.dot_general(
+        ctrl_out, dlogit, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dout_b_ref[0] += jnp.sum(dlogit, axis=0)
+
+    dctrl = (
+        jnp.dot(dcontrols, heads_wT_ref[:], preferred_element_type=f32)
+        + jnp.dot(dlogit, out_wT_ref[:], preferred_element_type=f32)
+    )                                             # [B,Hc]
+
+    # ---- stacked LSTM backward (top layer first) ------------------------
+    KIN = lstm_w_ref.shape[1]
+    d_inp_above = dctrl                           # d of the layer's OUTPUT
+    dx_out = None
+    dread_prev = None
+    for l in range(L - 1, -1, -1):
+        gates = it["gates_l"][l]
+        i_g = gates[:, 0 * Hc : 1 * Hc]
+        j_g = gates[:, 1 * Hc : 2 * Hc]
+        f_g = gates[:, 2 * Hc : 3 * Hc]
+        o_g = gates[:, 3 * Hc : 4 * Hc]
+        si, tj = jax.nn.sigmoid(i_g), jnp.tanh(j_g)
+        sf, so = jax.nn.sigmoid(f_g), jax.nn.sigmoid(o_g)
+        new_c = it["c_l_new"][l]
+        tc = jnp.tanh(new_c)
+
+        dnew_h = d_inp_above + dh_ref[l]
+        dnew_c = dc_ref[l] + dnew_h * so * (1.0 - tc * tc)
+        do = dnew_h * tc * so * (1.0 - so)
+        df = dnew_c * c_prev[l] * sf * (1.0 - sf)
+        di = dnew_c * tj * si * (1.0 - si)
+        dj = dnew_c * si * (1.0 - tj * tj)
+        dgates = jnp.concatenate([di, dj, df, do], axis=1)  # [B,4Hc]
+        dc_ref[l] = dnew_c * sf
+        # param grads
+        dlstm_w_ref[l] += jax.lax.dot_general(
+            it["li_l"][l], dgates, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dlstm_b_ref[l] += jnp.sum(dgates, axis=0)
+        dli = jnp.dot(dgates, lstm_wT_ref[l], preferred_element_type=f32)  # [B,KIN]
+        in_l = (x.shape[1] + read_prev.shape[1]) if l == 0 else Hc
+        dh_ref[l] = dli[:, in_l : in_l + Hc]
+        if l == 0:
+            dx_out = dli[:, : x.shape[1]]
+            dread_prev = dli[:, x.shape[1] : in_l]
+        else:
+            d_inp_above = dli[:, :in_l]
+
+    # ---- write carries ---------------------------------------------------
+    for d in range(D):
+        dM_ref[:, d, :] = dM_prev_rows[d]
+    for h in range(H):
+        dw_ref[:, h, :] = dw_prev_heads[h]
+    dread_ref[:] = dread_prev
+    dx_ref[0] = dx_out
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _static(cfg: NTMConfig):
+    from ntm_tracker_tpu.models.ntm_cell import head_param_sizes
+
+    sizes = head_param_sizes(cfg)
+    return (
+        cfg.num_heads, cfg.read_head_size, cfg.write_head_size, cfg.mem_dim,
+        cfg.mem_size, cfg.shift_space, cfg.controller_hidden_size,
+        cfg.controller_num_layers, tuple(circular_convolution_shifts(cfg.shift_space)),
+        cfg.write_first, sizes, cfg.slotwise_cosine,
+    )
+
+
+def _pack_weights(params, cfg: NTMConfig, IN: int):
+    Hc, L, R, D = (cfg.controller_hidden_size, cfg.controller_num_layers,
+                   cfg.read_head_size, cfg.mem_dim)
+    kins = [IN + R * D + Hc] + [2 * Hc] * (L - 1)
+    KIN = max(kins)
+    lstm_w = jnp.stack([
+        jnp.pad(p["kernel"].astype(f32),
+                ((0, KIN - p["kernel"].shape[0]), (0, 0)))
+        for p in params["controller"]
+    ])
+    lstm_b = jnp.stack([p["bias"].astype(f32) for p in params["controller"]])
+    return lstm_w, lstm_b, kins, KIN
+
+
+def _fwd_call(params, cfg: NTMConfig, tokens, state, interpret):
+    B, T, IN = tokens.shape
+    cs = _static(cfg)
+    (H, R, W, D, N, S, Hc, L, _sh, _wf, sizes, _sl) = cs
+    P = sum(sizes.values())
+    O = cfg.output_dim
+    lstm_w, lstm_b, _kins, KIN = _pack_weights(params, cfg, IN)
+    c0 = jnp.stack([c for c, _ in state["controller_state"]]).astype(f32)
+    h0 = jnp.stack([h for _, h in state["controller_state"]]).astype(f32)
+
+    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda t: (0, 0, 0),
+                                          memory_space=pltpu.VMEM)
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda t: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    tidx3 = lambda a, b: pl.BlockSpec((1, a, b), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    tidx4 = lambda a, b, c: pl.BlockSpec((1, a, b, c), lambda t: (t, 0, 0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_fwd_res_kernel, cs=cs)
+    out = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            tidx3(B, IN),
+            const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
+            const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
+            const3(B, D, N), const3(B, H, N), const2(B, R * D),
+            const3(L, B, Hc), const3(L, B, Hc),
+        ],
+        out_specs=(
+            tidx3(B, O),
+            const3(B, D, N), const3(B, H, N), const2(B, R * D),
+            const3(L, B, Hc), const3(L, B, Hc),
+            tidx4(B, D, N), tidx4(B, H, N), tidx3(B, R * D),
+            tidx4(L, B, Hc), tidx4(L, B, Hc),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, O), f32),
+            jax.ShapeDtypeStruct((B, D, N), f32),
+            jax.ShapeDtypeStruct((B, H, N), f32),
+            jax.ShapeDtypeStruct((B, R * D), f32),
+            jax.ShapeDtypeStruct((L, B, Hc), f32),
+            jax.ShapeDtypeStruct((L, B, Hc), f32),
+            jax.ShapeDtypeStruct((T, B, D, N), f32),
+            jax.ShapeDtypeStruct((T, B, H, N), f32),
+            jax.ShapeDtypeStruct((T, B, R * D), f32),
+            jax.ShapeDtypeStruct((T, L, B, Hc), f32),
+            jax.ShapeDtypeStruct((T, L, B, Hc), f32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.swapaxes(tokens.astype(f32), 0, 1),
+        lstm_w, lstm_b,
+        params["heads_w"].astype(f32), params["heads_b"].astype(f32)[None, :],
+        params["out_w"].astype(f32), params["out_b"].astype(f32)[None, :],
+        jnp.swapaxes(state["M"].astype(f32), 1, 2),
+        state["w"].astype(f32),
+        state["read"].astype(f32).reshape(B, R * D),
+        c0, h0,
+    )
+    (logits, M, w, read, c, h, Mh, wh, readh, ch, hh) = out
+    final_state = {
+        "M": jnp.swapaxes(M, 1, 2),
+        "w": w,
+        "read": read.reshape(B, R, D),
+        "controller_state": [(c[l], h[l]) for l in range(L)],
+    }
+    residuals = (Mh, wh, readh, ch, hh)
+    return jnp.swapaxes(logits, 0, 1), final_state, residuals
+
+
+def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
+              interpret):
+    B, T, IN = tokens.shape
+    cs = _static(cfg)
+    (H, R, W, D, N, S, Hc, L, _sh, _wf, sizes, _sl) = cs
+    P = sum(sizes.values())
+    O = cfg.output_dim
+    lstm_w, lstm_b, kins, KIN = _pack_weights(params, cfg, IN)
+    lstm_wT = jnp.stack([
+        jnp.swapaxes(lstm_w[l], 0, 1) for l in range(L)
+    ])  # [L, 4Hc, KIN]
+    heads_wT = jnp.swapaxes(params["heads_w"].astype(f32), 0, 1)
+    out_wT = jnp.swapaxes(params["out_w"].astype(f32), 0, 1)
+    Mh, wh, readh, ch, hh = residuals
+
+    dMf = jnp.swapaxes(dfinal["M"].astype(f32), 1, 2)
+    dwf = dfinal["w"].astype(f32)
+    dreadf = dfinal["read"].astype(f32).reshape(B, R * D)
+    dcf = jnp.stack([c for c, _ in dfinal["controller_state"]]).astype(f32)
+    dhf = jnp.stack([h for _, h in dfinal["controller_state"]]).astype(f32)
+
+    rev3 = lambda a, b: pl.BlockSpec((1, a, b), lambda i: (T - 1 - i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    rev4 = lambda a, b, c: pl.BlockSpec(
+        (1, a, b, c), lambda i: (T - 1 - i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda i: (0, 0, 0),
+                                          memory_space=pltpu.VMEM)
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_bwd_kernel, cs=cs)
+    out = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            rev3(B, IN),
+            rev4(B, D, N), rev4(B, H, N), rev3(B, R * D),
+            rev4(L, B, Hc), rev4(L, B, Hc),
+            rev3(B, O),
+            const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
+            const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
+            const3(L, 4 * Hc, KIN), const2(P, Hc), const2(O, Hc),
+            const3(B, D, N), const3(B, H, N), const2(B, R * D),
+            const3(L, B, Hc), const3(L, B, Hc),
+        ],
+        out_specs=(
+            const3(B, D, N), const3(B, H, N), const2(B, R * D),
+            const3(L, B, Hc), const3(L, B, Hc),
+            const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
+            const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
+            rev3(B, IN),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D, N), f32),
+            jax.ShapeDtypeStruct((B, H, N), f32),
+            jax.ShapeDtypeStruct((B, R * D), f32),
+            jax.ShapeDtypeStruct((L, B, Hc), f32),
+            jax.ShapeDtypeStruct((L, B, Hc), f32),
+            jax.ShapeDtypeStruct((L, KIN, 4 * Hc), f32),
+            jax.ShapeDtypeStruct((L, 4 * Hc), f32),
+            jax.ShapeDtypeStruct((Hc, P), f32),
+            jax.ShapeDtypeStruct((1, P), f32),
+            jax.ShapeDtypeStruct((Hc, O), f32),
+            jax.ShapeDtypeStruct((1, O), f32),
+            jax.ShapeDtypeStruct((T, B, IN), f32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.swapaxes(tokens.astype(f32), 0, 1),
+        Mh, wh, readh, ch, hh,
+        jnp.swapaxes(dlogits.astype(f32), 0, 1),
+        lstm_w, lstm_b,
+        params["heads_w"].astype(f32), params["heads_b"].astype(f32)[None, :],
+        params["out_w"].astype(f32), params["out_b"].astype(f32)[None, :],
+        lstm_wT, heads_wT, out_wT,
+        dMf, dwf, dreadf, dcf, dhf,
+    )
+    (dM0, dw0, dread0, dc0, dh0, dlstm_w, dlstm_b, dheads_w, dheads_b,
+     dout_w, dout_b, dx) = out
+
+    dparams = {
+        "controller": [
+            {"kernel": dlstm_w[l][: kins[l], :], "bias": dlstm_b[l]}
+            for l in range(L)
+        ],
+        "heads_w": dheads_w,
+        "heads_b": dheads_b[0],
+        "out_w": dout_w,
+        "out_b": dout_b[0],
+        # init_* enter through the state argument (init_ntm_state runs
+        # outside the kernel), so their direct cotangent here is zero
+        "init_M": jnp.zeros_like(params["init_M"]),
+        "init_w": jnp.zeros_like(params["init_w"]),
+        "init_read": jnp.zeros_like(params["init_read"]),
+    }
+    dstate0 = {
+        "M": jnp.swapaxes(dM0, 1, 2),
+        "w": dw0,
+        "read": dread0.reshape(B, R, D),
+        "controller_state": [(dc0[l], dh0[l]) for l in range(L)],
+    }
+    return dparams, jnp.swapaxes(dx, 0, 1), dstate0
+
+
+@functools.lru_cache(maxsize=None)
+def _bptt_wrapped(cfg: NTMConfig, interpret: bool):
+    def forward(params, tokens, state):
+        logits, final_state, _res = _fwd_call(params, cfg, tokens, state,
+                                              interpret)
+        return logits, final_state
+
+    fn = jax.custom_vjp(forward)
+
+    def fwd(params, tokens, state):
+        logits, final_state, res = _fwd_call(params, cfg, tokens, state,
+                                             interpret)
+        return (logits, final_state), (params, tokens, res)
+
+    def bwd(saved, cot):
+        params, tokens, res = saved
+        dlogits, dfinal = cot
+        return _bwd_call(params, cfg, tokens, res, dlogits, dfinal, interpret)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def ntm_scan_fused_bptt(
+    params: Dict[str, Any],
+    cfg: NTMConfig,
+    tokens: jax.Array,
+    state: Dict[str, Any],
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """T NTM steps with a FULLY fused Pallas forward+backward (f32).
+
+    Differentiable wrt params, tokens and the initial state; init_M/w/read
+    gradients flow through the state argument (build the state with
+    init_ntm_state under the same jax.grad). Returns (logits [B,T,O],
+    final state)."""
+    if cfg.use_pallas:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_pallas=False)  # static key hygiene
+    return _bptt_wrapped(cfg, interpret)(params, tokens, state)

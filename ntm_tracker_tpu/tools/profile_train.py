@@ -396,17 +396,19 @@ def main() -> int:
     peak = _chip_peak_tflops(jax.devices()[0])
 
     def make_cfg(dtype=jnp.float32, remat="full", unroll=1, pallas=False,
-                 layout="nd"):
+                 layout="nd", bptt=False):
         return TrackerConfig(
             compute_dtype=dtype,
             ntm=NTMConfig(use_pallas=pallas),
             train=TrainConfig(
                 batch_size=args.batch, sequence_length=args.seq_len,
                 remat_policy=remat, scan_unroll=unroll, scan_layout=layout,
+                fused_bptt=bptt,
             ),
         )
 
     variants = {
+        "fused_bptt_f32": dict(bptt=True),
         "dn_layout_f32": dict(layout="dn"),
         "dn_layout_bf16": dict(layout="dn", dtype=jnp.bfloat16),
         "dn_layout_f32_dots": dict(layout="dn", remat="dots"),
