@@ -244,6 +244,18 @@ def _bwd_kernel(
     c_prev = [ch_ref[0, l] for l in range(L)]
     h_prev = [hh_ref[0, l] for l in range(L)]
 
+    P = heads_w_ref.shape[1]
+    # dcontrols is assembled by MASKED ACCUMULATION into a zeros [B,P]
+    # buffer instead of concatenating ~200 width-1 column vectors — Mosaic
+    # rejects tpu.concatenate of tiny slices with mismatched layouts
+    # ('result/input offset mismatch on non-concat dimension'); broadcasting
+    # a [B,1] piece against an iota mask is the pattern the (hardware-
+    # proven) forward kernel already relies on.
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+
+    def place(buf, col, piece):
+        return buf + jnp.where(col_iota == col, piece, 0.0)
+
     # ---- recompute the forward step (VMEM-local) -------------------------
     _logit, M_rows, w_heads, _read, _c_new, _h_new, it = _forward_math(
         x, M_prev, w_prev, read_prev, c_prev, h_prev,
@@ -276,10 +288,15 @@ def _bwd_kernel(
     else:
         # read consumed M_prev
         dM_prev_rows = [dM_prev_rows[d] + dsrc_rows[d] for d in range(D)]
-    derase = []   # [B] per (wh, d) lane, assembled later
-    dadd = []
-    derase_cols = [[None] * D for _ in range(W)]
-    dadd_cols = [[None] * D for _ in range(W)]
+
+    # column offsets of the fused head-parameter layout
+    off = {}
+    o = 0
+    for name in ("k", "beta", "g", "sw", "gamma", "erase", "add"):
+        off[name] = o
+        o += sizes[name]
+    dcontrols = jnp.zeros((B, P), f32)
+
     for d in range(D):
         dM_prev_rows[d] = dM_prev_rows[d] + dM_rows[d] * it["er_rows"][d]
         der = dM_rows[d] * M_prev[:, d, :]        # d/d er_d
@@ -299,24 +316,19 @@ def _bwd_kernel(
                     )
             dfac = der * others                   # d/d(1 - ww*e)
             dw_head[R + wh] = dw_head[R + wh] - dfac * e_whd + dad * a_whd
-            derase_cols[wh][d] = jnp.sum(-dfac * ww, axis=1, keepdims=True)
-            dadd_cols[wh][d] = jnp.sum(dad * ww, axis=1, keepdims=True)
-    derase_flat = jnp.concatenate(
-        [derase_cols[wh][d] for wh in range(W) for d in range(D)], axis=1
-    )                                             # [B, W*D]
-    dadd_flat = jnp.concatenate(
-        [dadd_cols[wh][d] for wh in range(W) for d in range(D)], axis=1
-    )
-    # through the activations (erase = sigmoid, add = tanh)
-    derase_raw = derase_flat * it["erase"] * (1.0 - it["erase"])
-    dadd_raw = dadd_flat * (1.0 - it["add"] * it["add"])
+            de = jnp.sum(-dfac * ww, axis=1, keepdims=True)
+            da = jnp.sum(dad * ww, axis=1, keepdims=True)
+            # through the activations (erase = sigmoid, add = tanh)
+            dcontrols = place(
+                dcontrols, off["erase"] + wh * D + d,
+                de * e_whd * (1.0 - e_whd),
+            )
+            dcontrols = place(
+                dcontrols, off["add"] + wh * D + d,
+                da * (1.0 - a_whd * a_whd),
+            )
 
     # ---- per-head addressing backward ------------------------------------
-    dk_raw_cols = []
-    dbeta_cols = []
-    dg_cols = []
-    dsw_cols = []
-    dgamma_cols = []
     dw_prev_heads = []
     dMtn_rows = [jnp.zeros((B, N), f32) for _ in range(D)]
     for h in range(H):
@@ -339,9 +351,15 @@ def _bwd_kernel(
             dw_g = dw_g + ph["sw_h"][:, j][:, None] * pltpu.roll(
                 dw_conv, s % N, axis=1
             )
-        # sw softmax backward
-        dsw_cat = jnp.concatenate(dsw_h, axis=1)  # [B,S]
-        dsw_pre = (dsw_cat - jnp.sum(dsw_cat * ph["sw_h"], axis=1, keepdims=True)) * ph["sw_h"]
+        # sw softmax backward: ds_j = (dsw_j - sum_j' dsw_j' sw_j') * sw_j
+        dot_sw = dsw_h[0] * ph["sw_h"][:, 0][:, None]
+        for j in range(1, S):
+            dot_sw = dot_sw + dsw_h[j] * ph["sw_h"][:, j][:, None]
+        for j in range(S):
+            dcontrols = place(
+                dcontrols, off["sw"] + h * S + j,
+                (dsw_h[j] - dot_sw) * ph["sw_h"][:, j][:, None],
+            )
         # gate: w_g = w_c*g + w_prev*(1-g)
         g_h = it["g"][:, h][:, None]
         dw_c = dw_g * g_h
@@ -355,26 +373,33 @@ def _bwd_kernel(
         # sim = u * k_inv
         du = dsim * ph["k_inv"]
         dk_inv = jnp.sum(dsim * ph["u"], axis=1, keepdims=True)
-        # u = sum_d k_d * Mtn_d
-        dk_h = jnp.concatenate(
-            [jnp.sum(du * it["Mtn"][:, d, :], axis=1, keepdims=True)
-             for d in range(D)], axis=1,
-        )                                         # [B,D]
-        for d in range(D):
-            dMtn_rows[d] = dMtn_rows[d] + du * ph["k_h"][:, d][:, None]
         # k_inv = rsqrt(max(k_ss, eps))
         live_k = (ph["k_ss"] > 1e-12).astype(f32)
         dk_ss = dk_inv * (-0.5) * ph["k_inv"] * ph["k_inv"] * ph["k_inv"] * live_k
-        dk_h = dk_h + 2.0 * ph["k_h"] * dk_ss
-        # k = tanh(k_raw)
-        dk_raw_cols.append(dk_h * (1.0 - ph["k_h"] * ph["k_h"]))
-        # activations of the scalars
+        # u = sum_d k_d * Mtn_d ; k = tanh(k_raw)
+        for d in range(D):
+            dMtn_rows[d] = dMtn_rows[d] + du * ph["k_h"][:, d][:, None]
+            k_hd = ph["k_h"][:, d][:, None]
+            dk_hd = (
+                jnp.sum(du * it["Mtn"][:, d, :], axis=1, keepdims=True)
+                + 2.0 * k_hd * dk_ss
+            )
+            dcontrols = place(
+                dcontrols, off["k"] + h * D + d,
+                dk_hd * (1.0 - k_hd * k_hd),
+            )
+        # scalar heads through their activations
         braw = it["part"]["beta"][:, h][:, None]
-        dbeta_cols.append(dbeta_h * jax.nn.sigmoid(braw))
-        dg_cols.append(dg_h * g_h * (1.0 - g_h))
+        dcontrols = place(
+            dcontrols, off["beta"] + h, dbeta_h * jax.nn.sigmoid(braw)
+        )
+        dcontrols = place(
+            dcontrols, off["g"] + h, dg_h * g_h * (1.0 - g_h)
+        )
         graw = it["part"]["gamma"][:, h][:, None]
-        dgamma_cols.append(dgamma_h * jax.nn.sigmoid(graw))
-        dsw_cols.append(dsw_pre)
+        dcontrols = place(
+            dcontrols, off["gamma"] + h, dgamma_h * jax.nn.sigmoid(graw)
+        )
 
     # ---- memory-normalization backward ----------------------------------
     if slotwise:
@@ -397,15 +422,7 @@ def _bwd_kernel(
             dss_d = dm_inv_d * (-0.5) * m_inv_d * m_inv_d * m_inv_d * live
             dM_prev_rows[d] = dM_prev_rows[d] + 2.0 * M_prev[:, d, :] * dss_d
 
-    # ---- assemble dcontrols and the head/output linear backward ---------
-    dcontrols = jnp.concatenate(
-        [jnp.concatenate(dk_raw_cols, axis=1),
-         jnp.concatenate(dbeta_cols, axis=1),
-         jnp.concatenate(dg_cols, axis=1),
-         jnp.concatenate(dsw_cols, axis=1),
-         jnp.concatenate(dgamma_cols, axis=1),
-         derase_raw, dadd_raw], axis=1,
-    )                                             # [B,P]
+    # ---- head/output linear backward ------------------------------------
     ctrl_out = it["ctrl_out"]
     dheads_w_ref[:] += jax.lax.dot_general(
         ctrl_out, dcontrols, (((0,), (0,)), ((), ())),
