@@ -114,8 +114,11 @@ class TrainConfig:
     # run the NTM training BPTT as ONE fused Pallas forward + hand-derived
     # Pallas backward (ops/pallas/scan_bptt.py) instead of lax.scan +
     # autodiff. f32 compute only; grad-parity asserted in
-    # tests/test_pallas_bptt.py. See tools/profile_train.py for the v5e
-    # measurement that motivated it (XLA's reverse pass is ~5x the forward).
+    # tests/test_pallas_bptt.py. Measured (v5e, T=1300): 1.1-1.3x faster
+    # than the XLA scan at batch<=32, but HARD-LIMITED to batch 32 by a Mosaic
+    # compile ceiling, and XLA is within ~7% of this design at the B=256
+    # training knee — use for small-batch runs only (scan_bptt.py docstring
+    # has the full measured table).
     fused_bptt: bool = False
 
 

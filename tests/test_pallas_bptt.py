@@ -112,6 +112,19 @@ def test_fused_bptt_matches_jax_grad(name):
         )
 
 
+def test_fused_bptt_hw_batch_ceiling():
+    """Non-interpret calls beyond the measured Mosaic compile ceiling fail
+    fast with the measured guidance instead of crashing the TPU compiler."""
+    from ntm_tracker_tpu.ops.pallas.scan_bptt import MAX_HW_BATCH
+
+    cfg = CONFIGS["flagship_shape"]
+    params, state, tokens, _ = _setup(cfg, seed=1)
+    big = jnp.tile(tokens, (MAX_HW_BATCH, 1, 1))[: MAX_HW_BATCH + 1]
+    big_state = init_ntm_state(params, cfg, MAX_HW_BATCH + 1)
+    with pytest.raises(ValueError, match="compile ceiling"):
+        ntm_scan_fused_bptt(params, cfg, big, big_state, interpret=False)
+
+
 def test_fused_bptt_forward_matches_jnp():
     cfg = CONFIGS["flagship_shape"]
     params, state, tokens, _ = _setup(cfg, seed=0)
