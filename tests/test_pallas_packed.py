@@ -1,0 +1,145 @@
+"""Lane-packed whole-sequence kernels (ops/pallas/scan_packed.py) vs the
+jnp lax.scan over ntm_cell_step — forward values AND all gradient paths of
+the packed BPTT pair, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.models.ntm_cell import (
+    init_ntm_params,
+    init_ntm_state,
+    ntm_cell_step,
+)
+from ntm_tracker_tpu.ops.pallas.scan_packed import (
+    ntm_scan_packed,
+    ntm_scan_packed_bptt,
+)
+
+B, T, IN = 3, 7, 10
+
+CONFIGS = {
+    "flagship_shape": NTMConfig(
+        output_dim=2, mem_size=16, mem_dim=8, controller_hidden_size=24,
+        controller_num_layers=1, read_head_size=2, write_head_size=1,
+    ),
+    "two_layer_two_write_s2_wf": NTMConfig(
+        output_dim=3, mem_size=16, mem_dim=8, controller_hidden_size=16,
+        controller_num_layers=2, read_head_size=2, write_head_size=2,
+        shift_range=2, write_first=True,
+    ),
+    "slotwise": NTMConfig(
+        output_dim=2, mem_size=16, mem_dim=8, controller_hidden_size=24,
+        controller_num_layers=1, read_head_size=3, write_head_size=1,
+        slotwise_cosine=True,
+    ),
+}
+
+
+def _jnp_unroll(params, cfg, tokens, state):
+    def body(carry, x_t):
+        _out, logit, new_state = ntm_cell_step(params, cfg, x_t, carry)
+        return new_state, logit
+
+    final, logits = jax.lax.scan(body, state, jnp.swapaxes(tokens, 0, 1))
+    return jnp.swapaxes(logits, 0, 1), final
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_packed_forward_matches_jnp(name):
+    cfg = CONFIGS[name]
+    rs = np.random.RandomState(hash(name) % 1000)
+    params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.asarray(a) + rs.uniform(-0.05, 0.05, np.shape(a)).astype(np.float32)
+        ),
+        params,
+    )
+    state = init_ntm_state(params, cfg, B)
+    tokens = jnp.asarray(rs.uniform(-1, 1, (B, T, IN)).astype(np.float32))
+
+    lo_ref, fin_ref = _jnp_unroll(params, cfg, tokens, state)
+    lo_p, fin_p = ntm_scan_packed(params, cfg, tokens, state, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(lo_p), np.asarray(lo_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fin_p["M"]), np.asarray(fin_ref["M"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fin_p["w"]), np.asarray(fin_ref["w"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fin_p["read"]), np.asarray(fin_ref["read"]), atol=2e-5
+    )
+    for (c_p, h_p), (c_r, h_r) in zip(
+        fin_p["controller_state"], fin_ref["controller_state"]
+    ):
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_r), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r), atol=2e-5)
+
+
+def _setup(cfg, seed):
+    rs = np.random.RandomState(seed)
+    params = init_ntm_params(jax.random.PRNGKey(seed), cfg, IN)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.asarray(a) + rs.uniform(-0.05, 0.05, np.shape(a)).astype(np.float32)
+        ),
+        params,
+    )
+    state = init_ntm_state(params, cfg, B)
+    tokens = jnp.asarray(rs.uniform(-1, 1, (B, T, IN)).astype(np.float32))
+    A = jnp.asarray(rs.uniform(-1, 1, (B, T, cfg.output_dim)).astype(np.float32))
+    BM = jnp.asarray(rs.uniform(-1, 1, (B, cfg.mem_size, cfg.mem_dim)).astype(np.float32))
+    Bw = jnp.asarray(rs.uniform(-1, 1, (B, cfg.num_heads, cfg.mem_size)).astype(np.float32))
+    Br = jnp.asarray(rs.uniform(-1, 1, (B, cfg.read_head_size, cfg.mem_dim)).astype(np.float32))
+    Bc = jnp.asarray(rs.uniform(-1, 1, (B, cfg.controller_hidden_size)).astype(np.float32))
+    return params, state, tokens, (A, BM, Bw, Br, Bc)
+
+
+def _loss(unroll, cot):
+    A, BM, Bw, Br, Bc = cot
+
+    def loss(params, tokens, state):
+        logits, final = unroll(params, tokens, state)
+        out = jnp.sum(logits * A)
+        out = out + jnp.sum(final["M"] * BM)
+        out = out + jnp.sum(final["w"] * Bw)
+        out = out + jnp.sum(final["read"] * Br)
+        for c, h in final["controller_state"]:
+            out = out + jnp.sum(c * Bc) + 0.5 * jnp.sum(h * Bc)
+        return out
+
+    return loss
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_packed_bptt_matches_jax_grad(name):
+    cfg = CONFIGS[name]
+    params, state, tokens, cot = _setup(cfg, seed=hash(name) % 1000)
+
+    loss_ref = _loss(lambda p, t, s: _jnp_unroll(p, cfg, t, s), cot)
+    loss_packed = _loss(
+        lambda p, t, s: ntm_scan_packed_bptt(p, cfg, t, s, interpret=True), cot
+    )
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        params, tokens, state
+    )
+    v_p, g_p = jax.value_and_grad(loss_packed, argnums=(0, 1, 2))(
+        params, tokens, state
+    )
+    np.testing.assert_allclose(float(v_p), float(v_ref), rtol=1e-5)
+
+    flat_ref, _tree = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p = jax.tree_util.tree_flatten(g_p)[0]
+    assert len(flat_ref) == len(flat_p)
+    for (path, r), f in zip(flat_ref, flat_p):
+        scale = max(1e-3, float(jnp.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), atol=3e-5 * scale, rtol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
