@@ -24,9 +24,24 @@ scan in tests/test_pallas_packed.py, interpret mode), including the
 across-slot cosine quirk (ops.py:147-156), Py2 shift offsets and the
 +1e-3 sharpen normalizer (ntm_cell.py:169-176).
 
-Hardware measurements drive whether this replaces the row-loop forward:
-see tools/profile_train.py fused_fwd variants and the decision records in
-scan_cell.py / scan_bptt.py.
+MEASURED VERDICT (v5e, T=1300, flagship config — kept as a tested
+alternate, NOT the chosen training path):
+  * forward B=256: 39.4 ms kernel + ~9 ms stream transpose (~64 ms
+    end-to-end in jit) vs 48 ms for the XLA scan forward — no win; the
+    packing trades instruction issue for MXU-latency-bound selector
+    matmuls and roughly breaks even.
+  * grad B=32: 239 ms vs 50.5 ms for the row-loop fused pair
+    (scan_bptt.py) and 57 ms for the XLA remat scan — the backward's
+    ~25 skinny [B,DN]x[DN,*] selector matmuls per step are each
+    MXU-latency-bound at small batch, far worse than the row kernels'
+    wide VPU ops.
+  * grad B>=64: Mosaic compile-helper crash — the SAME batch ceiling as
+    the row-loop backward, so the packing does not unlock large-batch
+    fused BPTT either.
+Decision: training stays on scan_bptt (B<=32) / the XLA remat scan
+(large batch). This module remains as the measured answer to "would a
+lane-packed layout beat the row loops?" — no, on both sides of the
+roofline; see also the layout decision record in ntm_scan_packed.
 """
 
 from __future__ import annotations
@@ -44,6 +59,25 @@ from ntm_tracker_tpu.config import NTMConfig
 from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
 
 f32 = jnp.float32
+
+# The packed kernels' wide [B, D*N] intermediates live on the Mosaic
+# value stack; at some shapes (e.g. B=8/T=65 flagship) the default
+# 16 MiB scoped-vmem limit overflows by <1 MiB while larger shapes fit
+# -- raise the scratch limit and declare the sequential grid explicitly.
+# vmem_limit_bytes feeds the scoped_memory_configs entry the limit is
+# checked against. (The flags={"xla_tpu_scoped_vmem_limit_kib": ...}
+# route is rejected by this machine's remote compile helper --
+# serializer/libtpu version skew; internal_scratch_in_bytes is a
+# different pool and does not lift this limit.)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary",),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
+# Largest batch the Mosaic compiler handles for the packed backward on real
+# hardware — measured identical to scan_bptt.MAX_HW_BATCH (B=64 crashes the
+# compile helper).
+MAX_HW_BATCH = 32
 
 
 def _selectors(D: int, N: int):
@@ -620,6 +654,7 @@ def ntm_scan_packed(
             jax.ShapeDtypeStruct((L, B, Hc), f32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         jnp.swapaxes(tokens.astype(f32), 0, 1),
         lstm_w, lstm_b,
@@ -702,6 +737,7 @@ def _packed_fwd_call(params, cfg: NTMConfig, tokens, state, interpret):
             jax.ShapeDtypeStruct((T, L, B, Hc), f32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         jnp.swapaxes(tokens.astype(f32), 0, 1),
         lstm_w, lstm_b,
@@ -797,6 +833,7 @@ def _packed_bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits,
             jax.ShapeDtypeStruct((T, B, IN), f32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         jnp.swapaxes(tokens.astype(f32), 0, 1),
         Mph, wh, readh, ch, hh,
@@ -871,7 +908,17 @@ def ntm_scan_packed_bptt(
 
     Same contract and gradient semantics as scan_bptt.ntm_scan_fused_bptt
     (differentiable wrt params, tokens, initial state; d/dgamma of pow at
-    w_conv == 0 exactly yields 0 where jax.grad yields NaN*0)."""
+    w_conv == 0 exactly yields 0 where jax.grad yields NaN*0).
+
+    Measured SLOWER than that pair at every hardware-compilable batch
+    (module docstring) — use for measurement/regression, not training."""
+    B = tokens.shape[0]
+    if not interpret and B > MAX_HW_BATCH:
+        raise ValueError(
+            f"packed bptt: batch {B} exceeds the Mosaic hardware compile "
+            f"ceiling ({MAX_HW_BATCH}, same as the row-loop backward); "
+            "use the XLA remat scan for large-batch training."
+        )
     if cfg.use_pallas:
         import dataclasses as _dc
 
