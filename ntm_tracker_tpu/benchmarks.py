@@ -256,13 +256,12 @@ def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
     step_ms). B=256 is the measured knee (17.8k f/s vs 16.7k at 128 and
     17.3k at 512, tools/bench_train.py sweep)."""
     import jax
-    import jax.numpy as jnp
 
     from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
     from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.train.experiments import (
         OffsetExperiment,
-        synthetic_offset_batch,
+        synthetic_cached_batch,
     )
 
     cfg = TrackerConfig(train=TrainConfig(batch_size=B, sequence_length=L))
@@ -271,19 +270,8 @@ def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
     )
     params, opt_state = exp.init(jax.random.PRNGKey(1))
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
-    rng = np.random.RandomState(0)
-    raw = synthetic_offset_batch(cfg, rng)
     n = B * L
-    batch = {
-        "features": jnp.asarray(
-            (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
-                np.float16
-            )
-        ),
-        "gts": jnp.asarray(raw["gts"]),
-        "y_offsets": jnp.asarray(raw["y_offsets"]),
-        "x_offsets": jnp.asarray(raw["x_offsets"]),
-    }
+    batch = synthetic_cached_batch(cfg, np.random.RandomState(0))
     p, o, m = step(params, opt_state, batch)  # compile
     float(m["loss"])
     t0 = time.perf_counter()

@@ -509,7 +509,8 @@ def _load_converted_npz(args, cfg, template_params):
             raise SystemExit("--dnc_npz serves the DNC core; pass --core dnc")
         from ntm_tracker_tpu.tools.convert_dnc_ckpt import load_params_npz
         loaded = load_params_npz(dnc_npz)
-    validate_params_like(loaded, template_params)
+    validate_params_like(loaded, template_params,
+                         flag="--ntm_npz" if ntm_npz else "--dnc_npz")
     return loaded
 
 
@@ -810,6 +811,16 @@ def cmd_sanity_check(args) -> int:
                 f"[{cfg.feature_depth},{args.compress_dim}] compressor — "
                 f"was it trained with train-heatmap --compress_dim "
                 f"{args.compress_dim}? ({e})"
+            )
+        # the partial restore extracts by key only — a checkpoint trained
+        # with a different --compress_dim restores fine, so pin the shape
+        want = (cfg.feature_depth, args.compress_dim)
+        if tuple(np.shape(w)) != want:
+            raise SystemExit(
+                f"--compressor_ckpt compressor shape "
+                f"{tuple(np.shape(w))} != {want} — it was trained with "
+                f"train-heatmap --compress_dim {np.shape(w)[-1]}, not "
+                f"{args.compress_dim}"
             )
         sim = sanity_check_similarity(feats, gts, compressor_w=w)
         name = "sanity_check_trained"

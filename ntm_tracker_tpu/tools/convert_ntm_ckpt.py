@@ -185,10 +185,12 @@ def convert_checkpoint(ckpt_path: str, cfg: NTMConfig, verbose: bool = True):
     return convert_ntm_variables(variables, cfg, verbose=verbose)
 
 
-def validate_params_like(params: Dict[str, Any], template: Dict[str, Any]) -> None:
+def validate_params_like(params: Dict[str, Any], template: Dict[str, Any],
+                         flag: str = "--ntm_npz") -> None:
     """Loaded params must match the model's template pytree structurally
     and shape-for-shape — fail fast with a named message instead of an
-    opaque jax shape error deep in the cell (used by --ntm_npz loads)."""
+    opaque jax shape error deep in the cell (used by --ntm_npz and
+    --dnc_npz loads; `flag` names the offending option in errors)."""
     import jax
 
     p_paths = {
@@ -203,14 +205,14 @@ def validate_params_like(params: Dict[str, Any], template: Dict[str, Any]) -> No
     extra = sorted(set(p_paths) - set(t_paths))
     if missing or extra:
         raise ValueError(
-            f"--ntm_npz params do not match the model config: "
+            f"{flag} params do not match the model config: "
             f"missing {missing or 'none'}, unexpected {extra or 'none'} "
             f"(check the model flags match the converted checkpoint's)"
         )
     for k in t_paths:
         if p_paths[k] != t_paths[k]:
             raise ValueError(
-                f"--ntm_npz {k}: shape {p_paths[k]} != model config "
+                f"{flag} {k}: shape {p_paths[k]} != model config "
                 f"{t_paths[k]} (check mem_size/mem_dim/hidden_size/"
                 f"read_head_size/... match the converted checkpoint's)"
             )

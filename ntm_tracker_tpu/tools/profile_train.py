@@ -66,32 +66,18 @@ def measure_step(cfg, iters: int = 8, forward_only: bool = False,
                  trace_dir: str | None = None) -> float:
     """Compile + time the cached-token train step for a config. Returns ms."""
     import jax
-    import jax.numpy as jnp
 
     from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.train.experiments import (
         OffsetExperiment,
-        synthetic_offset_batch,
+        synthetic_cached_batch,
     )
 
-    B, L = cfg.train.batch_size, cfg.train.sequence_length
     exp = OffsetExperiment(
         cfg, init_vgg_params(jax.random.PRNGKey(0)), image_mode="cropped"
     )
     params, opt_state = exp.init(jax.random.PRNGKey(1))
-    rng = np.random.RandomState(0)
-    raw = synthetic_offset_batch(cfg, rng)
-    n = B * L
-    batch = {
-        "features": jnp.asarray(
-            (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
-                np.float16
-            )
-        ),
-        "gts": jnp.asarray(raw["gts"]),
-        "y_offsets": jnp.asarray(raw["y_offsets"]),
-        "x_offsets": jnp.asarray(raw["x_offsets"]),
-    }
+    batch = synthetic_cached_batch(cfg, np.random.RandomState(0))
     if forward_only:
         loss_fn = jax.jit(lambda p, b: exp.loss_fn(p, b)[0])
         loss = loss_fn(params, batch)

@@ -31,60 +31,15 @@ def _log(msg: str) -> None:
     print(f"track_artifact: {msg}", file=sys.stderr, flush=True)
 
 
-def demo_config(core: str, crop_size: int = 64):
-    """The demo's small flagship-shaped config, for either core."""
-    import jax.numpy as jnp
-
-    from ntm_tracker_tpu.config import (
-        DataConfig,
-        DNCConfig,
-        NTMConfig,
-        TrackerConfig,
-        TrainConfig,
-    )
-
-    g = crop_size // 8
-    return TrackerConfig(
-        core=core,
-        compute_dtype=jnp.float32,
-        ntm=NTMConfig(mem_size=64, mem_dim=12, controller_hidden_size=100,
-                      read_head_size=4),
-        dnc=DNCConfig(output_dim=2, memory_size=64, word_size=12,
-                      num_reads=4, num_writes=1, hidden_size=100),
-        data=DataConfig(crop_size=crop_size, gt_width=g),
-        train=TrainConfig(batch_size=4, sequence_length=8,
-                          learning_rate=1e-4),
-        num_features=g * g,
-        feature_points=tuple((y, x) for y in range(g) for x in range(g)),
-    )
-
-
 def eval_iou(cfg, vgg, params, seed: int, frames_n: int = 40):
-    """Mean streaming-tracker IoU over a held-out synthetic clip (the
-    demo's evaluation, tracking/demo.py)."""
+    """Mean streaming-tracker IoU over a held-out synthetic clip — the
+    demo's exact evaluation protocol (tracking/demo.py:eval_streaming_iou,
+    shared so the artifact cannot diverge from the demo numbers)."""
     import numpy as np
 
-    from ntm_tracker_tpu.data.geometry import bb_iou
-    from ntm_tracker_tpu.data.synthetic import make_video
-    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+    from ntm_tracker_tpu.tracking.demo import eval_streaming_iou
 
-    frames, boxes = make_video(np.random.RandomState(seed + 1000), frames_n)
-    H, W = frames.shape[1:3]
-    tracker = StreamingTracker(cfg, vgg, params)
-    b0 = boxes[0]
-    tracker.init(
-        frames[0],
-        (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H),
-    )
-    ious = []
-    for t in range(1, frames_n):
-        x, y, w, h = tracker.track(frames[t])
-        gt = boxes[t]
-        ious.append(bb_iou(
-            (x, y, x + w, y + h),
-            (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
-        ))
-    return float(np.mean(ious))
+    return float(np.mean(eval_streaming_iou(cfg, vgg, params, seed, frames_n)))
 
 
 def serve_precision_drift(cfg, core, vgg, params, seed: int,
@@ -132,10 +87,10 @@ def run_core(core: str, train_steps: int, seed: int = 0) -> dict:
 
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.models.vgg import init_vgg_params
-    from ntm_tracker_tpu.tracking.demo import training_batch
+    from ntm_tracker_tpu.tracking.demo import demo_config, training_batch
     from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
-    cfg = demo_config(core)
+    cfg = demo_config(core=core)
     rng = np.random.RandomState(seed)
     vgg = init_vgg_params(jax.random.PRNGKey(0))
     mcore = make_core(cfg)

@@ -49,13 +49,16 @@ def _crop_jit(size: int):
 from ntm_tracker_tpu.data.synthetic import make_video  # noqa: E402,F401
 
 
-def demo_config(crop_size: int = 64):
+def demo_config(crop_size: int = 64, core: str = "ntm"):
     """A small flagship-shaped config: crop 64 -> conv4_3 is exactly the
-    8x8 token grid (all 64 points), gt 8x8, NTM 64x12."""
+    8x8 token grid (all 64 points), gt 8x8, NTM 64x12 (or the DNC twin).
+    Shared with tools/track_artifact.py so the committed TRACK_r0N
+    accuracy numbers measure exactly the demo's setup."""
     import jax.numpy as jnp
 
     from ntm_tracker_tpu.config import (
         DataConfig,
+        DNCConfig,
         NTMConfig,
         TrackerConfig,
         TrainConfig,
@@ -63,16 +66,49 @@ def demo_config(crop_size: int = 64):
 
     g = crop_size // 8  # conv4_3 stride is 8
     return TrackerConfig(
-        core="ntm",
+        core=core,
         compute_dtype=jnp.float32,
         ntm=NTMConfig(mem_size=64, mem_dim=12, controller_hidden_size=100,
                       read_head_size=4),
+        dnc=DNCConfig(output_dim=2, memory_size=64, word_size=12,
+                      num_reads=4, num_writes=1, hidden_size=100),
         data=DataConfig(crop_size=crop_size, gt_width=g),
         train=TrainConfig(batch_size=4, sequence_length=8,
                           learning_rate=1e-4),
         num_features=g * g,
         feature_points=tuple((y, x) for y in range(g) for x in range(g)),
     )
+
+
+def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
+                       core=None, print_every: int = 0):
+    """Held-out synthetic clip through the REAL streaming tracker
+    (per-frame recrop); returns the list of per-frame IoUs. The single
+    evaluation protocol behind both `demo` and the TRACK_r0N artifact."""
+    from ntm_tracker_tpu.data.geometry import bb_iou
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+    frames, boxes = make_video(np.random.RandomState(seed + 1000), frames_n)
+    H, W = frames.shape[1:3]
+    tracker = StreamingTracker(cfg, vgg, params, *(
+        (core,) if core is not None else ()
+    ))
+    b0 = boxes[0]
+    tracker.init(
+        frames[0],
+        (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H),
+    )
+    ious = []
+    for t in range(1, frames_n):
+        x, y, w, h = tracker.track(frames[t])
+        gt = boxes[t]
+        ious.append(bb_iou(
+            (x, y, x + w, y + h),
+            (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
+        ))
+        if print_every and t % print_every == 0:
+            print(f"frame {t}: IoU {ious[-1]:.3f}")
+    return ious
 
 
 def training_batch(cfg, rng: np.random.RandomState):
@@ -133,9 +169,7 @@ def main() -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from ntm_tracker_tpu.data.geometry import bb_iou
     from ntm_tracker_tpu.models.vgg import init_vgg_params
-    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
     from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
     cfg = demo_config(args.crop_size)
@@ -157,25 +191,8 @@ def main() -> int:
             print(f"train step {i}: loss {float(m['loss']):.4f}")
 
     # held-out clip through the real streaming tracker (per-frame recrop)
-    frames, boxes = make_video(np.random.RandomState(args.seed + 1000),
-                               args.eval_frames)
-    H, W = frames.shape[1:3]
-    tracker = StreamingTracker(cfg, vgg, params)
-    b0 = boxes[0]
-    tracker.init(
-        frames[0],
-        (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H),
-    )
-    ious = []
-    for t in range(1, args.eval_frames):
-        x, y, w, h = tracker.track(frames[t])
-        gt = boxes[t]
-        ious.append(bb_iou(
-            (x, y, x + w, y + h),
-            (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
-        ))
-        if t % 10 == 0:
-            print(f"frame {t}: IoU {ious[-1]:.3f}")
+    ious = eval_streaming_iou(cfg, vgg, params, args.seed, args.eval_frames,
+                              print_every=10)
     print(f"mean IoU over {len(ious)} tracked frames: {np.mean(ious):.3f}"
           f" ({'trained ' + str(args.train_steps) + ' steps' if args.train_steps else 'untrained'})")
     return 0

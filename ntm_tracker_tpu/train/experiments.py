@@ -249,6 +249,31 @@ def synthetic_offset_batch(
     }
 
 
+def synthetic_cached_batch(
+    cfg: TrackerConfig, rng: np.random.RandomState
+) -> Dict[str, Any]:
+    """A fabricated PRE-TOKENIZED batch with the feature-cache layout
+    (train-offsets --feature_cache): float16 conv4_3-scale tokens instead
+    of images. The single definition shared by benchmarks.py's headline
+    cached-train measurement and tools/profile_train.py's attribution
+    sweep — the two must measure the identical workload."""
+    import jax.numpy as jnp
+
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    raw = synthetic_offset_batch(cfg, rng)
+    n = B * L
+    return {
+        "features": jnp.asarray(
+            (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
+                np.float16
+            )
+        ),
+        "gts": jnp.asarray(raw["gts"]),
+        "y_offsets": jnp.asarray(raw["y_offsets"]),
+        "x_offsets": jnp.asarray(raw["x_offsets"]),
+    }
+
+
 @dataclasses.dataclass
 class HeatmapExperiment(OffsetExperiment):
     """Heatmap-output variants: the NTM emits per-location logits and the

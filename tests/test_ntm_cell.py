@@ -146,7 +146,6 @@ class TestDnLayout:
     perf transformation: same math as ntm_cell_step up to float
     reassociation."""
 
-    import dataclasses as _dc
     import pytest as _pytest
 
     @_pytest.mark.parametrize(
@@ -195,8 +194,6 @@ class TestDnLayout:
             )
             return jnp.mean(logits ** 2) + jnp.mean(final["M"] ** 2)
 
-        for layout in ("nd", "dn"):
-            pass
         (l_nd, g_nd) = jax.value_and_grad(lambda p: loss(p, "nd"))(params)
         (l_dn, g_dn) = jax.value_and_grad(lambda p: loss(p, "dn"))(params)
         np.testing.assert_allclose(float(l_nd), float(l_dn), rtol=1e-6)

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import zlib
 import pytest
 
 from ntm_tracker_tpu.config import NTMConfig
@@ -86,7 +87,7 @@ def _loss(unroll, cot):
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_fused_bptt_matches_jax_grad(name):
     cfg = CONFIGS[name]
-    params, state, tokens, cot = _setup(cfg, seed=hash(name) % 1000)
+    params, state, tokens, cot = _setup(cfg, seed=zlib.crc32(name.encode()) % 1000)
 
     loss_ref = _loss(lambda p, t, s: _jnp_unroll(p, cfg, t, s), cot)
     loss_fused = _loss(

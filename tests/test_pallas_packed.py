@@ -5,6 +5,7 @@ the packed BPTT pair, interpret mode on CPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import zlib
 import pytest
 
 from ntm_tracker_tpu.config import NTMConfig
@@ -50,7 +51,7 @@ def _jnp_unroll(params, cfg, tokens, state):
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_packed_forward_matches_jnp(name):
     cfg = CONFIGS[name]
-    rs = np.random.RandomState(hash(name) % 1000)
+    rs = np.random.RandomState(zlib.crc32(name.encode()) % 1000)
     params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
     params = jax.tree.map(
         lambda a: jnp.asarray(
@@ -119,7 +120,7 @@ def _loss(unroll, cot):
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_packed_bptt_matches_jax_grad(name):
     cfg = CONFIGS[name]
-    params, state, tokens, cot = _setup(cfg, seed=hash(name) % 1000)
+    params, state, tokens, cot = _setup(cfg, seed=zlib.crc32(name.encode()) % 1000)
 
     loss_ref = _loss(lambda p, t, s: _jnp_unroll(p, cfg, t, s), cot)
     loss_packed = _loss(
