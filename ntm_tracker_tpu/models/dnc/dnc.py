@@ -108,11 +108,22 @@ def dnc_unroll(
     state: Optional[DNCState] = None,
     remat: bool = True,
     time_major: bool = False,
+    remat_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, DNCState]:
     """Scan the DNC over a sequence.
 
     The reference wraps the core in tf.nn.dynamic_rnn(time_major=True)
     (dnc/train.py:69-91, direct_offset_output_with_dnc.py:66-88).
+
+    Even with the per-step jax.checkpoint, a scan's backward saves every
+    step's CARRY — and the DNC carry is dominated by the [B, W, N, N]
+    temporal link matrix (8.4 MB at B=256/N=128: 21.8 GB over a 1300-step
+    sequence, past v5e HBM). remat_chunk=C nests the scan so only every
+    C-th boundary carry persists and the backward replays one chunk at a
+    time (T/C boundary saves + C transient saves). Gradients are exact —
+    same math, different save schedule. Default None picks C=65 (the
+    serialized frame length) automatically once the saved carry stream
+    would exceed ~2 GB; 0 forces plain per-step saving.
 
     Args:
       inputs: [B, T, D] (or [T, B, D] if time_major).
@@ -120,8 +131,13 @@ def dnc_unroll(
       (outputs in the same layout, final state)
     """
     xs = inputs if time_major else jnp.swapaxes(inputs, 0, 1)
+    T = xs.shape[0]
     if state is None:
         state = init_dnc_state(cfg, xs.shape[1])
+
+    if remat_chunk is None:
+        link_bytes = 4 * xs.shape[1] * cfg.num_writes * cfg.memory_size ** 2
+        remat_chunk = 65 if (remat and T * link_bytes > (2 << 30)) else 0
 
     def body(carry, x_t):
         out, new_state = dnc_step(params, cfg, x_t, carry)
@@ -129,7 +145,24 @@ def dnc_unroll(
 
     if remat:
         body = jax.checkpoint(body)
-    final_state, outputs = jax.lax.scan(body, state, xs)
+    if remat and remat_chunk and T >= remat_chunk:
+        C = remat_chunk
+        n_chunks, tail_n = divmod(T, C)
+
+        @jax.checkpoint
+        def chunk_body(carry, x_chunk):
+            return jax.lax.scan(body, carry, x_chunk)
+
+        main = xs[: n_chunks * C].reshape(n_chunks, C, *xs.shape[1:])
+        final_state, outputs = jax.lax.scan(chunk_body, state, main)
+        outputs = outputs.reshape(n_chunks * C, *outputs.shape[2:])
+        if tail_n:
+            final_state, tail_out = jax.lax.scan(
+                body, final_state, xs[n_chunks * C :]
+            )
+            outputs = jnp.concatenate([outputs, tail_out], axis=0)
+    else:
+        final_state, outputs = jax.lax.scan(body, state, xs)
     if not time_major:
         outputs = jnp.swapaxes(outputs, 0, 1)
     return outputs, final_state

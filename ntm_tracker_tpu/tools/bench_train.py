@@ -7,6 +7,7 @@ batch either as decoded crops (the reference's every-step-VGG structure)
 or as precomputed tokens (train-offsets --feature_cache).
 
 Usage: python -m ntm_tracker_tpu.tools.bench_train [--batch 32] [--bf16]
+       [--core dnc]   (measure the DNC-core twin of the same pipeline)
 Prints one JSON line per mode.
 """
 
@@ -26,6 +27,7 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--modes", default="images,tokens")
+    ap.add_argument("--core", default="ntm", choices=("ntm", "dnc"))
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -39,10 +41,12 @@ def main() -> int:
     from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.train.experiments import (
         OffsetExperiment,
+        synthetic_cached_batch,
         synthetic_offset_batch,
     )
 
     cfg = TrackerConfig(
+        core=args.core,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         train=TrainConfig(batch_size=args.batch, sequence_length=args.seq_len),
     )
@@ -63,13 +67,7 @@ def main() -> int:
     if "images" in modes:
         batches["images"] = {k: jnp.asarray(v) for k, v in raw.items()}
     if "tokens" in modes:
-        feats = rng.rand(n, cfg.num_features, cfg.feature_depth)
-        batches["tokens"] = {
-            "features": jnp.asarray((feats * 40).astype(np.float16)),
-            "gts": jnp.asarray(raw["gts"]),
-            "y_offsets": jnp.asarray(raw["y_offsets"]),
-            "x_offsets": jnp.asarray(raw["x_offsets"]),
-        }
+        batches["tokens"] = synthetic_cached_batch(cfg, rng)
 
     for mode, batch in batches.items():
         # fresh copies per mode: the step donates its params/opt_state
@@ -92,6 +90,7 @@ def main() -> int:
             "batch": args.batch,
             "seq_len": args.seq_len,
             "compute_dtype": "bfloat16" if args.bf16 else "float32",
+            "core": args.core,
             "platform": jax.devices()[0].platform,
         }))
     return 0

@@ -157,3 +157,30 @@ class TestDNCCore:
         np.testing.assert_allclose(
             np.asarray(o1), np.asarray(jnp.swapaxes(o2, 0, 1)), rtol=1e-5
         )
+
+    def test_chunked_remat_grads_match_per_step(self):
+        """remat_chunk only changes the carry SAVE schedule (boundary saves
+        + per-chunk replay) — values and every gradient leaf must match the
+        per-step path, including a chunk-tail remainder (T=11, C=4)."""
+        params = init_dnc_params(jax.random.PRNGKey(17), CFG, INPUT)
+        x = jax.random.normal(jax.random.PRNGKey(18), (BATCH, 11, INPUT))
+
+        def loss(p, chunk):
+            outs, final = dnc_unroll(p, CFG, x, remat_chunk=chunk)
+            return (
+                jnp.mean(outs ** 2)
+                + jnp.mean(final.access_state.memory ** 2)
+                + jnp.mean(final.access_state.linkage.link ** 2)
+            )
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(p, 0))(params)
+        v4, g4 = jax.value_and_grad(lambda p: loss(p, 4))(params)
+        np.testing.assert_allclose(float(v0), float(v4), rtol=1e-6)
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(g0)[0],
+            jax.tree_util.tree_leaves(g4),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
