@@ -118,14 +118,19 @@ def main():
         for _ in range(warmup):
             offsets, state = step_rest(crops, state)
         np.asarray(offsets)  # value fetch = hard sync (see below)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            offsets, state = step_rest(crops, state)
-        # fetch a value rather than block_until_ready: on the tunneled dev
-        # backend block_until_ready has been observed to return before the
-        # enqueued chain finishes, inflating throughput
-        np.asarray(offsets)
-        dt = time.perf_counter() - t0
+        # best of 3 passes: a single pass is hostage to one bad window on
+        # the tunneled link (observed 2.5x swings between identical runs)
+        best_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                offsets, state = step_rest(crops, state)
+            # fetch a value rather than block_until_ready: on the tunneled
+            # dev backend block_until_ready has been observed to return
+            # before the enqueued chain finishes, inflating throughput
+            np.asarray(offsets)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        dt = best_dt
         return B * iters / dt, dt / iters
 
     # throughput at large batch (many concurrent tracks per chip),
@@ -162,11 +167,13 @@ def main():
         # round-trip includes the host<->device link (tunnel-dominated on a
         # dev chip); the steady-state number is the pipelined device time
         lat_ms = float(np.percentile(lats, 50) * 1e3)
-        t0 = time.perf_counter()
-        for _ in range(50):
-            offsets, state = step_rest(crop1, state)
-        np.asarray(offsets)
-        device_ms = (time.perf_counter() - t0) / 50 * 1e3
+        device_ms = float("inf")
+        for _ in range(3):  # best of 3 (same tunnel-variance rationale)
+            t0 = time.perf_counter()
+            for _ in range(50):
+                offsets, state = step_rest(crop1, state)
+            np.asarray(offsets)
+            device_ms = min(device_ms, (time.perf_counter() - t0) / 50 * 1e3)
 
     # secondary metric: training throughput from the feature cache
     # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)
