@@ -6,8 +6,8 @@ IoU — the machine-readable counterpart of PARITY.md's prose accuracy
 numbers, emitted every round the way bench.py emits BENCH_r0N.json, so
 accuracy regressions are driver-visible.
 
-Also records the round-5 serving-precision probe (VERDICT r2 weak #6):
-with the TRAINED NTM tracker at the backend's DEFAULT matmul precision
+Also records the serving-precision probe (VERDICT r2 weak #6), per core:
+with the TRAINED tracker at the backend's DEFAULT matmul precision
 (bf16 on TPU — the configuration users actually serve), the host-geometry
 streaming loop and the fully device-resident loop must stay on the same
 trajectory; `serve_precision_max_px_drift` is the worst per-frame region
@@ -31,7 +31,7 @@ def _log(msg: str) -> None:
     print(f"track_artifact: {msg}", file=sys.stderr, flush=True)
 
 
-def eval_iou(cfg, vgg, params, seed: int, frames_n: int = 40):
+def eval_iou(cfg, vgg, params, seed: int, frames_n: int):
     """Mean streaming-tracker IoU over a held-out synthetic clip — the
     demo's exact evaluation protocol (tracking/demo.py:eval_streaming_iou,
     shared so the artifact cannot diverge from the demo numbers)."""
@@ -81,7 +81,8 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
     return drift
 
 
-def run_core(core: str, train_steps: int, seed: int = 0) -> dict:
+def run_core(core: str, train_steps: int, seed: int = 0,
+             eval_frames: int = 40, drift_frames: int = 12) -> dict:
     import jax
     import numpy as np
 
@@ -97,7 +98,7 @@ def run_core(core: str, train_steps: int, seed: int = 0) -> dict:
     exp = OffsetExperiment(cfg, vgg, core=mcore, image_mode="cropped")
     params, opt_state = exp.init(jax.random.PRNGKey(1))
 
-    untrained = eval_iou(cfg, vgg, params, seed)
+    untrained = eval_iou(cfg, vgg, params, seed, eval_frames)
     _log(f"{core}: untrained IoU {untrained:.3f}")
 
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
@@ -109,7 +110,7 @@ def run_core(core: str, train_steps: int, seed: int = 0) -> dict:
             _log(f"{core}: step {i} loss {float(m['loss']):.4f}")
     train_s = time.perf_counter() - t0
 
-    trained = eval_iou(cfg, vgg, params, seed)
+    trained = eval_iou(cfg, vgg, params, seed, eval_frames)
     _log(f"{core}: trained IoU {trained:.3f} ({train_steps} steps, "
          f"{train_s:.0f}s)")
     out = {
@@ -119,15 +120,16 @@ def run_core(core: str, train_steps: int, seed: int = 0) -> dict:
         "trained_iou": round(trained, 4),
         "train_seconds": round(train_s, 1),
     }
-    if core == "ntm":
-        drift = serve_precision_drift(cfg, mcore, vgg, params, seed)
-        out["serve_precision_max_px_drift"] = round(drift, 4)
-        _log(f"ntm: serving-precision drift {drift:.4f} px "
-             f"(host-loop vs device-loop, default matmul precision)")
+    drift = serve_precision_drift(cfg, mcore, vgg, params, seed,
+                                  frames_n=drift_frames)
+    out["serve_precision_max_px_drift"] = round(drift, 4)
+    _log(f"{core}: serving-precision drift {drift:.4f} px "
+         f"(host-loop vs device-loop, default matmul precision)")
     return out
 
 
-def write_artifact(out_path: str, train_steps: int = 400) -> dict:
+def write_artifact(out_path: str, train_steps: int = 400,
+                   eval_frames: int = 40, drift_frames: int = 12) -> dict:
     import jax
 
     artifact = {
@@ -145,7 +147,10 @@ def write_artifact(out_path: str, train_steps: int = 400) -> dict:
     for core in ("ntm", "dnc"):
         # dump incrementally so a driver-side timeout still leaves the
         # finished cores on disk
-        artifact["cores"].append(run_core(core, train_steps))
+        artifact["cores"].append(
+            run_core(core, train_steps,
+                     eval_frames=eval_frames, drift_frames=drift_frames)
+        )
         dump()
     _log(f"wrote {out_path}")
     return artifact
@@ -155,13 +160,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="TRACK.json")
     ap.add_argument("--train_steps", type=int, default=400)
+    ap.add_argument("--eval_frames", type=int, default=40)
+    ap.add_argument("--drift_frames", type=int, default=12)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    write_artifact(args.out, args.train_steps)
+    write_artifact(args.out, args.train_steps,
+                   eval_frames=args.eval_frames,
+                   drift_frames=args.drift_frames)
     return 0
 
 
