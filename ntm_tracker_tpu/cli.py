@@ -138,7 +138,11 @@ def _load_vgg(args):
         import torch
 
         return vgg.load_params_torch(torch.load(path, map_location="cpu"))
-    print("WARNING: no --vgg_weights given; using random VGG init")
+    import sys
+
+    # stderr: track-vot's trax mode owns stdout for the wire protocol
+    print("WARNING: no --vgg_weights given; using random VGG init",
+          file=sys.stderr)
     return vgg.init_vgg_params(jax.random.PRNGKey(0))
 
 
@@ -538,7 +542,9 @@ def cmd_track_vot(args) -> int:
         )
         params = restored["params"]
 
-    handle = vot.VOT("rectangle", workdir=args.workdir)
+    vot_mode = getattr(args, "vot_mode", "auto")
+    handle = vot.VOT("rectangle", workdir=args.workdir, mode=vot_mode)
+    trax_wire = hasattr(handle, "_trax_native") or hasattr(handle, "_trax")
     selection = handle.region()
     imagefile = handle.frame()
     if not imagefile:
@@ -559,7 +565,10 @@ def cmd_track_vot(args) -> int:
         handle.report(vot.Rectangle(x, y, w, h))
         count += 1
     handle.quit()
-    print(f"tracked {count} frames")
+    # in trax mode stdout carries the protocol — keep chatter off it
+    import sys as _sys
+    print(f"tracked {count} frames",
+          file=_sys.stderr if trax_wire else _sys.stdout)
     return 0
 
 
@@ -1202,6 +1211,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--delimiter_first", action="store_true",
                    help="use the reference's streaming token order "
                    "(delimiter prepended; train/inference mismatch)")
+    v.add_argument("--vot_mode", choices=["auto", "file", "trax", "trax-lib"],
+                   default="auto",
+                   help="protocol: file (images.txt/region.txt in "
+                   "--workdir), trax (native TraX wire protocol over "
+                   "stdin/stdout, no deps), trax-lib (the optional trax "
+                   "package); auto = trax-lib if importable else file")
     v.set_defaults(fn=cmd_track_vot)
 
     wf = sub.add_parser(

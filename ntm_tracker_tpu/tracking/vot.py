@@ -1,9 +1,16 @@
-"""VOT challenge protocol adapter (file mode; trax server optional).
+"""VOT challenge protocol adapter (file mode, native TraX, trax package).
 
 Python-3 re-expression of the reference vot.py: region parse/encode
 (:27-41), rectangle/polygon conversion (:43-80), and the VOT handle (:82-173)
-that either speaks to a trax server (if the `trax` package is installed) or
-falls back to the images.txt / region.txt / output.txt file protocol.
+that either speaks the TraX protocol or falls back to the
+images.txt / region.txt / output.txt file protocol.
+
+Beyond the reference: TraX server mode no longer requires the optional
+`trax` package — `mode="trax"` speaks the wire protocol natively over
+stdin/stdout (tracking/trax_protocol.py), so the VOT toolkit can drive this
+tracker with zero extra dependencies. The trax-package branch is kept for
+parity with the reference (`mode="trax-lib"`, auto-selected when the
+package is importable).
 """
 
 from __future__ import annotations
@@ -74,12 +81,41 @@ def convert_region(region: Region, to: str) -> Optional[Region]:
 
 
 class VOT:
-    """VOT integration handle (reference vot.py:82-173)."""
+    """VOT integration handle (reference vot.py:82-173).
 
-    def __init__(self, region_format: str, workdir: str = "."):
+    mode:
+      "auto"     — trax-lib when the `trax` package is importable (the
+                   reference's detection rule), else file mode
+      "trax"     — native TraX wire protocol over stdin/stdout (or the
+                   injected `trax_streams=(fin, fout)`), no dependencies
+      "trax-lib" — the optional `trax` package (reference branch)
+      "file"     — images.txt / region.txt / output.txt in `workdir`
+    """
+
+    def __init__(self, region_format: str, workdir: str = ".",
+                 mode: str = "auto", trax_streams=None):
         assert region_format in ("rectangle", "polygon")
+        assert mode in ("auto", "trax", "trax-lib", "file")
         self._workdir = workdir
-        if TRAX:  # pragma: no cover - requires trax server
+        if mode == "auto":
+            mode = "trax-lib" if TRAX else "file"
+        if mode == "trax-lib" and not TRAX:
+            raise RuntimeError("mode='trax-lib' needs the trax package; "
+                               "use mode='trax' for the native protocol")
+        if mode == "trax":
+            from ntm_tracker_tpu.tracking.trax_protocol import TraxServer
+
+            fin, fout = trax_streams or (None, None)
+            self._trax_native = TraxServer(region_format, fin, fout)
+            request = self._trax_native.wait()
+            if request.type != "initialize":
+                raise RuntimeError(
+                    f"expected initialize, got {request.type!r}")
+            self._region = convert_region(
+                parse_region(request.region), region_format)
+            self._image = request.image
+            self._trax_native.status(encode_region(self._region))
+        elif mode == "trax-lib":  # pragma: no cover - requires trax server
             options = trax.server.ServerOptions(region_format, trax.image.PATH)
             self._trax = trax.server.Server(options)
             request = self._trax.wait()
@@ -103,7 +139,9 @@ class VOT:
         return self._region
 
     def report(self, region: Region) -> None:
-        if TRAX:  # pragma: no cover
+        if hasattr(self, "_trax_native"):
+            self._trax_native.status(encode_region(region))
+        elif hasattr(self, "_trax"):  # pragma: no cover
             if isinstance(region, Polygon):
                 tregion = trax.region.Polygon([(p.x, p.y) for p in region.points])
             else:
@@ -116,7 +154,16 @@ class VOT:
             self._frame += 1
 
     def frame(self) -> Optional[str]:
-        if TRAX:  # pragma: no cover
+        if hasattr(self, "_trax_native"):
+            if getattr(self, "_image", None) is not None:
+                image = self._image
+                self._image = None
+                return image
+            request = self._trax_native.wait()
+            if request.type == "frame":
+                return request.image
+            return None
+        if hasattr(self, "_trax"):  # pragma: no cover
             if hasattr(self, "_image"):
                 image = self._image
                 del self._image
@@ -136,7 +183,9 @@ class VOT:
         return path
 
     def quit(self) -> None:
-        if hasattr(self, "_trax"):  # pragma: no cover
+        if hasattr(self, "_trax_native"):
+            self._trax_native.quit()
+        elif hasattr(self, "_trax"):  # pragma: no cover
             self._trax.quit()
         elif hasattr(self, "_result"):
             with open(os.path.join(self._workdir, "output.txt"), "w") as f:
