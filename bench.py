@@ -20,14 +20,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ntm_tracker_tpu.benchmarks import main
 
+
+def _wait_for_backend(deadline: float) -> None:
+    """Block until jax can initialize its backend, probing in a THROWAWAY
+    child each attempt. The tunneled dev chip drops out for stretches
+    (observed: init raising UNAVAILABLE, and also init HANGING >15 min),
+    and jax caches a failed init in-process — so the parent must not touch
+    jax until a fresh child has proven the backend up. Losing the round's
+    benchmark record to a bad window is worse than waiting it out."""
+    import subprocess
+    import time
+
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                print(f"bench: backend up after {attempt} probes",
+                      file=sys.stderr)
+            return
+        if time.time() >= deadline:
+            # fall through; main() will surface the real error
+            print("bench: backend never became available within the retry "
+                  "budget", file=sys.stderr)
+            return
+        print(f"bench: backend unavailable (probe {attempt}); retrying in "
+              "60s", file=sys.stderr)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    import time
+    import traceback
+
+    _wait_for_backend(time.time() + 15 * 60)
     try:
         main()
     except Exception:
-        # tunneled dev TPUs occasionally drop a remote compile; one retry
-        # rescues the round's benchmark record
-        import traceback
-
+        # one retry rescues transient drops (remote compile hiccups etc.)
         traceback.print_exc()
         print("bench: retrying once after transient failure", file=sys.stderr)
         main()

@@ -955,6 +955,50 @@ def cmd_convert_dnc(args) -> int:
     return 0
 
 
+def cmd_export_serving(args) -> int:
+    """AOT-export the serving frame step to a standalone artifact
+    (tools/export_serving.py): weights baked in, pre-lowered StableHLO —
+    a fresh serving process needs neither this package's model code nor a
+    compile. Accepts the same weight sources as track-vot."""
+    import jax
+
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tools.export_serving import (
+        export_serving,
+        save_serving,
+    )
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    cfg = _tracker_config(args, args.core)
+    vgg_params = _load_vgg(args)
+    core = make_core(cfg)
+    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
+    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
+        params = _load_converted_npz(args, cfg, params)
+    elif args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}, partial=True
+        )
+        params = restored["params"]
+
+    platforms = [s for s in args.platforms.split(",") if s] or None
+    artifact = export_serving(
+        cfg, core, vgg_params, params, batch=args.batch,
+        delimiter_first=getattr(args, "delimiter_first", False),
+        platforms=platforms,
+    )
+    save_serving(args.out, artifact)
+    import json as _json
+    import os as _os
+
+    meta = _json.loads(str(artifact["meta"]))
+    print(f"exported init/first/step for platforms {meta['platforms']} "
+          f"(batch {meta['batch']}, {meta['core']} core) -> {args.out} "
+          f"({_os.path.getsize(args.out) / 1e6:.1f} MB)")
+    print("serve with: StreamingTracker.from_serving(ServingModel(path))")
+    return 0
+
+
 def cmd_cache_features(args) -> int:
     """Precompute the frozen VGG tokens of every frame record (and
     optionally the flipped variant) so training can skip the VGG entirely
@@ -1348,6 +1392,33 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint prefix (model.ckpt-NNN)")
     cd.add_argument("--out", required=True, help="destination .npz")
     cd.set_defaults(fn=cmd_convert_dnc)
+
+    es = sub.add_parser(
+        "export-serving",
+        help="AOT-export the serving frame step (weights baked, pre-lowered "
+        "StableHLO) to one .npz artifact servable without model code or "
+        "compile; same weight sources as track-vot",
+    )
+    _add_model_flags(es)
+    _add_train_flags(es)
+    es.add_argument("--core", choices=["ntm", "dnc"], default="ntm")
+    es.add_argument("--vgg_weights", default="")
+    es.add_argument("--ntm_npz", default="",
+                    help="converted reference weights (convert-ntm output); "
+                    "overrides --ckpt_path")
+    es.add_argument("--dnc_npz", default="",
+                    help="converted reference DNC weights (requires "
+                    "--core dnc); overrides --ckpt_path")
+    es.add_argument("--delimiter_first", action="store_true",
+                    help="bake the reference's streaming token order in")
+    es.add_argument("--batch", type=int, default=1,
+                    help="batch baked into the artifact (1 = streaming "
+                    "tracker; >1 = fleet-style batches)")
+    es.add_argument("--platforms", default="",
+                    help="comma-separated lowering platforms (e.g. "
+                    "tpu,cpu); default = the current backend")
+    es.add_argument("--out", required=True, help="destination .npz")
+    es.set_defaults(fn=cmd_export_serving)
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=cmd_bench)

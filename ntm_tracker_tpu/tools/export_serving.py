@@ -1,0 +1,165 @@
+"""AOT-compiled serving artifact: export the whole-frame tracking step.
+
+Production serving wants neither a Python model definition nor a per-process
+retrace/compile (the tunneled-TPU first compile of the frame step is tens of
+seconds). `jax.export` lowers a jitted function to versioned StableHLO that
+a fresh process — with no access to this package's model code or weights —
+deserializes and runs. This tool packages the streaming tracker's THREE
+serving entry points into one `.npz`:
+
+  init   ()                          -> state leaves   (learnable init state)
+  first  (crops [B,S,S,3], gt [B,F]) -> (offsets [B,2], state leaves)
+  step   (crops [B,S,S,3], leaves)   -> (offsets [B,2], state leaves)
+
+Weights (VGG + cell + learnable initial state) are baked into the artifact
+as constants, so the artifact is the complete serving unit — the frame math
+is exactly tracking/tracker.py's build_frame_step (one device call per
+frame; test_tracker.py:284-299 did 65 sess.run round trips). State crosses
+the boundary as flat leaves to keep the artifact free of pytree
+registrations; the loader re-assembles nothing — callers thread the tuple.
+
+The fused single-stream Pallas kernel is disabled in the exported program
+(fused_inference=False): exported artifacts should be portable across
+lowering platforms, and the jnp scan is the reference-semantics path.
+
+Host-side bbox decode / recrop geometry stays host-side by design (cheap
+scalar math; see tracking/tracker.py) — drive the artifact with
+`StreamingTracker.from_serving(ServingModel(path))`, or from any StableHLO
+runtime. Crops fed to first/step are mean-subtracted, crop-and-resized RGB
+exactly as build_frame_step documents; from_serving handles that host side.
+
+Usage:
+  python -m ntm_tracker_tpu export-serving --out serving.npz \
+      [model flags] [--batch 1] [--platforms tpu,cpu] [--delimiter_first]
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+
+_FORMAT = "ntm-tracker-serving-v1"
+
+
+def export_serving(
+    cfg,
+    core,
+    vgg_params: Any,
+    params: Any,
+    batch: int = 1,
+    delimiter_first: bool = False,
+    platforms: Optional[Sequence[str]] = None,
+) -> dict:
+    """Export init/first/step as serialized StableHLO; returns the artifact
+    dict (np.savez-able)."""
+    import jax
+    from jax import export as jexport
+
+    from ntm_tracker_tpu.tracking.tracker import build_frame_step
+
+    cfg = _portable(cfg)
+    step_first, _ = build_frame_step(
+        cfg, core, vgg_params, params,
+        donate_state=False, delimiter_first=delimiter_first,
+    )
+    frame_fn = step_first.frame_fn
+
+    state0 = jax.eval_shape(lambda: core.init_state(params, batch))
+    leaves0, treedef = jax.tree_util.tree_flatten(state0)
+
+    def flat_init():
+        return tuple(jax.tree_util.tree_leaves(core.init_state(params, batch)))
+
+    def flat_first(crops, gt, *leaves):
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        offsets, new_state = frame_fn(crops, gt, state)
+        return (offsets, *jax.tree_util.tree_leaves(new_state))
+
+    def flat_step(crops, *leaves):
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        offsets, new_state = frame_fn(crops, None, state)
+        return (offsets, *jax.tree_util.tree_leaves(new_state))
+
+    S = cfg.data.crop_size
+    crops_spec = jax.ShapeDtypeStruct((batch, S, S, 3), np.float32)
+    gt_spec = jax.ShapeDtypeStruct((batch, cfg.num_features), np.float32)
+    leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves0]
+
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exp_init = jexport.export(jax.jit(flat_init), **kw)()
+    exp_first = jexport.export(jax.jit(flat_first), **kw)(
+        crops_spec, gt_spec, *leaf_specs)
+    exp_step = jexport.export(jax.jit(flat_step), **kw)(
+        crops_spec, *leaf_specs)
+
+    import dataclasses
+
+    meta = {
+        "format": _FORMAT,
+        "batch": batch,
+        "crop_size": S,
+        "num_features": cfg.num_features,
+        "core": cfg.core,
+        "data": dataclasses.asdict(cfg.data),  # host recrop geometry
+        "feature_points": (None if cfg.feature_points is None else
+                           [list(p) for p in cfg.feature_points]),
+        "delimiter_first": delimiter_first,
+        "platforms": list(exp_step.platforms),
+        "state_leaves": [
+            {"shape": list(l.shape), "dtype": str(np.dtype(l.dtype))}
+            for l in leaves0
+        ],
+        "jax_version": jax.__version__,
+    }
+    return {
+        "meta": np.asarray(json.dumps(meta)),
+        "init": np.frombuffer(bytes(exp_init.serialize()), np.uint8),
+        "first": np.frombuffer(bytes(exp_first.serialize()), np.uint8),
+        "step": np.frombuffer(bytes(exp_step.serialize()), np.uint8),
+    }
+
+
+def _portable(cfg):
+    """Exported programs must not depend on the trace-time backend: pin the
+    reference-semantics jnp scan (no Pallas kernel in the artifact)."""
+    import dataclasses
+
+    if cfg.fused_inference is False:
+        return cfg
+    return dataclasses.replace(cfg, fused_inference=False)
+
+
+def save_serving(path: str, artifact: dict) -> None:
+    np.savez(path, **artifact)
+
+
+class ServingModel:
+    """Load an exported artifact and serve it — no model code, no weights.
+
+    step/first return (offsets [B,2] np.ndarray, state leaves tuple).
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with np.load(path) as z:
+            self.meta = json.loads(str(z["meta"]))
+            if self.meta.get("format") != _FORMAT:
+                raise ValueError(f"not a serving artifact: {path}")
+            self._init = jexport.deserialize(z["init"].tobytes())
+            self._first = jexport.deserialize(z["first"].tobytes())
+            self._step = jexport.deserialize(z["step"].tobytes())
+
+    def init_state(self) -> Tuple:
+        return tuple(self._init.call())
+
+    def first(self, crops, gt, leaves) -> Tuple[np.ndarray, Tuple]:
+        out = self._first.call(np.asarray(crops, np.float32),
+                               np.asarray(gt, np.float32), *leaves)
+        return np.asarray(out[0]), tuple(out[1:])
+
+    def step(self, crops, leaves) -> Tuple[np.ndarray, Tuple]:
+        out = self._step.call(np.asarray(crops, np.float32), *leaves)
+        return np.asarray(out[0]), tuple(out[1:])

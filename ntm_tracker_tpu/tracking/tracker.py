@@ -268,14 +268,50 @@ class StreamingTracker:
     params: Any
     core: MemoryCore = None  # type: ignore[assignment]
     delimiter_first: bool = False  # True = reference streaming protocol
+    # AOT serving: a tools/export_serving.ServingModel replaces the jitted
+    # steps (weights + program live in the artifact; vgg_params/params/core
+    # are unused). Build via StreamingTracker.from_serving(model).
+    serving_model: Any = None
+
+    @classmethod
+    def from_serving(cls, model):
+        """Drive the host-geometry loop from an exported serving artifact —
+        no model code, no weights, no compile."""
+        from ntm_tracker_tpu.config import DataConfig, TrackerConfig as TC
+
+        meta = model.meta
+        if meta["batch"] != 1:
+            raise ValueError(
+                f"StreamingTracker needs a batch-1 artifact, got {meta['batch']}")
+        data = dict(meta["data"])
+        data["resize_hw"] = tuple(data["resize_hw"])  # JSON round trip
+        fp = meta.get("feature_points")
+        cfg = TC(core=meta["core"], data=DataConfig(**data),
+                 num_features=meta["num_features"],
+                 feature_points=(None if fp is None else
+                                 tuple(tuple(p) for p in fp)))
+        if cfg.num_features != meta["num_features"]:
+            raise ValueError("artifact/geometry num_features mismatch")
+        return cls(cfg, None, None,
+                   delimiter_first=meta["delimiter_first"],
+                   serving_model=model)
 
     def __post_init__(self):
-        if self.core is None:
-            self.core = make_core(self.cfg)
-        self._step_first, self._step_rest = build_frame_step(
-            self.cfg, self.core, self.vgg_params, self.params,
-            donate_state=True, delimiter_first=self.delimiter_first,
-        )
+        if self.serving_model is not None:
+            m = self.serving_model
+            self._init_state = m.init_state
+            self._step_first = lambda crops, gt, state: m.first(
+                np.asarray(crops), np.asarray(gt), state)
+            self._step_rest = lambda crops, state: m.step(
+                np.asarray(crops), state)
+        else:
+            if self.core is None:
+                self.core = make_core(self.cfg)
+            self._init_state = lambda: self.core.init_state(self.params, 1)
+            self._step_first, self._step_rest = build_frame_step(
+                self.cfg, self.core, self.vgg_params, self.params,
+                donate_state=True, delimiter_first=self.delimiter_first,
+            )
         d = self.cfg.data
         # mean-subtract BEFORE cropping (test_tracker.py:350-354)
         self._crop_jit = jax.jit(
@@ -304,7 +340,7 @@ class StreamingTracker:
             jnp.asarray(image), jnp.asarray(self.cropbox, jnp.float32)
         )
         gt = first_frame_gt(self.cfg, self.normalized_bbox, self.transformation)
-        state = self.core.init_state(self.params, 1)
+        state = self._init_state()
         _, self.state = self._step_first(
             crop[None], jnp.asarray(gt.reshape(1, -1)), state
         )

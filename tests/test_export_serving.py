@@ -1,0 +1,153 @@
+"""AOT serving export (tools/export_serving.py + export-serving CLI).
+
+The artifact must reproduce the live frame step bit-for-bit on the same
+backend (same math, pre-lowered), load without touching model code, and
+drive the identical StreamingTracker host-geometry loop.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ntm_tracker_tpu.config import (
+    DataConfig,
+    DNCConfig,
+    NTMConfig,
+    TrackerConfig,
+)
+from ntm_tracker_tpu.models.core import make_core
+from ntm_tracker_tpu.models.vgg import init_vgg_params
+from ntm_tracker_tpu.tools.export_serving import (
+    ServingModel,
+    export_serving,
+    save_serving,
+)
+from ntm_tracker_tpu.tracking.tracker import StreamingTracker, build_frame_step
+
+
+def tiny_cfg(core="ntm"):
+    g = 4  # crop 32 -> 4x4 conv4_3 token grid
+    return TrackerConfig(
+        core=core,
+        ntm=NTMConfig(mem_size=16, mem_dim=8, controller_hidden_size=24,
+                      read_head_size=2),
+        dnc=DNCConfig(output_dim=2, memory_size=16, word_size=8, num_reads=2,
+                      num_writes=1, hidden_size=24),
+        data=DataConfig(crop_size=8 * g, gt_width=g),
+        num_features=g * g,
+        feature_points=tuple((y, x) for y in range(g) for x in range(g)),
+    )
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    cfg = tiny_cfg()
+    core = make_core(cfg)
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+    path = str(tmp_path_factory.mktemp("export") / "serving.npz")
+    save_serving(path, export_serving(cfg, core, vgg, params, batch=1))
+    return cfg, core, vgg, params, path
+
+
+class TestArtifactMatchesLiveStep:
+    def test_first_and_steps_match(self, exported):
+        cfg, core, vgg, params, path = exported
+        model = ServingModel(path)
+        step_first, step_rest = build_frame_step(
+            cfg, core, vgg, params, donate_state=False)
+
+        rng = np.random.RandomState(0)
+        S, F = cfg.data.crop_size, cfg.num_features
+        crop = rng.rand(1, S, S, 3).astype(np.float32) * 100 - 50
+        gt = rng.rand(1, F).astype(np.float32)
+
+        live_state = core.init_state(params, 1)
+        live_off, live_state = step_first(jnp.asarray(crop),
+                                          jnp.asarray(gt), live_state)
+
+        leaves = model.init_state()
+        off, leaves = model.first(crop, gt, leaves)
+        np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-6)
+
+        for _ in range(3):
+            crop = rng.rand(1, S, S, 3).astype(np.float32) * 100 - 50
+            live_off, live_state = step_rest(jnp.asarray(crop), live_state)
+            off, leaves = model.step(crop, leaves)
+            np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-6)
+        # state leaves agree too (flattening order is the pytree order)
+        for got, want in zip(leaves, jax.tree_util.tree_leaves(live_state)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+
+    def test_meta_fields(self, exported):
+        cfg, _, _, _, path = exported
+        meta = ServingModel(path).meta
+        assert meta["core"] == "ntm"
+        assert meta["batch"] == 1
+        assert meta["crop_size"] == cfg.data.crop_size
+        assert meta["num_features"] == cfg.num_features
+        assert meta["data"]["cropbox_grid"] == cfg.data.cropbox_grid
+
+
+class TestServingTrackerLoop:
+    def test_trajectory_matches_live_tracker(self, exported):
+        cfg, core, vgg, params, path = exported
+        from ntm_tracker_tpu.data.synthetic import make_video
+
+        frames, boxes = make_video(np.random.RandomState(7), 5, (60, 80))
+        H, W = frames.shape[1:3]
+        b0 = boxes[0]
+        region0 = (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W,
+                   (b0[2] - b0[0]) * H)
+
+        live = StreamingTracker(cfg, vgg, params, core)
+        live.init(frames[0], region0)
+        served = StreamingTracker.from_serving(ServingModel(path))
+        served.init(frames[0], region0)
+        assert served.cfg.data == cfg.data
+
+        for t in range(1, 5):
+            r_live = np.asarray(live.track(frames[t]))
+            r_srv = np.asarray(served.track(frames[t]))
+            np.testing.assert_allclose(r_srv, r_live, atol=1e-4)
+
+
+class TestDncExport:
+    def test_dnc_round_trip(self, tmp_path):
+        cfg = tiny_cfg("dnc")
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        path = str(tmp_path / "dnc_serving.npz")
+        save_serving(path, export_serving(cfg, core, vgg, params, batch=1))
+        model = ServingModel(path)
+        assert model.meta["core"] == "dnc"
+
+        S = cfg.data.crop_size
+        crop = np.zeros((1, S, S, 3), np.float32)
+        gt = np.zeros((1, cfg.num_features), np.float32)
+        off, leaves = model.first(crop, gt, model.init_state())
+        off2, _ = model.step(crop, leaves)
+        assert off.shape == off2.shape == (1, 2)
+        assert np.isfinite(off).all() and np.isfinite(off2).all()
+
+
+class TestCLI:
+    def test_export_serving_command(self, tmp_path, capsys):
+        from ntm_tracker_tpu.cli import build_parser
+
+        out = str(tmp_path / "serving.npz")
+        args = build_parser().parse_args([
+            "export-serving", "--mem_size", "16", "--mem_dim", "8",
+            "--hidden_size", "24", "--read_head_size", "2",
+            "--out", out,
+        ])
+        assert args.fn(args) == 0
+        assert "exported init/first/step" in capsys.readouterr().out
+        model = ServingModel(out)
+        # default config: 224 crop, 64 tokens
+        assert model.meta["crop_size"] == 224
+        assert model.meta["num_features"] == 64
