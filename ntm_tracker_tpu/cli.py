@@ -528,19 +528,31 @@ def cmd_track_vot(args) -> int:
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
     from ntm_tracker_tpu.train.harness import CheckpointManager
 
-    cfg = _tracker_config(args, args.core)
-    vgg_params = _load_vgg(args)
-    core = make_core(cfg)
-    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
-        # converted REFERENCE weights (convert-ntm / convert-dnc): serve a
-        # TF-trained tracker without retraining
-        params = _load_converted_npz(args, cfg, params)
-    elif args.ckpt_path:
-        restored = CheckpointManager(args.ckpt_path).restore(
-            template={"params": params}, partial=True
+    serving_npz = getattr(args, "serving_npz", "")
+    if serving_npz:
+        # AOT artifact (export-serving output): geometry, token order and
+        # weights all live inside it — model flags are ignored
+        from ntm_tracker_tpu.tools.export_serving import ServingModel
+
+        tracker = StreamingTracker.from_serving(ServingModel(serving_npz))
+    else:
+        cfg = _tracker_config(args, args.core)
+        vgg_params = _load_vgg(args)
+        core = make_core(cfg)
+        params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
+        if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
+            # converted REFERENCE weights (convert-ntm / convert-dnc): serve
+            # a TF-trained tracker without retraining
+            params = _load_converted_npz(args, cfg, params)
+        elif args.ckpt_path:
+            restored = CheckpointManager(args.ckpt_path).restore(
+                template={"params": params}, partial=True
+            )
+            params = restored["params"]
+        tracker = StreamingTracker(
+            cfg, vgg_params, params, core,
+            delimiter_first=getattr(args, "delimiter_first", False),
         )
-        params = restored["params"]
 
     vot_mode = getattr(args, "vot_mode", "auto")
     handle = vot.VOT("rectangle", workdir=args.workdir, mode=vot_mode)
@@ -549,10 +561,6 @@ def cmd_track_vot(args) -> int:
     imagefile = handle.frame()
     if not imagefile:
         return 0
-    tracker = StreamingTracker(
-        cfg, vgg_params, params, core,
-        delimiter_first=getattr(args, "delimiter_first", False),
-    )
     img = np.asarray(Image.open(imagefile).convert("RGB"))
     tracker.init(img, (selection.x, selection.y, selection.width, selection.height))
     count = 1
@@ -1255,6 +1263,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--delimiter_first", action="store_true",
                    help="use the reference's streaming token order "
                    "(delimiter prepended; train/inference mismatch)")
+    v.add_argument("--serving_npz", default="",
+                   help="serve an AOT artifact (export-serving output) — "
+                   "weights, geometry and token order come from the "
+                   "artifact; model/weight flags are ignored")
     v.add_argument("--vot_mode", choices=["auto", "file", "trax", "trax-lib"],
                    default="auto",
                    help="protocol: file (images.txt/region.txt in "

@@ -151,3 +151,32 @@ class TestCLI:
         # default config: 224 crop, 64 tokens
         assert model.meta["crop_size"] == 224
         assert model.meta["num_features"] == 64
+
+    def test_track_vot_serves_artifact(self, exported, tmp_path, capsys):
+        """track-vot --serving_npz: the VOT file protocol driven entirely
+        from the AOT artifact (no model flags, no weights)."""
+        from PIL import Image
+
+        from ntm_tracker_tpu.cli import build_parser
+
+        _, _, _, _, path = exported
+        rng = np.random.RandomState(2)
+        names = []
+        for i in range(3):
+            arr = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+            n = f"{i:08d}.jpg"
+            Image.fromarray(arr).save(tmp_path / n)
+            names.append(n)
+        (tmp_path / "images.txt").write_text("\n".join(names) + "\n")
+        (tmp_path / "region.txt").write_text("30,20,20,15")
+        args = build_parser().parse_args([
+            "track-vot", "--serving_npz", path, "--workdir", str(tmp_path),
+        ])
+        assert args.fn(args) == 0
+        # file protocol reports a region for EVERY frame incl. the init
+        # frame (reference vot.py advances _frame only on report), so 3
+        # images -> 3 output regions and 4 processed frames
+        assert "tracked 4 frames" in capsys.readouterr().out
+        out_lines = (tmp_path / "output.txt").read_text().splitlines()
+        assert len(out_lines) == 3
+        assert all(len(l.split(",")) == 4 for l in out_lines)
