@@ -518,15 +518,34 @@ def _load_converted_npz(args, cfg, template_params):
     return loaded
 
 
-def cmd_track_vot(args) -> int:
+def _resolve_tracker_weights(args, cfg, core):
+    """Shared weight resolution for the serving commands (track-vot /
+    export-serving): converted reference .npz beats --ckpt_path beats
+    random init."""
     import jax
+
+    from ntm_tracker_tpu.train.harness import CheckpointManager
+
+    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
+    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
+        # converted REFERENCE weights (convert-ntm / convert-dnc): serve a
+        # TF-trained tracker without retraining
+        return _load_converted_npz(args, cfg, params)
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(
+            template={"params": params}, partial=True
+        )
+        return restored["params"]
+    return params
+
+
+def cmd_track_vot(args) -> int:
     import numpy as np
     from PIL import Image
 
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.tracking import vot
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
-    from ntm_tracker_tpu.train.harness import CheckpointManager
 
     serving_npz = getattr(args, "serving_npz", "")
     if serving_npz:
@@ -539,16 +558,7 @@ def cmd_track_vot(args) -> int:
         cfg = _tracker_config(args, args.core)
         vgg_params = _load_vgg(args)
         core = make_core(cfg)
-        params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-        if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
-            # converted REFERENCE weights (convert-ntm / convert-dnc): serve
-            # a TF-trained tracker without retraining
-            params = _load_converted_npz(args, cfg, params)
-        elif args.ckpt_path:
-            restored = CheckpointManager(args.ckpt_path).restore(
-                template={"params": params}, partial=True
-            )
-            params = restored["params"]
+        params = _resolve_tracker_weights(args, cfg, core)
         tracker = StreamingTracker(
             cfg, vgg_params, params, core,
             delimiter_first=getattr(args, "delimiter_first", False),
@@ -968,28 +978,18 @@ def cmd_export_serving(args) -> int:
     (tools/export_serving.py): weights baked in, pre-lowered StableHLO —
     a fresh serving process needs neither this package's model code nor a
     compile. Accepts the same weight sources as track-vot."""
-    import jax
-
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.tools.export_serving import (
         export_serving,
         save_serving,
     )
-    from ntm_tracker_tpu.train.harness import CheckpointManager
 
     cfg = _tracker_config(args, args.core)
     vgg_params = _load_vgg(args)
     core = make_core(cfg)
-    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
-        params = _load_converted_npz(args, cfg, params)
-    elif args.ckpt_path:
-        restored = CheckpointManager(args.ckpt_path).restore(
-            template={"params": params}, partial=True
-        )
-        params = restored["params"]
+    params = _resolve_tracker_weights(args, cfg, core)
 
-    platforms = [s for s in args.platforms.split(",") if s] or None
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
     artifact = export_serving(
         cfg, core, vgg_params, params, batch=args.batch,
         delimiter_first=getattr(args, "delimiter_first", False),

@@ -142,6 +142,7 @@ class ServingModel:
     """
 
     def __init__(self, path: str):
+        import jax
         from jax import export as jexport
 
         with np.load(path) as z:
@@ -151,15 +152,21 @@ class ServingModel:
             self._init = jexport.deserialize(z["init"].tobytes())
             self._first = jexport.deserialize(z["first"].tobytes())
             self._step = jexport.deserialize(z["step"].tobytes())
+        # jit the .call wrappers once: eager Exported.call re-traces per
+        # invocation (~0.6 ms/call host overhead measured on CPU — ~30% of
+        # the whole B=1 frame step), defeating the artifact's latency point
+        self._init_call = jax.jit(self._init.call)
+        self._first_call = jax.jit(self._first.call)
+        self._step_call = jax.jit(self._step.call)
 
     def init_state(self) -> Tuple:
-        return tuple(self._init.call())
+        return tuple(self._init_call())
 
     def first(self, crops, gt, leaves) -> Tuple[np.ndarray, Tuple]:
-        out = self._first.call(np.asarray(crops, np.float32),
+        out = self._first_call(np.asarray(crops, np.float32),
                                np.asarray(gt, np.float32), *leaves)
         return np.asarray(out[0]), tuple(out[1:])
 
     def step(self, crops, leaves) -> Tuple[np.ndarray, Tuple]:
-        out = self._step.call(np.asarray(crops, np.float32), *leaves)
+        out = self._step_call(np.asarray(crops, np.float32), *leaves)
         return np.asarray(out[0]), tuple(out[1:])

@@ -103,11 +103,14 @@ def run_core(core: str, train_steps: int, seed: int = 0,
 
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
     t0 = time.perf_counter()
+    m = None
     for i in range(train_steps):
         batch = training_batch(cfg, rng)
         params, opt_state, m = step(params, opt_state, batch)
         if i % 100 == 0:
             _log(f"{core}: step {i} loss {float(m['loss']):.4f}")
+    if m is not None:
+        float(m["loss"])  # value fetch = hard sync before timing (CLAUDE.md)
     train_s = time.perf_counter() - t0
 
     trained = eval_iou(cfg, vgg, params, seed, eval_frames)

@@ -286,12 +286,14 @@ class StreamingTracker:
         data = dict(meta["data"])
         data["resize_hw"] = tuple(data["resize_hw"])  # JSON round trip
         fp = meta.get("feature_points")
+        if fp is not None and len(fp) != meta["num_features"]:
+            raise ValueError(
+                f"corrupt artifact meta: {len(fp)} feature_points vs "
+                f"num_features={meta['num_features']}")
         cfg = TC(core=meta["core"], data=DataConfig(**data),
                  num_features=meta["num_features"],
                  feature_points=(None if fp is None else
                                  tuple(tuple(p) for p in fp)))
-        if cfg.num_features != meta["num_features"]:
-            raise ValueError("artifact/geometry num_features mismatch")
         return cls(cfg, None, None,
                    delimiter_first=meta["delimiter_first"],
                    serving_model=model)

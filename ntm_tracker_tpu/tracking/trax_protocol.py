@@ -39,19 +39,27 @@ PREFIX = "@@TRAX:"
 
 
 def _quote(token: str) -> str:
-    """Serialize one argument; quote whenever it is not a plain word."""
-    if token and all(c not in ' "\\\t\n' for c in token):
+    """Serialize one argument; quote whenever it is not a plain word.
+    '=' forces quoting so a positional argument containing it (a legal
+    filename) cannot round-trip into a key=value property."""
+    if token and all(c not in ' "\\\t\n=' for c in token):
         return token
     return '"' + token.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
 
-def _tokenize(body: str) -> List[str]:
-    """Split a message body into arguments, honoring quotes and escapes."""
-    tokens: List[str] = []
+def _tokenize(body: str) -> List[Tuple[str, bool]]:
+    """Split a message body into (token, starts_quoted) pairs, honoring
+    quotes and escapes. Whether a token STARTS with a quote must survive
+    tokenization: a token opening with '\"' is always a positional argument,
+    never a key=value property — otherwise a legal filename containing '='
+    would be misparsed as a property. (A property with a quoted VALUE,
+    key=\"a b\", starts unquoted and stays a property.)"""
+    tokens: List[Tuple[str, bool]] = []
     cur: List[str] = []
     in_quotes = False
     escaped = False
     started = False
+    starts_quoted = False
     for c in body:
         if escaped:
             cur.append(c)
@@ -61,16 +69,18 @@ def _tokenize(body: str) -> List[str]:
             started = True
         elif c == '"':
             in_quotes = not in_quotes
+            if not started:
+                starts_quoted = True
             started = True
         elif c in " \t" and not in_quotes:
             if started:
-                tokens.append("".join(cur))
-                cur, started = [], False
+                tokens.append(("".join(cur), starts_quoted))
+                cur, started, starts_quoted = [], False, False
         else:
             cur.append(c)
             started = True
     if started:
-        tokens.append("".join(cur))
+        tokens.append(("".join(cur), starts_quoted))
     return tokens
 
 
@@ -93,12 +103,13 @@ def parse_message(line: str) -> Optional[Tuple[str, List[str], Dict[str, str]]]:
     tokens = _tokenize(line[len(PREFIX):])
     if not tokens:
         return None
-    mtype, rest = tokens[0].lower(), tokens[1:]
+    mtype, rest = tokens[0][0].lower(), tokens[1:]
     args: List[str] = []
     props: Dict[str, str] = {}
-    for tok in rest:
+    for tok, starts_quoted in rest:
         key, eq, value = tok.partition("=")
-        if eq and key and all(c.isalnum() or c in "._" for c in key):
+        if (not starts_quoted and eq and key
+                and all(c.isalnum() or c in "._" for c in key)):
             props[key] = value
         else:
             args.append(tok)
@@ -183,5 +194,8 @@ class TraxServer:
             self._closed = True
             try:
                 self._send("quit", [])
-            except ValueError:  # stream already closed (interpreter teardown)
+            except (ValueError, OSError):
+                # stream closed (interpreter teardown) or the client hung
+                # up without reading the reply (BrokenPipeError) — a clean
+                # session must not turn into a tracker failure
                 pass

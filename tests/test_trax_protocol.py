@@ -48,6 +48,17 @@ class TestWireFormat:
         assert args == ["a.jpg", "10,10,5,5"]
         assert props == {"trax.ignore": "1"}
 
+    def test_equals_in_filename_survives(self):
+        """A legal image path containing '=' must stay a positional arg —
+        quoting wins over the key=value property heuristic, both when the
+        client quotes it and on our own serialize/parse round trip."""
+        mtype, args, props = parse_message(
+            '@@TRAX:frame "img=0.jpg"\n')
+        assert (mtype, args, props) == ("frame", ["img=0.jpg"], {})
+        line = format_message("initialize", ["seq=3/img.jpg", "1,2,3,4"])
+        assert parse_message(line) == (
+            "initialize", ["seq=3/img.jpg", "1,2,3,4"], {})
+
     def test_file_uri_stripped(self):
         fin = io.StringIO('@@TRAX:frame "file:///tmp/x.jpg"\n')
         server = TraxServer("rectangle", fin, io.StringIO())
