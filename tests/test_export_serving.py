@@ -115,6 +115,29 @@ class TestServingTrackerLoop:
             np.testing.assert_allclose(r_srv, r_live, atol=1e-4)
 
 
+class TestCrossPlatformExport:
+    def test_multi_platform_artifact_runs_on_cpu(self, tmp_path):
+        """platforms=['tpu','cpu'] lowers for BOTH targets on the CPU host
+        (deploy artifacts are built wherever CI runs); the cpu branch must
+        execute here and the platform list must be recorded."""
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        path = str(tmp_path / "xplat.npz")
+        save_serving(path, export_serving(cfg, core, vgg, params, batch=1,
+                                          platforms=["tpu", "cpu"]))
+        model = ServingModel(path)
+        assert set(model.meta["platforms"]) == {"tpu", "cpu"}
+        S = cfg.data.crop_size
+        off, _ = model.first(
+            np.zeros((1, S, S, 3), np.float32),
+            np.zeros((1, cfg.num_features), np.float32),
+            model.init_state(),
+        )
+        assert np.isfinite(off).all()
+
+
 class TestDncExport:
     def test_dnc_round_trip(self, tmp_path):
         cfg = tiny_cfg("dnc")
