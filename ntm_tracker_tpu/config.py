@@ -58,6 +58,10 @@ class DNCConfig:
     num_writes: int = 1
     hidden_size: int = 200
     clip_value: float = 20.0
+    # BPTT carry-saving chunk (models/dnc/dnc.py:dnc_unroll): None = auto
+    # (65 once the saved carry stream would pass ~2 GB), 0 = plain per-step
+    # saving, >0 = explicit chunk length. Perf knob only; gradients exact.
+    remat_chunk: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -138,7 +138,10 @@ def make_core(cfg: TrackerConfig) -> MemoryCore:
             return dnc_mod.init_dnc_state(dcfg, batch)
 
         def unroll(params, inputs, state=None, remat=True):
-            outs, final = dnc_mod.dnc_unroll(params, dcfg, inputs, state=state, remat=remat)
+            outs, final = dnc_mod.dnc_unroll(
+                params, dcfg, inputs, state=state, remat=remat,
+                remat_chunk=dcfg.remat_chunk,
+            )
             return outs, final
 
         def step(params, x, state):

@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--modes", default="images,tokens")
     ap.add_argument("--core", default="ntm", choices=("ntm", "dnc"))
+    ap.add_argument("--dnc_remat_chunk", type=int, default=None,
+                    help="override dnc_unroll's carry-saving chunk "
+                    "(default: auto; 0 = plain per-step saving)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -50,6 +53,12 @@ def main() -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         train=TrainConfig(batch_size=args.batch, sequence_length=args.seq_len),
     )
+    if args.dnc_remat_chunk is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, dnc=dataclasses.replace(cfg.dnc,
+                                         remat_chunk=args.dnc_remat_chunk))
     vgg = init_vgg_params(jax.random.PRNGKey(0))
     exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
     params, opt_state = exp.init(jax.random.PRNGKey(1))
