@@ -159,14 +159,24 @@ class ServingModel:
         self._first_call = jax.jit(self._first.call)
         self._step_call = jax.jit(self._step.call)
 
+    @staticmethod
+    def _f32(x):
+        # keep device arrays on device (a per-frame host copy of the crop
+        # would undo the one-device-call-per-frame design); numpy inputs
+        # get the usual conversion
+        import jax
+
+        if isinstance(x, jax.Array):
+            return x.astype("float32") if x.dtype != np.float32 else x
+        return np.asarray(x, np.float32)
+
     def init_state(self) -> Tuple:
         return tuple(self._init_call())
 
     def first(self, crops, gt, leaves) -> Tuple[np.ndarray, Tuple]:
-        out = self._first_call(np.asarray(crops, np.float32),
-                               np.asarray(gt, np.float32), *leaves)
+        out = self._first_call(self._f32(crops), self._f32(gt), *leaves)
         return np.asarray(out[0]), tuple(out[1:])
 
     def step(self, crops, leaves) -> Tuple[np.ndarray, Tuple]:
-        out = self._step_call(np.asarray(crops, np.float32), *leaves)
+        out = self._step_call(self._f32(crops), *leaves)
         return np.asarray(out[0]), tuple(out[1:])

@@ -302,10 +302,10 @@ class StreamingTracker:
         if self.serving_model is not None:
             m = self.serving_model
             self._init_state = m.init_state
-            self._step_first = lambda crops, gt, state: m.first(
-                np.asarray(crops), np.asarray(gt), state)
-            self._step_rest = lambda crops, state: m.step(
-                np.asarray(crops), state)
+            # pass arrays through untouched — ServingModel keeps device
+            # arrays on device and converts numpy itself
+            self._step_first = m.first
+            self._step_rest = m.step
         else:
             if self.core is None:
                 self.core = make_core(self.cfg)
