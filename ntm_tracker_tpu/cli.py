@@ -1339,6 +1339,9 @@ def build_parser() -> argparse.ArgumentParser:
                      "output, requires --core dnc)")
     val.add_argument("--pickle_path", required=True)
     val.add_argument("--delimiter_first", action="store_true")
+    val.add_argument("--serving_npz", default="",
+                     help="replay through an AOT artifact (export-serving "
+                     "output); model/weight flags are ignored")
     val.set_defaults(fn=cmd_validate)
 
     ms = sub.add_parser("mine-sequences",

@@ -33,20 +33,23 @@ def get_image(frame_path: str) -> Tuple[str, Tuple[float, float, float, float]]:
 
 def replay_sequences(
     seqs, cfg, vgg_params, params, core=None, log=print,
-    delimiter_first: bool = False,
+    delimiter_first: bool = False, tracker=None,
 ) -> List[List[float]]:
-    """Replay each (seq_path, frame_names) pair; returns per-sequence IoUs."""
+    """Replay each (seq_path, frame_names) pair; returns per-sequence IoUs.
+    Pass `tracker` (e.g. StreamingTracker.from_serving) to replay through a
+    prebuilt tracker instead of cfg/vgg_params/params."""
     from PIL import Image
 
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
 
-    core = core or make_core(cfg)
-    # ONE tracker for all sequences: init() fully resets the recurrent
-    # state, so the jitted frame program compiles once instead of per
-    # sequence (a fresh StreamingTracker would rebuild the jit closures)
-    tracker = StreamingTracker(cfg, vgg_params, params, core,
-                               delimiter_first=delimiter_first)
+    if tracker is None:
+        core = core or make_core(cfg)
+        # ONE tracker for all sequences: init() fully resets the recurrent
+        # state, so the jitted frame program compiles once instead of per
+        # sequence (a fresh StreamingTracker would rebuild the jit closures)
+        tracker = StreamingTracker(cfg, vgg_params, params, core,
+                                   delimiter_first=delimiter_first)
     all_ious: List[List[float]] = []
     for idx, (seq_path, frame_names) in enumerate(seqs):
         imagepath, region = get_image(os.path.join(seq_path, frame_names[0]))
@@ -73,28 +76,31 @@ def replay_sequences(
 
 def validate_tracker(args) -> int:
     """CLI glue: load the pickle, build the model, replay."""
-    import jax
-
-    from ntm_tracker_tpu.cli import _load_vgg, _tracker_config
-    from ntm_tracker_tpu.models.core import make_core
-    from ntm_tracker_tpu.train.harness import CheckpointManager
-
-    cfg = _tracker_config(args, args.core)
-    vgg_params = _load_vgg(args)
-    core = make_core(cfg)
-    params = core.init_params(jax.random.PRNGKey(0), cfg.input_depth)
-    if getattr(args, "ntm_npz", "") or getattr(args, "dnc_npz", ""):
-        from ntm_tracker_tpu.cli import _load_converted_npz
-
-        params = _load_converted_npz(args, cfg, params)
-    elif args.ckpt_path:
-        params = CheckpointManager(args.ckpt_path).restore(
-            template={"params": params}, partial=True
-        )["params"]
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
-    ious = replay_sequences(seqs, cfg, vgg_params, params, core,
-                            delimiter_first=getattr(args, "delimiter_first", False))
+
+    if getattr(args, "serving_npz", ""):
+        # AOT artifact: weights/geometry/token order all come from the file
+        from ntm_tracker_tpu.tools.export_serving import ServingModel
+        from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+        tracker = StreamingTracker.from_serving(ServingModel(args.serving_npz))
+        ious = replay_sequences(seqs, None, None, None, tracker=tracker)
+    else:
+        from ntm_tracker_tpu.cli import (
+            _load_vgg,
+            _resolve_tracker_weights,
+            _tracker_config,
+        )
+        from ntm_tracker_tpu.models.core import make_core
+
+        cfg = _tracker_config(args, args.core)
+        vgg_params = _load_vgg(args)
+        core = make_core(cfg)
+        params = _resolve_tracker_weights(args, cfg, core)
+        ious = replay_sequences(
+            seqs, cfg, vgg_params, params, core,
+            delimiter_first=getattr(args, "delimiter_first", False))
     flat = [i for s in ious for i in s]
     print(f"overall mean IoU over {len(flat)} frames: {np.mean(flat):.4f}")
     return 0

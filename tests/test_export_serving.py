@@ -175,6 +175,38 @@ class TestCLI:
         assert model.meta["crop_size"] == 224
         assert model.meta["num_features"] == 64
 
+    def test_validate_serves_artifact(self, exported, tmp_path, capsys):
+        """validate --serving_npz: the pickle replay driven from the AOT
+        artifact."""
+        import pickle
+
+        from PIL import Image
+
+        from ntm_tracker_tpu.cli import build_parser
+
+        _, _, _, _, path = exported
+        seq_dir = tmp_path / "seq0"
+        seq_dir.mkdir()
+        rng = np.random.RandomState(3)
+        frames = []
+        for i in range(3):
+            arr = (rng.rand(90, 120, 3) * 255).astype(np.uint8)
+            img_path = str(tmp_path / f"{i:06d}.JPEG")
+            Image.fromarray(arr).save(img_path)
+            (seq_dir / f"{i:06d}.txt").write_text(
+                ",".join(["0.2", "0.25", "0.8", "0.85",
+                          "0.125", "0.125", "0.875", "0.875",
+                          img_path, "0.0", "0.0"]))
+            frames.append(f"{i:06d}")
+        pkl = tmp_path / "val.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump([(str(seq_dir), frames)], f)
+        args = build_parser().parse_args([
+            "validate", "--pickle_path", str(pkl), "--serving_npz", path,
+        ])
+        assert args.fn(args) == 0
+        assert "overall mean IoU" in capsys.readouterr().out
+
     def test_track_vot_serves_artifact(self, exported, tmp_path, capsys):
         """track-vot --serving_npz: the VOT file protocol driven entirely
         from the AOT artifact (no model flags, no weights)."""
