@@ -178,9 +178,10 @@ def main():
     # secondary metric: training throughput from the feature cache
     # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)
     train_fps = train_ms = None
+    train_shape = (256, 20)  # measured knee; ONE site for measure + FLOPs
     if platform != "cpu":
         try:
-            train_fps, train_ms = _cached_train_throughput()
+            train_fps, train_ms = _cached_train_throughput(*train_shape)
         except Exception as e:  # never let the secondary metric kill bench
             print(f"bench: cached-train measurement skipped: {e}",
                   file=__import__("sys").stderr)
@@ -201,7 +202,8 @@ def main():
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
         "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
-        "train_mfu": _train_mfu(train_ms, peak) if train_ms else None,
+        "train_mfu": (_train_mfu(train_ms, peak, *train_shape)
+                      if train_ms else None),
         "platform": platform,
     }
     print(json.dumps(result))
@@ -219,18 +221,20 @@ def main():
             print(f"bench: TRACK artifact failed: {e}", file=sys.stderr)
 
 
-def _train_mfu(train_ms: float, peak_tflops: float | None):
-    """Canonical 3x-forward matmul FLOPs of the B=256 cached train step
-    against the chip's bf16 peak (remat recompute not credited). The
-    number is intentionally low-looking: the 1300-step BPTT is HBM/VPU
-    bound, not MXU bound — see tools/profile_train.py's sweep (bf16
-    matmuls measured ZERO speedup at this shape)."""
+def _train_mfu(train_ms: float, peak_tflops: float | None,
+               B: int, L: int):
+    """Canonical 3x-forward matmul FLOPs of the measured cached train step
+    (same B/L as _cached_train_throughput) against the chip's bf16 peak
+    (remat recompute not credited). The number is intentionally
+    low-looking: the 1300-step BPTT is HBM/VPU bound, not MXU bound — see
+    tools/profile_train.py's sweep (bf16 matmuls measured ZERO speedup at
+    this shape)."""
     if not peak_tflops:
         return None
     from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
     from ntm_tracker_tpu.tools.profile_train import train_step_flops
 
-    cfg = TrackerConfig(train=TrainConfig(batch_size=256, sequence_length=20))
+    cfg = TrackerConfig(train=TrainConfig(batch_size=B, sequence_length=L))
     achieved = train_step_flops(cfg) / (train_ms / 1e3) / 1e12
     return round(achieved / peak_tflops, 4)
 
@@ -253,6 +257,11 @@ def _write_track_artifact():
         if m
     ]
     n = max(ns, default=0) + 1
+    # re-running bench within the SAME round refreshes TRACK_r0N; but a
+    # round already closed by a BENCH_r0N record must never lose its
+    # accuracy artifact to a later run — bump past closed rounds
+    while os.path.exists(os.path.join(root, f"BENCH_r{n:02d}.json")):
+        n += 1
     steps = int(os.environ.get("NTM_TRACK_STEPS", "400"))
     write_artifact(os.path.join(root, f"TRACK_r{n:02d}.json"), steps)
 

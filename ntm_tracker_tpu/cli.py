@@ -246,9 +246,11 @@ def cmd_train_offsets(args) -> int:
     )
     n_proc = jax.process_count()
     if n_proc > 1:
-        # disjoint dataset shard per host; global batch split evenly
+        # disjoint dataset shard per host; global batch split evenly.
+        # validation is optional — a val set smaller than the fleet must
+        # not kill the training run (empty shards skip the val loop)
         train_seqs = process_shard_sequences(train_seqs)
-        val_seqs = process_shard_sequences(val_seqs)
+        val_seqs = process_shard_sequences(val_seqs, allow_empty=True)
         if cfg.train.batch_size % n_proc:
             raise SystemExit(
                 f"--batch_size {cfg.train.batch_size} must divide by the "

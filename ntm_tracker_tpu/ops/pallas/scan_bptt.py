@@ -722,9 +722,15 @@ def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
 @functools.lru_cache(maxsize=None)
 def _bptt_wrapped(cfg: NTMConfig, interpret: bool):
     def forward(params, tokens, state):
-        logits, final_state, _res = _fwd_call(params, cfg, tokens, state,
-                                              interpret)
-        return logits, final_state
+        # UNDIFFERENTIATED calls (eval/validation) take this primal: use
+        # the residual-FREE whole-sequence kernel — the residual-streaming
+        # forward writes five T-indexed streams (~426 MB for M alone at
+        # B=32/T=1300) that XLA cannot DCE out of a pallas_call. Same math
+        # at f32 (both kernels are parity-pinned against the jnp scan);
+        # the fwd rule below still runs the residual kernel under jax.grad.
+        from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
+
+        return ntm_scan_fused(params, cfg, tokens, state, interpret=interpret)
 
     fn = jax.custom_vjp(forward)
 

@@ -56,7 +56,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ntm_tracker_tpu.config import NTMConfig
-from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
+
+# the static-config tuple's FIELD ORDER is load-bearing (destructured
+# positionally in the kernels) — one definition, shared with scan_bptt
+from ntm_tracker_tpu.ops.pallas.scan_bptt import _static  # noqa: F401
 
 f32 = jnp.float32
 
@@ -574,17 +577,6 @@ def _packed_bwd_kernel(
     dx_ref[0] = dx_out
 
 
-def _static(cfg: NTMConfig):
-    from ntm_tracker_tpu.models.ntm_cell import head_param_sizes
-
-    sizes = head_param_sizes(cfg)
-    return (
-        cfg.num_heads, cfg.read_head_size, cfg.write_head_size, cfg.mem_dim,
-        cfg.mem_size, cfg.shift_space, cfg.controller_hidden_size,
-        cfg.controller_num_layers,
-        tuple(circular_convolution_shifts(cfg.shift_space)),
-        cfg.write_first, sizes, cfg.slotwise_cosine,
-    )
 
 
 def ntm_scan_packed(

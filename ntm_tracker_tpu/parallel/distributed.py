@@ -64,7 +64,7 @@ def initialize_distributed(
 
 def process_shard_sequences(
     items: Sequence, process_id: Optional[int] = None,
-    process_count: Optional[int] = None,
+    process_count: Optional[int] = None, allow_empty: bool = False,
 ) -> list:
     """Deterministic per-host dataset shard: round-robin over disjoint
     subsets, TRUNCATED to the same length on every process. Defaults to the
@@ -79,11 +79,18 @@ def process_shard_sequences(
     if not 0 <= pid < n:
         raise ValueError(f"process_id {pid} out of range for {n} processes")
     if 0 < len(items) < n:
-        raise ValueError(
-            f"{len(items)} sequences cannot be sharded over {n} processes: "
-            f"len(items)//n == 0, so EVERY host would get an empty shard and "
-            f"the epoch would be a silent no-op (add data or shrink the fleet)"
-        )
+        if not allow_empty:
+            raise ValueError(
+                f"{len(items)} sequences cannot be sharded over {n} "
+                f"processes: len(items)//n == 0, so EVERY host would get an "
+                f"empty shard and the epoch would be a silent no-op (add "
+                f"data or shrink the fleet; allow_empty=True opts into "
+                f"empty shards for optional sets like validation)"
+            )
+        import sys
+
+        print(f"WARNING: {len(items)} sequences over {n} processes -> "
+              "every host gets an EMPTY shard", file=sys.stderr)
     per = len(items) // n
     return list(items)[pid::n][:per]
 

@@ -40,10 +40,13 @@ class TestProcessShard:
 
     def test_fewer_items_than_processes_fails_loudly(self):
         """per-host shard length 0 would turn every epoch into a silent
-        no-op fleet-wide; refuse instead."""
+        no-op fleet-wide; refuse instead — except for optional sets
+        (validation), where allow_empty opts into a warned empty shard."""
         with pytest.raises(ValueError, match="empty shard"):
             process_shard_sequences([1, 2], process_id=0, process_count=3)
         assert process_shard_sequences([], process_id=0, process_count=3) == []
+        assert process_shard_sequences(
+            [1, 2], process_id=0, process_count=3, allow_empty=True) == []
 
 
 class TestGlobalBatch:
