@@ -27,7 +27,11 @@ from ntm_tracker_tpu.cli import build_parser
         ["dnc-repeat-copy", "--num_training_iterations", "5"],
         ["copy-paste", "--width", "4"],
         ["track-vot", "--workdir", "w", "--core", "dnc", "--delimiter_first"],
+        ["track-vot", "--serving_npz", "s.npz", "--vot_mode", "trax"],
         ["validate", "--pickle_path", "p.pkl"],
+        ["validate", "--pickle_path", "p.pkl", "--serving_npz", "s.npz"],
+        ["export-serving", "--out", "s.npz", "--platforms", "tpu,cpu",
+         "--batch", "8", "--delimiter_first"],
         ["find-validation-batch", "--sequences_dir", "x"],
         ["bench"],
         ["--platform", "cpu", "train-offsets", "--sequences_dir", "x",
