@@ -19,4 +19,4 @@ Reference map (citations are file:line into the reference tree):
   tracking/            <- test_tracker.py + vot.py + validate_tracker.py
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
