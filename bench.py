@@ -61,7 +61,11 @@ if __name__ == "__main__":
     import time
     import traceback
 
-    _wait_for_backend(time.time() + 15 * 60)
+    # Outages of the tunneled chip longer than 15 min have been observed
+    # (>1h once); waiting longer only helps — if the driver enforces a
+    # shorter budget it kills the process either way, and a recorded
+    # benchmark beats a recorded stack trace.
+    _wait_for_backend(time.time() + 45 * 60)
     try:
         main()
     except Exception:
