@@ -152,6 +152,11 @@ class TrackerConfig:
     # fewer conv FLOPs). Only engages for 224 crops with the canonical
     # feature grid; False forces the full-map path.
     fast_conv43: bool = True
+    # OPT-IN quantized serving mode: run the VGG token convs s8xs8->s32
+    # (models/vgg_int8.py; ~0.9995 token cosine vs the exact path). Changes
+    # numerics — never use for parity work or training; only engages where
+    # the fast_conv43 path applies (224 crops, canonical grid).
+    vgg_int8: bool = False
 
     @property
     def input_depth(self) -> int:

@@ -1,0 +1,104 @@
+"""Opt-in int8 quantized VGG token path (serving-speed experiment).
+
+The v5e MXU's int8 peak is ~2x its bf16 peak, and the serving frame step is
+~96% VGG conv time (BENCH decomposition), so an s8xs8->s32 conv stack is the
+one remaining large perf lever on the frame step. This module mirrors the
+exact receptive-field-sliced fast path of `vgg.vgg16_conv43_tokens` with
+
+  * per-output-channel symmetric int8 weights (scale = max|W[..,o]| / 127),
+  * per-tensor DYNAMIC symmetric int8 activations (scale = max|x| / 127,
+    computed on device each call — no offline calibration pass), and
+  * int32 accumulation, dequantized to float32 before bias + ReLU + pool.
+
+Quantization happens inside the jitted function: under jit the weights are
+either constants (XLA folds the rounding at compile time) or step arguments
+(the per-step rounding cost is ~7M elements — noise next to the convs).
+
+This changes numerics, so it is OPT-IN (`TrackerConfig.vgg_int8`) and only
+for serving-style use; training and all parity paths stay on the exact f32
+pipeline. Accuracy and speed verdicts are recorded in PARITY.md once
+measured on hardware.
+
+Reference note: the reference has no quantized path (its VGG is an imported
+frozen f32 graph, direct_offset_output.py:417-422); this is a beyond-
+reference TPU optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
+
+
+def _quantize_weights(w: jax.Array):
+    """Per-output-channel symmetric int8: returns (w_q int8, scale f32[O])."""
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))          # [O]
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _quantize_activations(x: jax.Array):
+    """Per-tensor dynamic symmetric int8: returns (x_q int8, scale f32[])."""
+    amax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def _conv_relu_int8(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """VALID 3x3 conv with both operands quantized to int8 on the fly,
+    int32 accumulate, dequantize -> f32 bias + ReLU."""
+    x_q, sx = _quantize_activations(x)
+    w_q, sw = _quantize_weights(w)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * sw)
+    return jax.nn.relu(y + b)
+
+
+def _max_pool_2x2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def vgg16_conv43_tokens_int8(
+    params: Dict[str, Dict[str, jax.Array]],
+    images: jax.Array,
+    freeze: bool = True,
+) -> jax.Array:
+    """Int8 twin of `vgg.vgg16_conv43_tokens`: same 204x204 interior slice,
+    same VALID conv geometry and canonical 8x8 stride-2 token grid, but
+    every conv runs s8xs8->s32. Takes the ordinary float32 VGG params.
+
+    NOT bit-identical to the f32 path — expect per-token cosine similarity
+    ~0.99 (tested); use only where that tolerance is acceptable (serving
+    throughput mode)."""
+    if images.shape[1] != 224 or images.shape[2] != 224:
+        raise ValueError(
+            f"int8 conv4_3 token path expects 224x224 crops, got {images.shape}"
+        )
+    x = images[:, 6:210, 6:210, :].astype(jnp.float32)
+    for name, _, has_pool in VGG16_PREFIX:
+        p = params[name]
+        x = _conv_relu_int8(x, p["weights"], p["biases"])
+        if name == "conv4/conv4_3":
+            break
+        if has_pool:
+            x = _max_pool_2x2(x)
+    assert x.shape[1] == x.shape[2] == 15, x.shape
+    x = x[:, ::2, ::2, :]
+    if freeze:
+        x = jax.lax.stop_gradient(x)
+    B, h, w, C = x.shape
+    return x.reshape(B, h * w, C)

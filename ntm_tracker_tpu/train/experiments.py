@@ -43,6 +43,11 @@ def frame_tokens(cfg: TrackerConfig, vgg_params, crops: jax.Array) -> jax.Array:
         and cfg.feature_points is None
         and crops.shape[1] == crops.shape[2] == 224
     ):
+        if cfg.vgg_int8:
+            # opt-in quantized serving mode (models/vgg_int8.py docstring)
+            from ntm_tracker_tpu.models.vgg_int8 import vgg16_conv43_tokens_int8
+
+            return vgg16_conv43_tokens_int8(vgg_params, crops)
         from ntm_tracker_tpu.models.vgg import vgg16_conv43_tokens
 
         return vgg16_conv43_tokens(

@@ -176,3 +176,55 @@ class TestFastConv43Tokens:
         params = init_vgg_params(jax.random.PRNGKey(0))
         with pytest.raises(ValueError, match="224x224"):
             vgg16_conv43_tokens(params, jnp.zeros((1, 64, 64, 3)))
+
+
+class TestInt8Tokens:
+    """Opt-in int8 serving path (models/vgg_int8.py): NOT exact — pinned
+    here to tight-but-quantized tolerances against the exact f32 path."""
+
+    def test_close_to_f32_path(self):
+        import jax
+
+        from ntm_tracker_tpu.models.vgg import init_vgg_params, vgg16_conv43_tokens
+        from ntm_tracker_tpu.models.vgg_int8 import vgg16_conv43_tokens_int8
+
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        img = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 224, 224, 3), minval=-120.0, maxval=130.0
+        )
+        t32 = np.asarray(vgg16_conv43_tokens(params, img))
+        t8 = np.asarray(vgg16_conv43_tokens_int8(params, img))
+        assert t8.shape == t32.shape == (2, 64, 512)
+        num = (t32 * t8).sum(-1)
+        den = (
+            np.linalg.norm(t32, axis=-1) * np.linalg.norm(t8, axis=-1) + 1e-12
+        )
+        cos = num / den
+        rel = np.linalg.norm(t8 - t32) / np.linalg.norm(t32)
+        # measured 0.9995 min cosine / 0.029 rel-l2 at random init; gate at
+        # 3x headroom so trained weights and platform rounding stay green
+        assert cos.min() > 0.995, cos.min()
+        assert rel < 0.09, rel
+
+    def test_weight_quantization_roundtrip(self):
+        import jax
+
+        from ntm_tracker_tpu.models.vgg_int8 import _quantize_weights
+
+        w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 8, 16)) * 0.3
+        w_q, scale = _quantize_weights(w)
+        assert w_q.dtype == jnp.int8 and scale.shape == (16,)
+        err = np.abs(np.asarray(w_q, np.float32) * np.asarray(scale) - np.asarray(w))
+        # symmetric rounding: worst error half a quantization step per channel
+        assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+
+    def test_rejects_noncanonical_input(self):
+        import jax
+        import pytest
+
+        from ntm_tracker_tpu.models.vgg import init_vgg_params
+        from ntm_tracker_tpu.models.vgg_int8 import vgg16_conv43_tokens_int8
+
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="224x224"):
+            vgg16_conv43_tokens_int8(params, jnp.zeros((1, 64, 64, 3)))
