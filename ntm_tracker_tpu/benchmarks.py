@@ -101,9 +101,9 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def bench_batch(B, iters, warmup=3):
+    def bench_batch(B, iters, warmup=3, cfg_use=None):
         _, step_rest = build_frame_step(
-            cfg, core, vgg_params, params, donate_state=True
+            cfg_use or cfg, core, vgg_params, params, donate_state=True
         )
         # bound the host transient: rng.rand at the sweep's B=4096 ceiling
         # would allocate ~4.9 GB of float64 scratch; tile a 64-sample block
@@ -175,6 +175,21 @@ def main():
             np.asarray(offsets)
             device_ms = min(device_ms, (time.perf_counter() - t0) / 50 * 1e3)
 
+    # secondary metric: the opt-in int8 VGG serving path (vgg_int8=True) at
+    # the f32 sweep's best batch — records whether s8xs8->s32 convs beat
+    # bf16 on this chip (models/vgg_int8.py docstring; quantized numerics,
+    # so it never replaces the headline f32 number)
+    int8_fps = None
+    if platform != "cpu":
+        try:
+            import dataclasses
+
+            cfg8 = dataclasses.replace(cfg, vgg_int8=True)
+            int8_fps, _ = bench_batch(best_batch, iters=20, cfg_use=cfg8)
+        except Exception as e:  # never let the secondary metric kill bench
+            print(f"bench: int8 serving measurement skipped: {e}",
+                  file=__import__("sys").stderr)
+
     # secondary metric: training throughput from the feature cache
     # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)
     train_fps = train_ms = None
@@ -200,6 +215,9 @@ def main():
         "frame_gflops": round(flops / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
+        "int8_frames_per_sec": round(float(int8_fps), 1) if int8_fps else None,
+        "int8_speedup": (round(float(int8_fps) / float(throughput), 3)
+                         if int8_fps else None),
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
         "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
         "train_mfu": (_train_mfu(train_ms, peak, *train_shape)

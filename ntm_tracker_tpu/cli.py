@@ -101,6 +101,7 @@ def _tracker_config(args, core: str):
         core=core,
         **grid_kwargs,
         data=DataConfig(gt_width=gw),
+        vgg_int8=getattr(args, "vgg_int8", False),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         ntm=NTMConfig(
             output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
@@ -1269,6 +1270,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve an AOT artifact (export-serving output) — "
                    "weights, geometry and token order come from the "
                    "artifact; model/weight flags are ignored")
+    v.add_argument("--vgg_int8", action="store_true",
+                   help="serve the VGG token convs s8xs8->s32 "
+                   "(models/vgg_int8.py; quantized numerics, throughput "
+                   "mode — not for parity work)")
     v.add_argument("--vot_mode", choices=["auto", "file", "trax", "trax-lib"],
                    default="auto",
                    help="protocol: file (images.txt/region.txt in "
@@ -1344,6 +1349,8 @@ def build_parser() -> argparse.ArgumentParser:
     val.add_argument("--serving_npz", default="",
                      help="replay through an AOT artifact (export-serving "
                      "output); model/weight flags are ignored")
+    val.add_argument("--vgg_int8", action="store_true",
+                     help="quantized VGG token convs (see track-vot)")
     val.set_defaults(fn=cmd_validate)
 
     ms = sub.add_parser("mine-sequences",
@@ -1428,6 +1435,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "--core dnc); overrides --ckpt_path")
     es.add_argument("--delimiter_first", action="store_true",
                     help="bake the reference's streaming token order in")
+    es.add_argument("--vgg_int8", action="store_true",
+                    help="bake the quantized VGG token path into the "
+                    "artifact (see track-vot)")
     es.add_argument("--batch", type=int, default=1,
                     help="batch baked into the artifact (1 = streaming "
                     "tracker; >1 = fleet-style batches)")

@@ -28,10 +28,12 @@ from ntm_tracker_tpu.cli import build_parser
         ["copy-paste", "--width", "4"],
         ["track-vot", "--workdir", "w", "--core", "dnc", "--delimiter_first"],
         ["track-vot", "--serving_npz", "s.npz", "--vot_mode", "trax"],
+        ["track-vot", "--workdir", "w", "--vgg_int8"],
         ["validate", "--pickle_path", "p.pkl"],
         ["validate", "--pickle_path", "p.pkl", "--serving_npz", "s.npz"],
+        ["validate", "--pickle_path", "p.pkl", "--vgg_int8"],
         ["export-serving", "--out", "s.npz", "--platforms", "tpu,cpu",
-         "--batch", "8", "--delimiter_first"],
+         "--batch", "8", "--delimiter_first", "--vgg_int8"],
         ["find-validation-batch", "--sequences_dir", "x"],
         ["bench"],
         ["--platform", "cpu", "train-offsets", "--sequences_dir", "x",
@@ -86,3 +88,17 @@ def test_gt_width_adapts_grid_for_all_commands():
     cfg8 = _tracker_config(args8, "ntm")
     assert cfg8.num_features == 64 and cfg8.feature_points is None
     assert cfg8.data.gt_width == 8
+
+
+def test_vgg_int8_flag_routes_into_config():
+    from ntm_tracker_tpu.cli import _tracker_config, build_parser
+
+    args = build_parser().parse_args(
+        ["track-vot", "--workdir", "w", "--vgg_int8"]
+    )
+    assert _tracker_config(args, "ntm").vgg_int8 is True
+    # commands without the flag keep the exact path
+    args_off = build_parser().parse_args(
+        ["train-offsets", "--sequences_dir", "x"]
+    )
+    assert _tracker_config(args_off, "ntm").vgg_int8 is False
