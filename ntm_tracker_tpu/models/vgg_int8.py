@@ -6,8 +6,9 @@ one remaining large perf lever on the frame step. This module mirrors the
 exact receptive-field-sliced fast path of `vgg.vgg16_conv43_tokens` with
 
   * per-output-channel symmetric int8 weights (scale = max|W[..,o]| / 127),
-  * per-tensor DYNAMIC symmetric int8 activations (scale = max|x| / 127,
-    computed on device each call — no offline calibration pass), and
+  * per-SAMPLE dynamic symmetric int8 activations (scale = max|x| / 127
+    over each batch element, computed on device each call — no offline
+    calibration pass, and no cross-batch coupling), and
   * int32 accumulation, dequantized to float32 before bias + ReLU + pool.
 
 Quantization happens inside the jitted function: under jit the weights are
@@ -43,10 +44,16 @@ def _quantize_weights(w: jax.Array):
 
 
 def _quantize_activations(x: jax.Array):
-    """Per-tensor dynamic symmetric int8: returns (x_q int8, scale f32[])."""
-    amax = jnp.max(jnp.abs(x))
+    """Per-SAMPLE dynamic symmetric int8: returns (x_q int8, scale f32[B]).
+
+    Per-sample (not per-tensor) so a sample's tokens never depend on its
+    batchmates — batched fleet serving / validate replay produce the same
+    values as the B=1 streaming tracker."""
+    amax = jnp.max(jnp.abs(x), axis=(1, 2, 3))                # [B]
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    x_q = jnp.clip(
+        jnp.round(x / scale[:, None, None, None]), -127, 127
+    ).astype(jnp.int8)
     return x_q, scale
 
 
@@ -62,7 +69,7 @@ def _conv_relu_int8(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (sx * sw)
+    y = y.astype(jnp.float32) * (sx[:, None, None, None] * sw)
     return jax.nn.relu(y + b)
 
 

@@ -206,6 +206,28 @@ class TestInt8Tokens:
         assert cos.min() > 0.995, cos.min()
         assert rel < 0.09, rel
 
+    def test_batch_independent(self):
+        """Per-sample activation scales: a crop's tokens must not change
+        with its batchmates (fleet serving vs B=1 streaming parity)."""
+        import jax
+
+        from ntm_tracker_tpu.models.vgg import init_vgg_params
+        from ntm_tracker_tpu.models.vgg_int8 import vgg16_conv43_tokens_int8
+
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        a = jax.random.uniform(
+            jax.random.PRNGKey(3), (1, 224, 224, 3), minval=-120.0, maxval=130.0
+        )
+        # batchmate with a 10x larger dynamic range
+        b = a * 0 + jax.random.uniform(
+            jax.random.PRNGKey(4), (1, 224, 224, 3), minval=-1200.0, maxval=1300.0
+        )
+        solo = np.asarray(vgg16_conv43_tokens_int8(params, a))
+        paired = np.asarray(
+            vgg16_conv43_tokens_int8(params, jnp.concatenate([a, b], axis=0))
+        )[0:1]
+        np.testing.assert_array_equal(solo, paired)
+
     def test_weight_quantization_roundtrip(self):
         import jax
 
