@@ -201,6 +201,27 @@ def check_packed(name, cfg, B=8, T=65, IN=514):
           f"grad rel {worst:.2e}")
 
 
+def check_int8(B=2):
+    """XLA-compile the opt-in int8 VGG token path (models/vgg_int8.py) on
+    the real chip and pin its cosine agreement with the exact f32 path —
+    guards that s8xs8->s32 convs lower on this backend and that hardware
+    rounding stays inside the tested envelope."""
+    from ntm_tracker_tpu.models.vgg import init_vgg_params, vgg16_conv43_tokens
+    from ntm_tracker_tpu.models.vgg_int8 import vgg16_conv43_tokens_int8
+
+    params = init_vgg_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(
+        jax.random.PRNGKey(1), (B, 224, 224, 3), minval=-120.0, maxval=130.0
+    )
+    t32 = np.asarray(jax.jit(vgg16_conv43_tokens)(params, img), np.float64)
+    t8 = np.asarray(jax.jit(vgg16_conv43_tokens_int8)(params, img), np.float64)
+    num = (t32 * t8).sum(-1)
+    den = np.linalg.norm(t32, axis=-1) * np.linalg.norm(t8, axis=-1) + 1e-12
+    cos = float((num / den).min())
+    assert cos > 0.99, f"int8 tokens diverged on hardware: min cosine {cos}"
+    print(f"  PASS int8  vgg-tokens       [s8] min token cosine {cos:.5f}")
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}")
@@ -219,6 +240,12 @@ def main():
     check_addressing("slotwise", CONFIGS["slotwise"])
     check_bptt("flagship", CONFIGS["flagship"])
     check_packed("flagship", CONFIGS["flagship"])
+    try:
+        check_int8()
+    except AssertionError:
+        raise  # a numerically-wrong int8 path IS fatal
+    except Exception as e:  # opt-in path: backend lowering gaps are recorded,
+        print(f"  SKIP int8  vgg-tokens       (did not lower: {e})")
     print("ALL HARDWARE PALLAS CHECKS PASSED")
     return 0
 
