@@ -158,6 +158,39 @@ class TestDncExport:
         assert np.isfinite(off).all() and np.isfinite(off2).all()
 
 
+class TestInt8Export:
+    def test_int8_artifact_matches_live_int8_step(self, tmp_path):
+        """--vgg_int8 export: the quantized token path bakes into the
+        lowered artifact (needs the canonical 224 grid — the only config
+        where the int8 path engages)."""
+        cfg = TrackerConfig(
+            ntm=NTMConfig(mem_size=16, mem_dim=8, controller_hidden_size=24,
+                          read_head_size=2),
+            vgg_int8=True,
+        )
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        path = str(tmp_path / "serving_int8.npz")
+        save_serving(path, export_serving(cfg, core, vgg, params, batch=1))
+
+        model = ServingModel(path)
+        step_first, step_rest = build_frame_step(cfg, core, vgg, params)
+        rng = np.random.RandomState(0)
+        crop = rng.rand(1, 224, 224, 3).astype(np.float32) * 100 - 50
+        gt = np.zeros((1, cfg.num_features), np.float32)
+        live_off, live_state = step_first(jnp.asarray(crop), jnp.asarray(gt),
+                                          core.init_state(params, 1))
+        off, leaves = model.first(crop, gt, model.init_state())
+        np.testing.assert_allclose(np.asarray(off), np.asarray(live_off),
+                                   rtol=0, atol=1e-6)
+        crop = rng.rand(1, 224, 224, 3).astype(np.float32) * 100 - 50
+        live_off, _ = step_rest(jnp.asarray(crop), live_state)
+        off, _ = model.step(crop, leaves)
+        np.testing.assert_allclose(np.asarray(off), np.asarray(live_off),
+                                   rtol=0, atol=1e-6)
+
+
 class TestCLI:
     def test_export_serving_command(self, tmp_path, capsys):
         from ntm_tracker_tpu.cli import build_parser
