@@ -1003,8 +1003,9 @@ def cmd_export_serving(args) -> int:
     import os as _os
 
     meta = _json.loads(str(artifact["meta"]))
+    tokens = "int8 tokens, " if meta.get("vgg_int8") else ""
     print(f"exported init/first/step for platforms {meta['platforms']} "
-          f"(batch {meta['batch']}, {meta['core']} core) -> {args.out} "
+          f"(batch {meta['batch']}, {tokens}{meta['core']} core) -> {args.out} "
           f"({_os.path.getsize(args.out) / 1e6:.1f} MB)")
     print("serve with: StreamingTracker.from_serving(ServingModel(path))")
     return 0

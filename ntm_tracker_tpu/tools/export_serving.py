@@ -106,6 +106,9 @@ def export_serving(
         "feature_points": (None if cfg.feature_points is None else
                            [list(p) for p in cfg.feature_points]),
         "delimiter_first": delimiter_first,
+        # provenance only: the token path (exact or int8) is baked into the
+        # lowered programs; nothing host-side branches on this
+        "vgg_int8": bool(getattr(cfg, "vgg_int8", False)),
         "platforms": list(exp_step.platforms),
         "state_leaves": [
             {"shape": list(l.shape), "dtype": str(np.dtype(l.dtype))}

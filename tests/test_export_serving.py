@@ -175,6 +175,7 @@ class TestInt8Export:
         save_serving(path, export_serving(cfg, core, vgg, params, batch=1))
 
         model = ServingModel(path)
+        assert model.meta["vgg_int8"] is True  # provenance recorded
         step_first, step_rest = build_frame_step(cfg, core, vgg, params)
         rng = np.random.RandomState(0)
         crop = rng.rand(1, 224, 224, 3).astype(np.float32) * 100 - 50
