@@ -55,6 +55,11 @@ def cache_fingerprint(cfg, vgg_params, flip: bool) -> str:
             # bit-identical to the full-map path)
             f"pts{cfg.feature_points};F{cfg.num_features};"
             f"C{cfg.feature_depth};dtype{np.dtype(cfg.compute_dtype).name}"
+            # vgg_int8 CHANGES token values (unlike fast_conv43), so an
+            # int8-built cache must never serve exact-path training; the
+            # token is appended only when set so existing exact-path
+            # caches keep their fingerprints
+            + (";int8" if getattr(cfg, "vgg_int8", False) else "")
         ).encode()
     )
     leaves, _ = jax.tree_util.tree_flatten_with_path(vgg_params)

@@ -165,6 +165,11 @@ class TestFeatureCache:
         bad = dataclasses.replace(cfg, num_features=9)
         with pytest.raises(ValueError, match="tokens"):
             verify_cache(bad, cache)
+        # vgg_int8 changes token VALUES: an exact-path cache must read as
+        # stale under an int8 config (and vice versa)
+        with pytest.raises(ValueError, match="stale"):
+            verify_cache(dataclasses.replace(cfg, vgg_int8=True), cache,
+                         vgg_params=vgg_a)
 
     def test_missing_cache_reports_command(self, tmp_path):
         cfg = tiny_cfg("ntm")
