@@ -180,12 +180,17 @@ def main():
     # bf16 on this chip (models/vgg_int8.py docstring; quantized numerics,
     # so it never replaces the headline f32 number)
     int8_fps = None
+    int8_ms_b1 = None
     if platform != "cpu":
         try:
             import dataclasses
 
             cfg8 = dataclasses.replace(cfg, vgg_int8=True)
             int8_fps, _ = bench_batch(best_batch, iters=20, cfg_use=cfg8)
+            # single-stream latency: same best-of-3 pipelined protocol as
+            # the headline B=1 number
+            _, int8_step_b1 = bench_batch(1, iters=50, cfg_use=cfg8)
+            int8_ms_b1 = int8_step_b1 * 1e3
         except Exception as e:  # never let the secondary metric kill bench
             print(f"bench: int8 serving measurement skipped: {e}",
                   file=__import__("sys").stderr)
@@ -218,6 +223,7 @@ def main():
         "int8_frames_per_sec": round(float(int8_fps), 1) if int8_fps else None,
         "int8_speedup": (round(float(int8_fps) / float(throughput), 3)
                          if int8_fps else None),
+        "int8_frame_ms_b1": round(int8_ms_b1, 3) if int8_ms_b1 else None,
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
         "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
         "train_mfu": (_train_mfu(train_ms, peak, *train_shape)
