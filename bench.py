@@ -48,10 +48,13 @@ def _wait_for_backend(deadline: float) -> None:
                       file=sys.stderr)
             return
         if time.time() >= deadline:
-            # fall through; main() will surface the real error
+            # exit instead of falling through: in-process init on a down
+            # tunnel can HANG indefinitely (not just raise), which wedges
+            # any supervisor waiting on this process. A fast non-zero exit
+            # lets the caller retry; the metric line is lost either way.
             print("bench: backend never became available within the retry "
                   "budget", file=sys.stderr)
-            return
+            raise SystemExit(2)
         print(f"bench: backend unavailable (probe {attempt}); retrying in "
               "60s", file=sys.stderr)
         time.sleep(60)

@@ -102,10 +102,15 @@ def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
     for t in range(1, frames_n):
         x, y, w, h = tracker.track(frames[t])
         gt = boxes[t]
-        ious.append(bb_iou(
+        # aggregate metric: disjoint boxes count 0. bb_iou itself keeps the
+        # reference's unclamped +1-area formula (test_tracker.py:59-83),
+        # which goes arbitrarily NEGATIVE for far-apart boxes — meaningful
+        # per-frame for parity, but it turns an untrained-tracker mean into
+        # nonsense like -31.8 (TRACK_r03 DNC) instead of ~0.
+        ious.append(max(0.0, bb_iou(
             (x, y, x + w, y + h),
             (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
-        ))
+        )))
         if print_every and t % print_every == 0:
             print(f"frame {t}: IoU {ious[-1]:.3f}")
     return ious
