@@ -53,6 +53,16 @@ def frame_tokens(cfg: TrackerConfig, vgg_params, crops: jax.Array) -> jax.Array:
         return vgg16_conv43_tokens(
             vgg_params, crops, compute_dtype=cfg.compute_dtype
         )
+    if cfg.vgg_int8:
+        # never silently serve the exact path when the user asked for the
+        # quantized one: int8 exists only as the 224/canonical-grid twin
+        raise ValueError(
+            "vgg_int8=True requires the canonical fast-conv43 config "
+            "(fast_conv43=True, feature_points=None, 224x224 crops); got "
+            f"crop {crops.shape[1]}x{crops.shape[2]}, feature_points="
+            f"{'custom' if cfg.feature_points is not None else 'None'}, "
+            f"fast_conv43={cfg.fast_conv43}"
+        )
     feats = vgg16_features(vgg_params, crops, compute_dtype=cfg.compute_dtype)
     if cfg.feature_points is None:
         return extract_features(feats)

@@ -250,3 +250,21 @@ class TestInt8Tokens:
         params = init_vgg_params(jax.random.PRNGKey(0))
         with pytest.raises(ValueError, match="224x224"):
             vgg16_conv43_tokens_int8(params, jnp.zeros((1, 64, 64, 3)))
+
+    def test_frame_tokens_rejects_int8_off_canonical_config(self):
+        """vgg_int8=True must never silently serve the exact path: a config
+        where the fast-conv43 route can't engage (custom feature grid,
+        non-224 crop) raises instead of quietly dequantizing nothing."""
+        import dataclasses
+
+        import jax
+        import pytest
+
+        from ntm_tracker_tpu.models.vgg import init_vgg_params
+        from ntm_tracker_tpu.tracking.demo import demo_config
+        from ntm_tracker_tpu.train.experiments import frame_tokens
+
+        cfg = dataclasses.replace(demo_config(), vgg_int8=True)
+        params = init_vgg_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="vgg_int8"):
+            frame_tokens(cfg, params, jnp.zeros((1, 64, 64, 3)))
