@@ -1038,11 +1038,20 @@ def cmd_cache_features(args) -> int:
         for x in sorted(_os.listdir(args.sequences_dir))
         if _os.path.isdir(_os.path.join(args.sequences_dir, x))
     ]
+    mesh = None
+    if args.shard:
+        import jax
+
+        from ntm_tracker_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(batch_size=args.frames_per_batch)
+        print(f"sharding the build over {mesh.devices.size} of "
+              f"{len(jax.devices())} devices")
     variants = [False] + ([True] if args.reverse_image else [])
     for flip in variants:
         man = build_feature_cache(
             cfg, vgg_params, seq_dirs, args.cache_dir,
-            flip=flip, store_dtype=args.store_dtype,
+            flip=flip, store_dtype=args.store_dtype, mesh=mesh,
             frames_per_batch=args.frames_per_batch, gt_width=args.gt_width,
             progress=lambda done, total: print(
                 f"\r{'flip' if flip else 'base'}: {done}/{total} frames",
@@ -1159,6 +1168,10 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("--reverse_image", action="store_true",
                     help="also cache the horizontally-flipped variant "
                     "(needed to train with --reverse_image)")
+    cf.add_argument("--shard", action="store_true",
+                    help="shard each frame batch over all local devices "
+                    "(data-parallel build; tokens are per-frame so the "
+                    "output is float-equivalent to the single-device build)")
     cf.add_argument("--bf16", action="store_true",
                     help="bfloat16 VGG compute for the sweep (match the "
                     "training flag you plan to use)")

@@ -127,13 +127,18 @@ def build_feature_cache(
     gt_width: int = 8,
     decode_resize_hw=None,
     progress=None,
+    mesh=None,
 ) -> dict:
     """Compute and store the tokens of EVERY frame record under each
     sequence dir (all .txt frames, not just one dilated subset — the cache
     then serves any sequence_length).
 
     Device work is jitted once at a fixed [frames_per_batch] shape; the last
-    chunk is padded. Returns the manifest dict."""
+    chunk is padded. With a `jax.sharding.Mesh`, the frame batch is sharded
+    over the mesh's devices (pure data parallelism — tokens are per-frame,
+    so the sharded build is float-equivalent to the single-device one —
+    the partitioned convs schedule differently, so not bitwise).
+    Returns the manifest dict."""
     import jax
     import jax.numpy as jnp
 
@@ -145,8 +150,7 @@ def build_feature_cache(
     if decode_resize_hw is None:
         decode_resize_hw = tuple(d.resize_hw)
 
-    @jax.jit
-    def tokens_fn(images, cropboxes):
+    def tokens_impl(images, cropboxes):
         crops = jax.vmap(
             lambda im, cb: preprocess_frame(
                 im, cb, resize_hw=d.resize_hw, crop_size=d.crop_size,
@@ -154,6 +158,25 @@ def build_feature_cache(
             )
         )(images, cropboxes)
         return frame_tokens(cfg, vgg_params, crops)
+
+    put = None
+    if mesh is not None and mesh.devices.size > 1:
+        from ntm_tracker_tpu.parallel.mesh import batch_sharding
+
+        n = int(mesh.devices.size)
+        if frames_per_batch % n != 0:
+            raise ValueError(
+                f"frames_per_batch={frames_per_batch} must divide over the "
+                f"{n}-device mesh (use parallel.mesh.make_mesh(batch_size=...) "
+                "to trim the mesh)"
+            )
+        data_sh = batch_sharding(mesh)
+        tokens_fn = jax.jit(
+            tokens_impl, in_shardings=(data_sh, data_sh), out_shardings=data_sh
+        )
+        put = lambda x: jax.device_put(x, data_sh)  # noqa: E731
+    else:
+        tokens_fn = jax.jit(tokens_impl)
 
     # cache entries are keyed by the sequence dir's BASENAME (_frame_path),
     # so two sequence dirs sharing a basename under different parents would
@@ -191,12 +214,11 @@ def build_feature_cache(
             padded, gt_width, reverse_image=flip,
             decode_resize_hw=decode_resize_hw,
         )
-        toks = np.asarray(
-            tokens_fn(
-                jnp.asarray(fb.images.astype(np.float32)),
-                jnp.asarray(fb.cropboxes),
-            )
-        ).astype(np_dtype)
+        images = jnp.asarray(fb.images.astype(np.float32))
+        cropboxes = jnp.asarray(fb.cropboxes)
+        if put is not None:
+            images, cropboxes = put(images), put(cropboxes)
+        toks = np.asarray(tokens_fn(images, cropboxes)).astype(np_dtype)
         for i, frame in enumerate(chunk):
             out = _frame_path(root, frame)
             os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -12,7 +12,7 @@ from ntm_tracker_tpu.cli import build_parser
         ["train-offsets", "--sequences_dir", "x", "--feature_cache", "c"],
         ["cache-features", "--sequences_dir", "x", "--cache_dir", "c",
          "--reverse_image", "--store_dtype", "float32", "--bf16",
-         "--grid_width", "7"],
+         "--grid_width", "7", "--shard"],
         ["train-heatmap", "--sequences_dir", "x", "--feature_cache", "c",
          "--gt_width", "7"],
         ["inspect-batch", "--sequences_dir", "x", "--out_dir", "o",

@@ -177,7 +177,7 @@ class TestCachedTrainSmoke:
         cache = str(tmp_path / "cache")
         assert _run([
             "cache-features", "--sequences_dir", dataset,
-            "--cache_dir", cache,
+            "--cache_dir", cache, "--shard",
         ]) == 0
         assert _run([
             "train-offsets", *MODEL_TINY,

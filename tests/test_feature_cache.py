@@ -212,6 +212,47 @@ class TestFeatureCache:
         )
 
 
+    def test_sharded_build_matches_single_device(self, dataset, tmp_path):
+        """--shard: the mesh-sharded build (batch split over the 8-device
+        CPU mesh) writes float-equivalent token files to the single-device
+        build (tokens are per-frame, so sharding is pure data parallelism;
+        the partitioned conv schedules differently, so the contract is the
+        same float-level one as eager-vs-jit above, not bitwise)."""
+        from ntm_tracker_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_cfg("ntm", batch=1, seq_len=SEQ_LEN)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        solo = str(tmp_path / "solo")
+        shard = str(tmp_path / "shard")
+        _build(dataset, solo, cfg, vgg, store_dtype="float32",
+               frames_per_batch=4)
+        mesh = make_mesh(batch_size=4)
+        assert mesh.devices.size > 1  # conftest forces the 8-device mesh
+        man = _build(dataset, shard, cfg, vgg, store_dtype="float32",
+                     frames_per_batch=4, mesh=mesh)
+        assert man["num_frames"] == 6
+        _, seqs, _ = get_valid_sequences(dataset, SEQ_LEN)
+        frames = [os.path.join(seqs[0][0], f) for f in seqs[0][1]]
+        a = load_token_batch(frames, cfg.data.gt_width, solo)
+        b = load_token_batch(frames, cfg.data.gt_width, shard)
+        scale = np.abs(a.features).max()
+        np.testing.assert_allclose(
+            b.features, a.features, rtol=1e-4, atol=1e-4 * scale
+        )
+
+    def test_sharded_build_rejects_indivisible_batch(self, dataset, tmp_path):
+        from ntm_tracker_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_cfg("ntm", batch=1, seq_len=SEQ_LEN)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        mesh = make_mesh()  # all 8 devices
+        if mesh.devices.size < 2:
+            pytest.skip("needs a multi-device mesh")
+        with pytest.raises(ValueError, match="must divide"):
+            _build(dataset, str(tmp_path / "c"), cfg, vgg,
+                   frames_per_batch=3, mesh=mesh)
+
+
 def test_duplicate_sequence_basenames_rejected(tmp_path):
     """Cache entries are keyed by sequence-dir basename; two dirs sharing a
     basename under different parents would silently collide — refused."""
