@@ -183,30 +183,38 @@ def main():
     int8_ms_b1 = None
     int8_batch = None
     if platform != "cpu":
-        try:
-            import dataclasses
+        import dataclasses
+        import sys
 
-            cfg8 = dataclasses.replace(cfg, vgg_int8=True)
-            # int8's knee can sit HIGHER than f32's (roughly half the MXU
-            # time per frame leaves more room before compute saturates), so
-            # continue the doubling sweep from the f32 best batch instead
-            # of pinning int8 to it
-            int8_fps, int8_batch = 0.0, best_batch
-            B8 = best_batch
-            while B8 <= 4096:
+        cfg8 = dataclasses.replace(cfg, vgg_int8=True)
+        # int8's knee can sit HIGHER than f32's (roughly half the MXU
+        # time per frame leaves more room before compute saturates), so
+        # continue the doubling sweep from the f32 best batch instead
+        # of pinning int8 to it
+        int8_fps, int8_batch = 0.0, best_batch
+        B8 = best_batch
+        while B8 <= 4096:
+            try:
                 fps8, _ = bench_batch(B8, iters=20, cfg_use=cfg8)
-                if fps8 > int8_fps * 1.03:
-                    int8_fps, int8_batch = fps8, B8
-                    B8 *= 2
-                else:
-                    break
+            except Exception as e:  # OOM at a doubled batch: the knee was
+                # the previous batch — keep the partial sweep result
+                print(f"bench: int8 sweep stopped at B={B8}: {e}",
+                      file=sys.stderr)
+                break
+            if fps8 > int8_fps * 1.03:
+                int8_fps, int8_batch = fps8, B8
+                B8 *= 2
+            else:
+                break
+        try:
             # single-stream latency: same best-of-3 pipelined protocol as
-            # the headline B=1 number
+            # the headline B=1 number; independent of the sweep, so a
+            # sweep failure must not take it down (and vice versa)
             _, int8_step_b1 = bench_batch(1, iters=50, cfg_use=cfg8)
             int8_ms_b1 = int8_step_b1 * 1e3
         except Exception as e:  # never let the secondary metric kill bench
-            print(f"bench: int8 serving measurement skipped: {e}",
-                  file=__import__("sys").stderr)
+            print(f"bench: int8 B=1 latency measurement skipped: {e}",
+                  file=sys.stderr)
 
     # secondary metric: training throughput from the feature cache
     # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)

@@ -542,6 +542,30 @@ def _resolve_tracker_weights(args, cfg, core):
     return params
 
 
+def _serving_tracker(serving_npz: str, args):
+    """Build a StreamingTracker from an AOT artifact, cross-checking the
+    baked token path against --vgg_int8: the artifact's lowered programs
+    fix exact-vs-int8 at export time, so a flag that disagrees with the
+    file must fail loudly instead of silently serving the other path
+    (same invariant as train/experiments.py's feature-cache check)."""
+    import sys
+
+    from ntm_tracker_tpu.tools.export_serving import ServingModel
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+    model = ServingModel(serving_npz)
+    baked = bool(model.meta.get("vgg_int8"))
+    if getattr(args, "vgg_int8", False) and not baked:
+        raise SystemExit(
+            f"--vgg_int8 requested but {serving_npz} was exported with the "
+            "exact token path; re-export with export-serving --vgg_int8")
+    if baked and not getattr(args, "vgg_int8", False):
+        print(f"note: {serving_npz} bakes int8 VGG tokens (quantized "
+              "numerics); exported that way via export-serving --vgg_int8",
+              file=sys.stderr)
+    return StreamingTracker.from_serving(model)
+
+
 def cmd_track_vot(args) -> int:
     import numpy as np
     from PIL import Image
@@ -553,10 +577,9 @@ def cmd_track_vot(args) -> int:
     serving_npz = getattr(args, "serving_npz", "")
     if serving_npz:
         # AOT artifact (export-serving output): geometry, token order and
-        # weights all live inside it — model flags are ignored
-        from ntm_tracker_tpu.tools.export_serving import ServingModel
-
-        tracker = StreamingTracker.from_serving(ServingModel(serving_npz))
+        # weights all live inside it — model flags are ignored, except
+        # --vgg_int8 which is cross-checked against the baked token path
+        tracker = _serving_tracker(serving_npz, args)
     else:
         cfg = _tracker_config(args, args.core)
         vgg_params = _load_vgg(args)

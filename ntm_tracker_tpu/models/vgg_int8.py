@@ -32,7 +32,9 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ntm_tracker_tpu.models.vgg import VGG16_PREFIX
+# pooling is shared with the f32 fast path: the int8 twin must mirror its
+# geometry exactly, so a future pooling change follows automatically
+from ntm_tracker_tpu.models.vgg import VGG16_PREFIX, _max_pool_2x2
 
 
 def _quantize_weights(w: jax.Array):
@@ -71,12 +73,6 @@ def _conv_relu_int8(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     )
     y = y.astype(jnp.float32) * (sx[:, None, None, None] * sw)
     return jax.nn.relu(y + b)
-
-
-def _max_pool_2x2(x: jax.Array) -> jax.Array:
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
 
 
 def vgg16_conv43_tokens_int8(

@@ -69,7 +69,13 @@ def replay_sequences(
                 else [gx, gy, gx + gw, gy + gh],
             )
             ious.append(iou)
-        log(f"seq {idx}: mean IoU {np.mean(ious) if ious else float('nan'):.3f}")
+        # aggregate clamps disjoint frames at 0 (see tracking/demo.py:
+        # bb_iou keeps the reference's unclamped +1-area formula, which is
+        # meaningful per frame but turns a wandering-tracker mean into
+        # large negative nonsense); the returned per-frame list stays raw
+        seq_mean = (np.mean([max(0.0, i) for i in ious])
+                    if ious else float("nan"))
+        log(f"seq {idx}: mean IoU {seq_mean:.3f}")
         all_ious.append(ious)
     return all_ious
 
@@ -80,11 +86,11 @@ def validate_tracker(args) -> int:
         seqs = pickle.load(f)
 
     if getattr(args, "serving_npz", ""):
-        # AOT artifact: weights/geometry/token order all come from the file
-        from ntm_tracker_tpu.tools.export_serving import ServingModel
-        from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+        # AOT artifact: weights/geometry/token order all come from the
+        # file; --vgg_int8 is cross-checked against the baked token path
+        from ntm_tracker_tpu.cli import _serving_tracker
 
-        tracker = StreamingTracker.from_serving(ServingModel(args.serving_npz))
+        tracker = _serving_tracker(args.serving_npz, args)
         ious = replay_sequences(seqs, None, None, None, tracker=tracker)
     else:
         from ntm_tracker_tpu.cli import (
@@ -101,6 +107,6 @@ def validate_tracker(args) -> int:
         ious = replay_sequences(
             seqs, cfg, vgg_params, params, core,
             delimiter_first=getattr(args, "delimiter_first", False))
-    flat = [i for s in ious for i in s]
+    flat = [max(0.0, i) for s in ious for i in s]  # aggregate clamps at 0
     print(f"overall mean IoU over {len(flat)} frames: {np.mean(flat):.4f}")
     return 0

@@ -269,3 +269,17 @@ class TestCLI:
         out_lines = (tmp_path / "output.txt").read_text().splitlines()
         assert len(out_lines) == 3
         assert all(len(l.split(",")) == 4 for l in out_lines)
+
+    def test_vgg_int8_flag_mismatch_fails_loudly(self, exported, tmp_path):
+        """--vgg_int8 with an exact-path artifact must fail, not silently
+        serve the exact path (cli._serving_tracker invariant — the token
+        path is baked into the lowered programs at export time)."""
+        from ntm_tracker_tpu.cli import build_parser
+
+        _, _, _, _, path = exported
+        args = build_parser().parse_args([
+            "track-vot", "--serving_npz", path, "--vgg_int8",
+            "--workdir", str(tmp_path),
+        ])
+        with pytest.raises(SystemExit, match="exact token path"):
+            args.fn(args)

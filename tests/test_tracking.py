@@ -183,3 +183,40 @@ class TestDeviceTrackStep:
             np.asarray(dev_regions), np.asarray(host_regions),
             atol=0.05, rtol=1e-4,
         )
+
+
+class TestValidateAggregates:
+    def test_aggregate_clamps_at_zero_per_frame_stays_raw(self, tmp_path):
+        """validate's aggregates clamp disjoint frames at 0 (same contract
+        as tracking/demo.py), while the returned per-frame IoUs keep the
+        reference's unclamped +1-area bb_iou (test_tracker.py:59-83)."""
+        from PIL import Image
+
+        from ntm_tracker_tpu.tracking.validate import replay_sequences
+
+        seq_dir = tmp_path / "seq0"
+        seq_dir.mkdir()
+        rng = np.random.RandomState(0)
+        frames = []
+        for i in range(3):
+            arr = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+            img_path = str(tmp_path / f"{i:06d}.JPEG")
+            Image.fromarray(arr).save(img_path)
+            (seq_dir / f"{i:06d}.txt").write_text(
+                ",".join(["0.2", "0.25", "0.8", "0.85",
+                          "0.125", "0.125", "0.875", "0.875",
+                          img_path, "0.0", "0.0"]))
+            frames.append(f"{i:06d}")
+
+        class Wanderer:  # reports a box far off-frame every step
+            def init(self, img, region):
+                pass
+
+            def track(self, img):
+                return (5000.0, 5000.0, 10.0, 10.0)
+
+        logs = []
+        ious = replay_sequences([(str(seq_dir), frames)], None, None, None,
+                                tracker=Wanderer(), log=logs.append)
+        assert all(i < 0 for i in ious[0])  # raw quirk preserved
+        assert "mean IoU 0.000" in logs[0]  # aggregate clamped
