@@ -196,10 +196,18 @@ def main():
         while B8 <= 4096:
             try:
                 fps8, _ = bench_batch(B8, iters=20, cfg_use=cfg8)
-            except Exception as e:  # OOM at a doubled batch: the knee was
-                # the previous batch — keep the partial sweep result
+            except Exception as e:
                 print(f"bench: int8 sweep stopped at B={B8}: {e}",
                       file=sys.stderr)
+                if int8_fps == 0.0 and B8 > 1:
+                    # nothing measured yet: the int8 step holds f32 + int8
+                    # activation copies, so its peak memory at a given B can
+                    # EXCEED the f32 path's — the knee may sit BELOW the f32
+                    # best batch; probe downward instead of nulling the metric
+                    B8 //= 2
+                    continue
+                # OOM at a doubled batch: the knee was the previous batch —
+                # keep the partial sweep result
                 break
             if fps8 > int8_fps * 1.03:
                 int8_fps, int8_batch = fps8, B8

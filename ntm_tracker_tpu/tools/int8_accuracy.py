@@ -25,7 +25,11 @@ def main(steps: int = 300, eval_frames: int = 40) -> dict:
     from ntm_tracker_tpu.config import NTMConfig, TrackerConfig, TrainConfig
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.models.vgg import init_vgg_params
-    from ntm_tracker_tpu.tracking.demo import eval_streaming_iou, training_batch
+    from ntm_tracker_tpu.tracking.demo import (
+        eval_streaming_iou,
+        mean_clamped_iou,
+        training_batch,
+    )
     from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
     cfg = TrackerConfig(
@@ -54,11 +58,11 @@ def main(steps: int = 300, eval_frames: int = 40) -> dict:
         float(m["loss"])  # value fetch = hard sync before timing (CLAUDE.md)
     train_s = time.perf_counter() - t0
 
-    iou_f32 = float(np.mean(
-        eval_streaming_iou(cfg, vgg, params, 0, eval_frames)))
+    iou_f32 = mean_clamped_iou(
+        eval_streaming_iou(cfg, vgg, params, 0, eval_frames))
     cfg8 = dataclasses.replace(cfg, vgg_int8=True)
-    iou_int8 = float(np.mean(
-        eval_streaming_iou(cfg8, vgg, params, 0, eval_frames)))
+    iou_int8 = mean_clamped_iou(
+        eval_streaming_iou(cfg8, vgg, params, 0, eval_frames))
 
     result = {
         "platform": jax.devices()[0].platform,

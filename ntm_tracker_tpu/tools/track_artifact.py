@@ -35,11 +35,9 @@ def eval_iou(cfg, vgg, params, seed: int, frames_n: int):
     """Mean streaming-tracker IoU over a held-out synthetic clip — the
     demo's exact evaluation protocol (tracking/demo.py:eval_streaming_iou,
     shared so the artifact cannot diverge from the demo numbers)."""
-    import numpy as np
+    from ntm_tracker_tpu.tracking.demo import eval_streaming_iou, mean_clamped_iou
 
-    from ntm_tracker_tpu.tracking.demo import eval_streaming_iou
-
-    return float(np.mean(eval_streaming_iou(cfg, vgg, params, seed, frames_n)))
+    return mean_clamped_iou(eval_streaming_iou(cfg, vgg, params, seed, frames_n))
 
 
 def serve_precision_drift(cfg, core, vgg, params, seed: int,

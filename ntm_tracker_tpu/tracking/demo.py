@@ -102,18 +102,26 @@ def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
     for t in range(1, frames_n):
         x, y, w, h = tracker.track(frames[t])
         gt = boxes[t]
-        # aggregate metric: disjoint boxes count 0. bb_iou itself keeps the
-        # reference's unclamped +1-area formula (test_tracker.py:59-83),
-        # which goes arbitrarily NEGATIVE for far-apart boxes — meaningful
-        # per-frame for parity, but it turns an untrained-tracker mean into
-        # nonsense like -31.8 (TRACK_r03 DNC) instead of ~0.
-        ious.append(max(0.0, bb_iou(
+        # per-frame values stay RAW: bb_iou keeps the reference's unclamped
+        # +1-area formula (test_tracker.py:59-83), which goes arbitrarily
+        # NEGATIVE for far-apart boxes — meaningful per frame for parity.
+        # Aggregation clamps at 0 (mean_clamped_iou), same contract as
+        # tracking/validate.py.
+        ious.append(bb_iou(
             (x, y, x + w, y + h),
             (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
-        )))
+        ))
         if print_every and t % print_every == 0:
             print(f"frame {t}: IoU {ious[-1]:.3f}")
     return ious
+
+
+def mean_clamped_iou(ious) -> float:
+    """THE aggregate-IoU contract (demo / TRACK_r0N / validate / int8
+    artifacts): disjoint frames count 0 — an untrained wandering tracker
+    means ~0, not bb_iou's negative +1-area artifact (e.g. -31.8) — while
+    per-frame lists everywhere keep the raw reference quirk."""
+    return float(np.mean([max(0.0, i) for i in ious])) if len(ious) else float("nan")
 
 
 def training_batch(cfg, rng: np.random.RandomState):
@@ -198,7 +206,8 @@ def main() -> int:
     # held-out clip through the real streaming tracker (per-frame recrop)
     ious = eval_streaming_iou(cfg, vgg, params, args.seed, args.eval_frames,
                               print_every=10)
-    print(f"mean IoU over {len(ious)} tracked frames: {np.mean(ious):.3f}"
+    print(f"mean IoU over {len(ious)} tracked frames: "
+          f"{mean_clamped_iou(ious):.3f}"
           f" ({'trained ' + str(args.train_steps) + ' steps' if args.train_steps else 'untrained'})")
     return 0
 

@@ -41,6 +41,7 @@ def replay_sequences(
     from PIL import Image
 
     from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
 
     if tracker is None:
@@ -69,13 +70,11 @@ def replay_sequences(
                 else [gx, gy, gx + gw, gy + gh],
             )
             ious.append(iou)
-        # aggregate clamps disjoint frames at 0 (see tracking/demo.py:
-        # bb_iou keeps the reference's unclamped +1-area formula, which is
-        # meaningful per frame but turns a wandering-tracker mean into
-        # large negative nonsense); the returned per-frame list stays raw
-        seq_mean = (np.mean([max(0.0, i) for i in ious])
-                    if ious else float("nan"))
-        log(f"seq {idx}: mean IoU {seq_mean:.3f}")
+        # aggregate clamps disjoint frames at 0 (mean_clamped_iou — bb_iou
+        # keeps the reference's unclamped +1-area formula, meaningful per
+        # frame but nonsense in a wandering-tracker mean); the returned
+        # per-frame list stays raw
+        log(f"seq {idx}: mean IoU {mean_clamped_iou(ious):.3f}")
         all_ious.append(ious)
     return all_ious
 
@@ -107,6 +106,9 @@ def validate_tracker(args) -> int:
         ious = replay_sequences(
             seqs, cfg, vgg_params, params, core,
             delimiter_first=getattr(args, "delimiter_first", False))
-    flat = [max(0.0, i) for s in ious for i in s]  # aggregate clamps at 0
-    print(f"overall mean IoU over {len(flat)} frames: {np.mean(flat):.4f}")
+    from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
+
+    flat = [i for s in ious for i in s]
+    print(f"overall mean IoU over {len(flat)} frames: "
+          f"{mean_clamped_iou(flat):.4f}")
     return 0

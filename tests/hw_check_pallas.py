@@ -244,7 +244,18 @@ def main():
         check_int8()
     except AssertionError:
         raise  # a numerically-wrong int8 path IS fatal
-    except Exception as e:  # opt-in path: backend lowering gaps are recorded,
+    except Exception as e:
+        # opt-in path: ONLY a backend lowering/compile gap may downgrade to
+        # SKIP — a Python-level failure inside the int8 path (shape/pytree/
+        # dtype bug) must fail the gate, not print ALL PASSED
+        is_lowering_gap = (
+            isinstance(e, NotImplementedError)
+            or type(e).__name__ in ("XlaRuntimeError", "JaxRuntimeError")
+            or "UNIMPLEMENTED" in str(e)
+            or "Unsupported" in str(e)
+        )
+        if not is_lowering_gap:
+            raise
         print(f"  SKIP int8  vgg-tokens       (did not lower: {e})")
     print("ALL HARDWARE PALLAS CHECKS PASSED")
     return 0

@@ -173,6 +173,18 @@ class TestInspectBatchSmoke:
 
 
 class TestCachedTrainSmoke:
+    def test_unsharded_build_runs(self, dataset, tmp_path):
+        """The default (no --shard) command body — the path every user gets
+        without opting into the mesh build — must stay covered end to end."""
+        import pathlib
+
+        cache = tmp_path / "cache_unsharded"
+        assert _run([
+            "cache-features", "--sequences_dir", dataset,
+            "--cache_dir", str(cache),
+        ]) == 0
+        assert list(pathlib.Path(cache).rglob("*.npy"))
+
     def test_cache_then_train(self, dataset, tmp_path, capsys):
         cache = str(tmp_path / "cache")
         assert _run([

@@ -6,7 +6,21 @@ runs out-of-band; here we pin the data contracts it is built on.
 
 import numpy as np
 
-from ntm_tracker_tpu.tracking.demo import demo_config, make_video, training_batch
+from ntm_tracker_tpu.tracking.demo import (
+    demo_config,
+    make_video,
+    mean_clamped_iou,
+    training_batch,
+)
+
+
+def test_mean_clamped_iou_contract():
+    """THE aggregate contract shared by demo / TRACK_r0N / validate / int8
+    artifacts: disjoint frames count 0 in means; inputs stay raw (bb_iou's
+    unclamped +1-area quirk, reference test_tracker.py:59-83)."""
+    assert mean_clamped_iou([0.5, -31.8, 1.0]) == 0.5
+    assert mean_clamped_iou([-5.0, -5.0]) == 0.0
+    assert np.isnan(mean_clamped_iou([]))
 
 
 def test_make_video_boxes_contain_square():
