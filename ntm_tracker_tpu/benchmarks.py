@@ -310,12 +310,10 @@ def _write_track_artifact():
         for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
         if m
     ]
+    # max+1 over every BENCH_r*.json already lands past all closed rounds:
+    # re-running bench within the SAME round refreshes TRACK_r0N, while a
+    # round closed by a BENCH record can never lose its accuracy artifact
     n = max(ns, default=0) + 1
-    # re-running bench within the SAME round refreshes TRACK_r0N; but a
-    # round already closed by a BENCH_r0N record must never lose its
-    # accuracy artifact to a later run — bump past closed rounds
-    while os.path.exists(os.path.join(root, f"BENCH_r{n:02d}.json")):
-        n += 1
     steps = int(os.environ.get("NTM_TRACK_STEPS", "400"))
     write_artifact(os.path.join(root, f"TRACK_r{n:02d}.json"), steps)
 

@@ -735,6 +735,21 @@ def _bptt_wrapped(cfg: NTMConfig, interpret: bool):
     fn = jax.custom_vjp(forward)
 
     def fwd(params, tokens, state):
+        # the Mosaic ceiling is on the residual-streaming/backward pair, so
+        # the guard lives HERE (runs only under differentiation) — the
+        # residual-free primal above compiles fine at B=256 and must not be
+        # blocked for forward-only large-batch calls
+        B = tokens.shape[0]
+        if not interpret and B > MAX_HW_BATCH:
+            raise ValueError(
+                f"fused_bptt: batch {B} exceeds the Mosaic hardware compile "
+                f"ceiling ({MAX_HW_BATCH}); the B=64+ backward kernel "
+                "crashes the TPU compiler, and measured scaling "
+                "(13 + 0.77*B us/step) shows XLA's remat scan is within ~7% "
+                "of this design at the B=256 knee anyway — use the default "
+                "scan path for large-batch training and fused_bptt for "
+                "batch<=32 (1.1-1.3x faster)."
+            )
         logits, final_state, res = _fwd_call(params, cfg, tokens, state,
                                              interpret)
         return (logits, final_state), (params, tokens, res)
@@ -760,17 +775,12 @@ def ntm_scan_fused_bptt(
     Differentiable wrt params, tokens and the initial state; init_M/w/read
     gradients flow through the state argument (build the state with
     init_ntm_state under the same jax.grad). Returns (logits [B,T,O],
-    final state)."""
-    B = tokens.shape[0]
-    if not interpret and B > MAX_HW_BATCH:
-        raise ValueError(
-            f"fused_bptt: batch {B} exceeds the Mosaic hardware compile "
-            f"ceiling ({MAX_HW_BATCH}); the B=64+ backward kernel crashes "
-            "the TPU compiler, and measured scaling (13 + 0.77*B us/step) "
-            "shows XLA's remat scan is within ~7% of this design at the "
-            "B=256 knee anyway — use the default scan path for large-batch "
-            "training and fused_bptt for batch<=32 (1.1-1.3x faster)."
-        )
+    final state).
+
+    The MAX_HW_BATCH Mosaic compile ceiling applies only under
+    differentiation (the residual-streaming fwd/bwd kernel pair) and is
+    enforced in the VJP fwd rule; undifferentiated calls dispatch the
+    residual-free forward kernel, which compiles and runs at B=256."""
     if cfg.use_pallas:
         import dataclasses as _dc
 

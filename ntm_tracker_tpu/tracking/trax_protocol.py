@@ -41,8 +41,16 @@ PREFIX = "@@TRAX:"
 def _quote(token: str) -> str:
     """Serialize one argument; quote whenever it is not a plain word.
     '=' forces quoting so a positional argument containing it (a legal
-    filename) cannot round-trip into a key=value property."""
-    if token and all(c not in ' "\\\t\n=' for c in token):
+    filename) cannot round-trip into a key=value property. Newlines are
+    REJECTED: the protocol is line-framed (the peer reads with readline)
+    and its escape syntax covers only backslash/quote, so a '\\n' inside a
+    token would silently split one message across two physical lines."""
+    if "\n" in token or "\r" in token:
+        raise ValueError(
+            f"TraX tokens cannot contain newlines (line-framed protocol): "
+            f"{token!r}"
+        )
+    if token and all(c not in ' "\\\t=' for c in token):
         return token
     return '"' + token.replace("\\", "\\\\").replace('"', '\\"') + '"'
 

@@ -49,16 +49,25 @@ def test_fused_bptt_matches_jax_grad(name):
 
 
 def test_fused_bptt_hw_batch_ceiling():
-    """Non-interpret calls beyond the measured Mosaic compile ceiling fail
-    fast with the measured guidance instead of crashing the TPU compiler."""
+    """DIFFERENTIATED non-interpret calls beyond the measured Mosaic compile
+    ceiling fail fast with the measured guidance instead of crashing the TPU
+    compiler. The ceiling is on the residual-streaming fwd/bwd pair only, so
+    the guard lives in the VJP fwd rule — undifferentiated calls dispatch
+    the residual-free forward kernel, which runs at B=256 on hardware."""
     from ntm_tracker_tpu.ops.pallas.scan_bptt import MAX_HW_BATCH
 
     cfg = CONFIGS["flagship_shape"]
     params, state, tokens, _ = _setup(cfg, seed=1)
     big = jnp.tile(tokens, (MAX_HW_BATCH, 1, 1))[: MAX_HW_BATCH + 1]
     big_state = init_ntm_state(params, cfg, MAX_HW_BATCH + 1)
+
+    def loss(p):
+        logits, _ = ntm_scan_fused_bptt(p, cfg, big, big_state,
+                                        interpret=False)
+        return logits.sum()
+
     with pytest.raises(ValueError, match="compile ceiling"):
-        ntm_scan_fused_bptt(params, cfg, big, big_state, interpret=False)
+        jax.grad(loss)(params)
 
 
 def test_fused_bptt_forward_matches_jnp():

@@ -171,3 +171,14 @@ class TestTrackVotTraxCLI:
         for m in msgs[2:4]:  # tracked-frame states are x,y,w,h floats
             assert len(m[1][0].split(",")) == 4
         assert "tracked 3 frames" in captured.err
+
+
+class TestNewlineRejection:
+    def test_newline_in_token_is_rejected(self):
+        """Line-framed protocol: a '\n' inside a token cannot be escaped,
+        so serialization must fail loudly instead of splitting the message
+        across two physical lines (trax_protocol._quote)."""
+        with pytest.raises(ValueError, match="newline"):
+            format_message("frame", ["bad\nname.jpg"])
+        with pytest.raises(ValueError, match="newline"):
+            format_message("initialize", ["img.jpg"], {"k": "a\rb"})
