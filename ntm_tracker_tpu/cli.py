@@ -1388,6 +1388,10 @@ def build_parser() -> argparse.ArgumentParser:
                      "output); model/weight flags are ignored")
     val.add_argument("--vgg_int8", action="store_true",
                      help="quantized VGG token convs (see track-vot)")
+    val.add_argument("--fleet", type=int, default=0, metavar="N",
+                     help="replay up to N sequences per batched device step "
+                     "(tracking/fleet.py) instead of one at a time; "
+                     "incompatible with --serving_npz")
     val.set_defaults(fn=cmd_validate)
 
     ms = sub.add_parser("mine-sequences",

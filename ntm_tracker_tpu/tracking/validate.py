@@ -58,18 +58,9 @@ def replay_sequences(
         tracker.init(img, region)
         ious: List[float] = []
         for frame_name in frame_names[1:]:
-            imagepath, gt_region = get_image(os.path.join(seq_path, frame_name))
-            img = np.asarray(Image.open(imagepath).convert("RGB"))
+            img, gt_corners = _frame_and_gt(seq_path, frame_name)
             x, y, w, h = tracker.track(img)
-            gx, gy, gw, gh = gt_region
-            H, W = img.shape[:2]
-            iou = geometry.bb_iou(
-                [x, y, x + w, y + h],
-                [gx * W, gy * H, (gx + gw) * W, (gy + gh) * H]
-                if max(abs(gx), abs(gy), gw, gh) <= 2.0
-                else [gx, gy, gx + gw, gy + gh],
-            )
-            ious.append(iou)
+            ious.append(geometry.bb_iou([x, y, x + w, y + h], gt_corners))
         # aggregate clamps disjoint frames at 0 (mean_clamped_iou — bb_iou
         # keeps the reference's unclamped +1-area formula, meaningful per
         # frame but nonsense in a wandering-tracker mean); the returned
@@ -79,14 +70,100 @@ def replay_sequences(
     return all_ious
 
 
+def _frame_and_gt(seq_path: str, frame_name: str):
+    """Decode one frame record: (image array, gt region in ABSOLUTE pixel
+    corners) — the gt may be stored normalized (legal values <= 2) or in
+    pixels already (reference validate_tracker.py keeps both in the wild)."""
+    from PIL import Image
+
+    imagepath, (gx, gy, gw, gh) = get_image(os.path.join(seq_path, frame_name))
+    img = np.asarray(Image.open(imagepath).convert("RGB"))
+    H, W = img.shape[:2]
+    if max(abs(gx), abs(gy), gw, gh) <= 2.0:
+        corners = [gx * W, gy * H, (gx + gw) * W, (gy + gh) * H]
+    else:
+        corners = [gx, gy, gx + gw, gy + gh]
+    return img, corners
+
+
+def replay_sequences_fleet(
+    seqs, cfg, vgg_params, params, core=None, capacity: int = 8, log=print,
+    delimiter_first: bool = False,
+) -> List[List[float]]:
+    """replay_sequences over a FleetTracker: up to `capacity` sequences
+    advance per batched device step (tracking/fleet.py), so the chip
+    amortizes the VGG + cell work across the wave — the reference's replay
+    (validate_tracker.py:1-40) is strictly one-sequence-at-a-time. Finished
+    slots are refilled from the remaining sequences immediately (no wave
+    barrier). Same outputs as replay_sequences: raw per-frame IoUs per
+    sequence, clamped-mean logging."""
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
+    from ntm_tracker_tpu.tracking.fleet import FleetTracker
+
+    core = core or make_core(cfg)
+    fleet = FleetTracker(cfg, vgg_params, params, capacity=capacity,
+                         core=core, delimiter_first=delimiter_first)
+    all_ious: List[List[float]] = [[] for _ in seqs]
+    active: dict = {}  # slot -> [seq_idx, next_frame_pos]
+    next_seq = 0
+
+    def finish(slot, seq_idx):
+        fleet.remove(slot)
+        log(f"seq {seq_idx}: mean IoU {mean_clamped_iou(all_ious[seq_idx]):.3f}")
+
+    def admit():
+        nonlocal next_seq
+        while next_seq < len(seqs) and len(active) < fleet.capacity:
+            idx = next_seq
+            next_seq += 1
+            seq_path, frame_names = seqs[idx]
+            img, _ = _frame_and_gt(seq_path, frame_names[0])
+            _, region = get_image(os.path.join(seq_path, frame_names[0]))
+            slot = fleet.add(img, region)
+            if len(frame_names) < 2:  # nothing to track
+                finish(slot, idx)
+                continue
+            active[slot] = [idx, 1]
+
+    admit()
+    while active:
+        images, gt_corners = {}, {}
+        for slot, (seq_idx, fi) in active.items():
+            seq_path, frame_names = seqs[seq_idx]
+            images[slot], gt_corners[slot] = _frame_and_gt(
+                seq_path, frame_names[fi]
+            )
+        regions = fleet.step(images)
+        for slot in list(active):
+            seq_idx, fi = active[slot]
+            x, y, w, h = regions[slot]
+            all_ious[seq_idx].append(
+                geometry.bb_iou([x, y, x + w, y + h], gt_corners[slot])
+            )
+            active[slot][1] = fi + 1
+            if fi + 1 >= len(seqs[seq_idx][1]):
+                del active[slot]
+                finish(slot, seq_idx)
+        admit()
+    return all_ious
+
+
 def validate_tracker(args) -> int:
     """CLI glue: load the pickle, build the model, replay."""
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
 
+    fleet_n = int(getattr(args, "fleet", 0) or 0)
     if getattr(args, "serving_npz", ""):
         # AOT artifact: weights/geometry/token order all come from the
         # file; --vgg_int8 is cross-checked against the baked token path
+        if fleet_n:
+            raise SystemExit(
+                "--fleet needs model params to build the batched step; AOT "
+                "serving artifacts bake batch-1 programs — re-run without "
+                "--serving_npz (or export a batched artifact and use the "
+                "fleet API directly)")
         from ntm_tracker_tpu.cli import _serving_tracker
 
         tracker = _serving_tracker(args.serving_npz, args)
@@ -103,9 +180,14 @@ def validate_tracker(args) -> int:
         vgg_params = _load_vgg(args)
         core = make_core(cfg)
         params = _resolve_tracker_weights(args, cfg, core)
-        ious = replay_sequences(
-            seqs, cfg, vgg_params, params, core,
-            delimiter_first=getattr(args, "delimiter_first", False))
+        if fleet_n:
+            ious = replay_sequences_fleet(
+                seqs, cfg, vgg_params, params, core, capacity=fleet_n,
+                delimiter_first=getattr(args, "delimiter_first", False))
+        else:
+            ious = replay_sequences(
+                seqs, cfg, vgg_params, params, core,
+                delimiter_first=getattr(args, "delimiter_first", False))
     from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
 
     flat = [i for s in ious for i in s]

@@ -220,3 +220,55 @@ class TestValidateAggregates:
                                 tracker=Wanderer(), log=logs.append)
         assert all(i < 0 for i in ious[0])  # raw quirk preserved
         assert "mean IoU 0.000" in logs[0]  # aggregate clamped
+
+
+class TestFleetValidate:
+    def _build_dataset(self, tmp_path, lengths=(4, 3, 5)):
+        from PIL import Image
+
+        rng = np.random.RandomState(7)
+        seqs = []
+        for s, n in enumerate(lengths):
+            seq_dir = tmp_path / f"seq{s}"
+            seq_dir.mkdir()
+            frames = []
+            for i in range(n):
+                arr = np.zeros((60 + 10 * s, 80 + 10 * s, 3), np.uint8)
+                y, x = 20 + 2 * i, 30 + 2 * i
+                arr[y:y + 16, x:x + 16] = 255  # moving bright square
+                arr += (rng.rand(*arr.shape) * 20).astype(np.uint8)
+                img_path = str(tmp_path / f"s{s}_{i:06d}.JPEG")
+                Image.fromarray(arr).save(img_path)
+                (seq_dir / f"{i:06d}.txt").write_text(
+                    ",".join(["0.2", "0.25", "0.8", "0.85",
+                              "0.125", "0.125", "0.875", "0.875",
+                              img_path, "0.0", "0.0"]))
+                frames.append(f"{i:06d}")
+            seqs.append((str(seq_dir), frames))
+        return seqs
+
+    def test_fleet_replay_matches_serial(self, tmp_path):
+        """validate --fleet N: the wave-scheduled batched replay
+        (replay_sequences_fleet over tracking/fleet.py) reproduces the
+        serial replay's per-frame IoUs — including slot refill mid-run
+        (capacity 2 < 3 sequences of differing lengths) and the
+        single-frame-sequence fast path."""
+        from tests.test_fleet import setup as fleet_setup
+
+        from ntm_tracker_tpu.tracking.validate import (
+            replay_sequences,
+            replay_sequences_fleet,
+        )
+
+        seqs = self._build_dataset(tmp_path, lengths=(4, 1, 3))
+        cfg, vgg, core, params = fleet_setup()
+
+        serial = replay_sequences(seqs, cfg, vgg, params, core,
+                                  log=lambda *_: None)
+        fleet = replay_sequences_fleet(seqs, cfg, vgg, params, core,
+                                       capacity=2, log=lambda *_: None)
+        assert [len(s) for s in serial] == [3, 0, 2]
+        assert [len(s) for s in fleet] == [3, 0, 2]
+        for s, f in zip(serial, fleet):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(s),
+                                       atol=0.02, rtol=1e-3)
