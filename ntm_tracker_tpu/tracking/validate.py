@@ -151,19 +151,19 @@ def replay_sequences_fleet(
 
 def validate_tracker(args) -> int:
     """CLI glue: load the pickle, build the model, replay."""
+    fleet_n = int(getattr(args, "fleet", 0) or 0)
+    if fleet_n and getattr(args, "serving_npz", ""):
+        raise SystemExit(
+            "--fleet needs model params to build the batched step; AOT "
+            "serving artifacts bake batch-1 programs — re-run without "
+            "--serving_npz (or export a batched artifact and use the "
+            "fleet API directly)")
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
 
-    fleet_n = int(getattr(args, "fleet", 0) or 0)
     if getattr(args, "serving_npz", ""):
         # AOT artifact: weights/geometry/token order all come from the
         # file; --vgg_int8 is cross-checked against the baked token path
-        if fleet_n:
-            raise SystemExit(
-                "--fleet needs model params to build the batched step; AOT "
-                "serving artifacts bake batch-1 programs — re-run without "
-                "--serving_npz (or export a batched artifact and use the "
-                "fleet API directly)")
         from ntm_tracker_tpu.cli import _serving_tracker
 
         tracker = _serving_tracker(args.serving_npz, args)

@@ -281,6 +281,28 @@ class TestValidateSmoke:
         ]) == 0
         assert "mean IoU" in capsys.readouterr().out
 
+    def test_fleet_replay_runs(self, dataset, tmp_path, capsys):
+        import pickle
+
+        seq_dir = os.path.join(dataset, "train_seq00_0")
+        frames = [f"{i:06d}" for i in range(3)]
+        pkl = tmp_path / "val.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump([(seq_dir, frames)] * 2, f)  # 2 seqs, one wave
+        assert _run([
+            "validate", *MODEL_TINY, "--pickle_path", str(pkl),
+            "--fleet", "2", "--log_dir", str(tmp_path),
+        ]) == 0
+        assert "mean IoU" in capsys.readouterr().out
+
+    def test_fleet_rejects_serving_npz(self, tmp_path):
+        with pytest.raises(SystemExit, match="fleet"):
+            _run([
+                "validate", *MODEL_TINY,
+                "--pickle_path", str(tmp_path / "x.pkl"),
+                "--serving_npz", str(tmp_path / "a.npz"), "--fleet", "2",
+            ])
+
 
 def _tiny_pickle(tmp_path, rng, n_seqs=1, n_frames=4, gt_side=28):
     """generated_sequences.pkl shape (mining.gen_sequences) with real JPEGs."""
