@@ -542,16 +542,15 @@ def _resolve_tracker_weights(args, cfg, core):
     return params
 
 
-def _serving_tracker(serving_npz: str, args):
-    """Build a StreamingTracker from an AOT artifact, cross-checking the
-    baked token path against --vgg_int8: the artifact's lowered programs
-    fix exact-vs-int8 at export time, so a flag that disagrees with the
-    file must fail loudly instead of silently serving the other path
-    (same invariant as train/experiments.py's feature-cache check)."""
+def _load_serving_model(serving_npz: str, args):
+    """Load an AOT artifact, cross-checking the baked token path against
+    --vgg_int8: the artifact's lowered programs fix exact-vs-int8 at export
+    time, so a flag that disagrees with the file must fail loudly instead
+    of silently serving the other path (same invariant as
+    train/experiments.py's feature-cache check)."""
     import sys
 
     from ntm_tracker_tpu.tools.export_serving import ServingModel
-    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
 
     model = ServingModel(serving_npz)
     baked = bool(model.meta.get("vgg_int8"))
@@ -563,7 +562,14 @@ def _serving_tracker(serving_npz: str, args):
         print(f"note: {serving_npz} bakes int8 VGG tokens (quantized "
               "numerics); exported that way via export-serving --vgg_int8",
               file=sys.stderr)
-    return StreamingTracker.from_serving(model)
+    return model
+
+
+def _serving_tracker(serving_npz: str, args):
+    """StreamingTracker from an AOT artifact (int8 flag cross-checked)."""
+    from ntm_tracker_tpu.tracking.tracker import StreamingTracker
+
+    return StreamingTracker.from_serving(_load_serving_model(serving_npz, args))
 
 
 def cmd_track_vot(args) -> int:
@@ -1030,7 +1036,11 @@ def cmd_export_serving(args) -> int:
     print(f"exported init/first/step for platforms {meta['platforms']} "
           f"(batch {meta['batch']}, {tokens}{meta['core']} core) -> {args.out} "
           f"({_os.path.getsize(args.out) / 1e6:.1f} MB)")
-    print("serve with: StreamingTracker.from_serving(ServingModel(path))")
+    if meta["batch"] == 1:
+        print("serve with: StreamingTracker.from_serving(ServingModel(path))")
+    else:
+        print("serve with: FleetTracker.from_serving(ServingModel(path)) "
+              f"or validate --fleet {meta['batch']} --serving_npz")
     return 0
 
 
@@ -1390,8 +1400,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="quantized VGG token convs (see track-vot)")
     val.add_argument("--fleet", type=int, default=0, metavar="N",
                      help="replay up to N sequences per batched device step "
-                     "(tracking/fleet.py) instead of one at a time; "
-                     "incompatible with --serving_npz")
+                     "(tracking/fleet.py) instead of one at a time; with "
+                     "--serving_npz, N must equal the artifact's baked "
+                     "batch (export-serving --batch N)")
     val.set_defaults(fn=cmd_validate)
 
     ms = sub.add_parser("mine-sequences",

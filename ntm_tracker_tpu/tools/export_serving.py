@@ -7,9 +7,14 @@ a fresh process — with no access to this package's model code or weights —
 deserializes and runs. This tool packages the streaming tracker's THREE
 serving entry points into one `.npz`:
 
-  init   ()                          -> state leaves   (learnable init state)
-  first  (crops [B,S,S,3], gt [B,F]) -> (offsets [B,2], state leaves)
+  init   ()                          -> state leaves [B,...]  (learnable)
+  first  (crops [1,S,S,3], gt [1,F]) -> (offsets [1,2], B=1 state leaves)
   step   (crops [B,S,S,3], leaves)   -> (offsets [B,2], state leaves)
+
+first is ALWAYS baked at batch 1 — presenting a first frame is a per-track
+event (StreamingTracker serves B=1; FleetTracker.add presents one track and
+merges its state into the batch), while init/step carry the artifact batch
+(--batch N exports a fleet-servable artifact: FleetTracker.from_serving).
 
 Weights (VGG + cell + learnable initial state) are baked into the artifact
 as constants, so the artifact is the complete serving unit — the frame math
@@ -68,11 +73,16 @@ def export_serving(
 
     state0 = jax.eval_shape(lambda: core.init_state(params, batch))
     leaves0, treedef = jax.tree_util.tree_flatten(state0)
+    state1 = jax.eval_shape(lambda: core.init_state(params, 1))
+    leaves1 = jax.tree_util.tree_flatten(state1)[0]
 
     def flat_init():
         return tuple(jax.tree_util.tree_leaves(core.init_state(params, batch)))
 
     def flat_first(crops, gt, *leaves):
+        # ALWAYS batch 1: first-frame presentation is a per-track event
+        # (FleetTracker.add runs it at B=1 and merges the slot state), and
+        # the batch-1 StreamingTracker is unchanged by this
         state = jax.tree_util.tree_unflatten(treedef, leaves)
         offsets, new_state = frame_fn(crops, gt, state)
         return (offsets, *jax.tree_util.tree_leaves(new_state))
@@ -84,13 +94,15 @@ def export_serving(
 
     S = cfg.data.crop_size
     crops_spec = jax.ShapeDtypeStruct((batch, S, S, 3), np.float32)
-    gt_spec = jax.ShapeDtypeStruct((batch, cfg.num_features), np.float32)
+    crops1_spec = jax.ShapeDtypeStruct((1, S, S, 3), np.float32)
+    gt1_spec = jax.ShapeDtypeStruct((1, cfg.num_features), np.float32)
     leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves0]
+    leaf1_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves1]
 
     kw = {"platforms": list(platforms)} if platforms else {}
     exp_init = jexport.export(jax.jit(flat_init), **kw)()
     exp_first = jexport.export(jax.jit(flat_first), **kw)(
-        crops_spec, gt_spec, *leaf_specs)
+        crops1_spec, gt1_spec, *leaf1_specs)
     exp_step = jexport.export(jax.jit(flat_step), **kw)(
         crops_spec, *leaf_specs)
 
@@ -99,6 +111,7 @@ def export_serving(
     meta = {
         "format": _FORMAT,
         "batch": batch,
+        "first_batch": 1,  # first is a per-track event (FleetTracker.add)
         "crop_size": S,
         "num_features": cfg.num_features,
         "core": cfg.core,
@@ -136,6 +149,27 @@ def _portable(cfg):
 
 def save_serving(path: str, artifact: dict) -> None:
     np.savez(path, **artifact)
+
+
+def config_from_meta(meta: dict):
+    """Reconstruct the host-geometry TrackerConfig from artifact meta — the
+    ONE decoder for every from_serving constructor (StreamingTracker and
+    FleetTracker). Weights/programs stay in the artifact; this config only
+    drives host-side crop/recrop geometry."""
+    from ntm_tracker_tpu.config import DataConfig, TrackerConfig
+
+    data = dict(meta["data"])
+    data["resize_hw"] = tuple(data["resize_hw"])  # JSON round trip
+    fp = meta.get("feature_points")
+    if fp is not None and len(fp) != meta["num_features"]:
+        raise ValueError(
+            f"corrupt artifact meta: {len(fp)} feature_points vs "
+            f"num_features={meta['num_features']}")
+    return TrackerConfig(
+        core=meta["core"], data=DataConfig(**data),
+        num_features=meta["num_features"],
+        feature_points=(None if fp is None else
+                        tuple(tuple(p) for p in fp)))
 
 
 class ServingModel:

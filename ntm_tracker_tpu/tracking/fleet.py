@@ -56,17 +56,26 @@ class FleetTracker:
         core: Optional[MemoryCore] = None,
         delimiter_first: bool = False,
         mesh: Any = None,
+        serving_model: Any = None,
     ):
         """mesh: optional jax.sharding.Mesh — shards the slot axis over its
         devices so the fleet step runs SPMD across the local chips (each
         chip serves capacity/n_devices tracks; GSPMD propagates the batch
-        sharding from the crop/state operands through the jitted step)."""
+        sharding from the crop/state operands through the jitted step).
+
+        serving_model: a tools/export_serving.ServingModel exported with
+        --batch == capacity — the AOT programs replace the jitted steps
+        (vgg_params/params/core unused); build via FleetTracker.from_serving."""
         self.cfg = cfg
         self.capacity = capacity
-        self.core = core or make_core(cfg)
+        self._serving = serving_model
         self.params = params
         self._sharding = None
         if mesh is not None:
+            if serving_model is not None:
+                raise ValueError(
+                    "mesh-sharded fleets need the jitted step (GSPMD "
+                    "propagation); AOT artifacts bake an unsharded program")
             n_dev = int(mesh.devices.size)
             if capacity % n_dev:
                 raise ValueError(
@@ -75,10 +84,18 @@ class FleetTracker:
             from ntm_tracker_tpu.parallel.mesh import batch_sharding
 
             self._sharding = batch_sharding(mesh)
-        self._step_first, self._step_rest = build_frame_step(
-            cfg, self.core, vgg_params, params,
-            donate_state=False, delimiter_first=delimiter_first,
-        )
+        if serving_model is not None:
+            self.core = core  # unused; kept for introspection only
+            self._init_full = serving_model.init_state()  # leaves at capacity
+            self._step_first = serving_model.first  # baked at B=1
+            self._step_rest = serving_model.step  # baked at B=capacity
+        else:
+            self.core = core or make_core(cfg)
+            self._init_full = None
+            self._step_first, self._step_rest = build_frame_step(
+                cfg, self.core, vgg_params, params,
+                donate_state=False, delimiter_first=delimiter_first,
+            )
         d = cfg.data
         self._crop_jit = jax.jit(
             lambda imgs, boxes: crop_and_resize(
@@ -86,8 +103,36 @@ class FleetTracker:
                 boxes, (d.crop_size, d.crop_size),
             )
         )
-        self.state = self._shard(self.core.init_state(params, capacity))
+        self.state = self._shard(self._fresh_state(capacity))
         self._tracks: List[Optional[_Track]] = [None] * capacity
+
+    @classmethod
+    def from_serving(cls, model):
+        """Fleet-serve an AOT artifact (export-serving --batch N): capacity,
+        geometry, token order, weights and programs all come from the file —
+        no model code, no weights, no compile."""
+        from ntm_tracker_tpu.tools.export_serving import config_from_meta
+
+        meta = model.meta
+        if meta.get("first_batch") != 1:
+            raise ValueError(
+                "artifact predates fleet serving (its first-frame program "
+                "is not batch-1); re-export with export-serving --batch "
+                f"{meta['batch']}")
+        return cls(config_from_meta(meta), None, None,
+                   capacity=meta["batch"],
+                   delimiter_first=meta["delimiter_first"],
+                   serving_model=model)
+
+    def _fresh_state(self, n: int):
+        """Learnable initial state for n slots. Serving artifacts bake it at
+        capacity; every leaf is the same learnable state broadcast along the
+        slot axis, so n < capacity is a slice."""
+        if self._serving is not None:
+            if n == self.capacity:
+                return self._init_full
+            return jax.tree.map(lambda l: l[:n], self._init_full)
+        return self.core.init_state(self.params, n)
 
     def _shard(self, tree):
         if self._sharding is None:
@@ -120,7 +165,7 @@ class FleetTracker:
         # run the first-frame step at B=1 (the jit specializes per shape, so
         # this costs one track's compute, not a full-capacity VGG pass) and
         # merge that slot's state into the fleet batch
-        fresh1 = self.core.init_state(self.params, 1)
+        fresh1 = self._fresh_state(1)
         _, stepped1 = self._step_first(
             crop, jnp.asarray(gt.reshape(1, -1)), fresh1
         )
@@ -133,7 +178,7 @@ class FleetTracker:
 
     def remove(self, slot: int) -> None:
         self._tracks[slot] = None
-        fresh = self.core.init_state(self.params, self.capacity)
+        fresh = self._fresh_state(self.capacity)
         self.state = jax.tree.map(
             lambda cur, new: cur.at[slot].set(new[slot])
             if hasattr(cur, "at") else cur,

@@ -277,24 +277,15 @@ class StreamingTracker:
     def from_serving(cls, model):
         """Drive the host-geometry loop from an exported serving artifact —
         no model code, no weights, no compile."""
-        from ntm_tracker_tpu.config import DataConfig, TrackerConfig as TC
+        from ntm_tracker_tpu.tools.export_serving import config_from_meta
 
         meta = model.meta
         if meta["batch"] != 1:
             raise ValueError(
-                f"StreamingTracker needs a batch-1 artifact, got {meta['batch']}")
-        data = dict(meta["data"])
-        data["resize_hw"] = tuple(data["resize_hw"])  # JSON round trip
-        fp = meta.get("feature_points")
-        if fp is not None and len(fp) != meta["num_features"]:
-            raise ValueError(
-                f"corrupt artifact meta: {len(fp)} feature_points vs "
-                f"num_features={meta['num_features']}")
-        cfg = TC(core=meta["core"], data=DataConfig(**data),
-                 num_features=meta["num_features"],
-                 feature_points=(None if fp is None else
-                                 tuple(tuple(p) for p in fp)))
-        return cls(cfg, None, None,
+                f"StreamingTracker needs a batch-1 artifact, got "
+                f"{meta['batch']} (fleet-sized artifacts serve via "
+                "FleetTracker.from_serving)")
+        return cls(config_from_meta(meta), None, None,
                    delimiter_first=meta["delimiter_first"],
                    serving_model=model)
 

@@ -88,7 +88,7 @@ def _frame_and_gt(seq_path: str, frame_name: str):
 
 def replay_sequences_fleet(
     seqs, cfg, vgg_params, params, core=None, capacity: int = 8, log=print,
-    delimiter_first: bool = False,
+    delimiter_first: bool = False, fleet=None,
 ) -> List[List[float]]:
     """replay_sequences over a FleetTracker: up to `capacity` sequences
     advance per batched device step (tracking/fleet.py), so the chip
@@ -96,14 +96,17 @@ def replay_sequences_fleet(
     (validate_tracker.py:1-40) is strictly one-sequence-at-a-time. Finished
     slots are refilled from the remaining sequences immediately (no wave
     barrier). Same outputs as replay_sequences: raw per-frame IoUs per
-    sequence, clamped-mean logging."""
+    sequence, clamped-mean logging. Pass `fleet` (e.g.
+    FleetTracker.from_serving) to replay through a prebuilt fleet instead
+    of cfg/vgg_params/params."""
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
     from ntm_tracker_tpu.tracking.fleet import FleetTracker
 
-    core = core or make_core(cfg)
-    fleet = FleetTracker(cfg, vgg_params, params, capacity=capacity,
-                         core=core, delimiter_first=delimiter_first)
+    if fleet is None:
+        core = core or make_core(cfg)
+        fleet = FleetTracker(cfg, vgg_params, params, capacity=capacity,
+                             core=core, delimiter_first=delimiter_first)
     all_ious: List[List[float]] = [[] for _ in seqs]
     active: dict = {}  # slot -> [seq_idx, next_frame_pos]
     next_seq = 0
@@ -152,22 +155,30 @@ def replay_sequences_fleet(
 def validate_tracker(args) -> int:
     """CLI glue: load the pickle, build the model, replay."""
     fleet_n = int(getattr(args, "fleet", 0) or 0)
-    if fleet_n and getattr(args, "serving_npz", ""):
-        raise SystemExit(
-            "--fleet needs model params to build the batched step; AOT "
-            "serving artifacts bake batch-1 programs — re-run without "
-            "--serving_npz (or export a batched artifact and use the "
-            "fleet API directly)")
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
 
     if getattr(args, "serving_npz", ""):
         # AOT artifact: weights/geometry/token order all come from the
         # file; --vgg_int8 is cross-checked against the baked token path
-        from ntm_tracker_tpu.cli import _serving_tracker
+        from ntm_tracker_tpu.cli import _load_serving_model, _serving_tracker
 
-        tracker = _serving_tracker(args.serving_npz, args)
-        ious = replay_sequences(seqs, None, None, None, tracker=tracker)
+        if fleet_n:
+            from ntm_tracker_tpu.tracking.fleet import FleetTracker
+
+            model = _load_serving_model(args.serving_npz, args)
+            if model.meta["batch"] != fleet_n:
+                raise SystemExit(
+                    f"--fleet {fleet_n} but {args.serving_npz} bakes batch "
+                    f"{model.meta['batch']} programs; pass --fleet "
+                    f"{model.meta['batch']} or re-export with "
+                    f"export-serving --batch {fleet_n}")
+            fleet = FleetTracker.from_serving(model)
+            ious = replay_sequences_fleet(seqs, None, None, None,
+                                          fleet=fleet)
+        else:
+            tracker = _serving_tracker(args.serving_npz, args)
+            ious = replay_sequences(seqs, None, None, None, tracker=tracker)
     else:
         from ntm_tracker_tpu.cli import (
             _load_vgg,

@@ -295,13 +295,6 @@ class TestValidateSmoke:
         ]) == 0
         assert "mean IoU" in capsys.readouterr().out
 
-    def test_fleet_rejects_serving_npz(self, tmp_path):
-        with pytest.raises(SystemExit, match="fleet"):
-            _run([
-                "validate", *MODEL_TINY,
-                "--pickle_path", str(tmp_path / "x.pkl"),
-                "--serving_npz", str(tmp_path / "a.npz"), "--fleet", "2",
-            ])
 
 
 def _tiny_pickle(tmp_path, rng, n_seqs=1, n_frames=4, gt_side=28):

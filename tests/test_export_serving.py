@@ -283,3 +283,72 @@ class TestCLI:
         ])
         with pytest.raises(SystemExit, match="exact token path"):
             args.fn(args)
+
+
+class TestFleetServing:
+    @pytest.fixture(scope="class")
+    def exported2(self, tmp_path_factory):
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        path = str(tmp_path_factory.mktemp("export2") / "serving_b2.npz")
+        save_serving(path, export_serving(cfg, core, vgg, params, batch=2))
+        return cfg, core, vgg, params, path
+
+    def test_fleet_from_serving_matches_live_fleet(self, exported2):
+        """export-serving --batch N artifacts drive a FleetTracker with no
+        model code: first is baked at B=1 (per-track add), init/step at N."""
+        from ntm_tracker_tpu.tracking.fleet import FleetTracker
+
+        cfg, core, vgg, params, path = exported2
+        model = ServingModel(path)
+        assert model.meta["batch"] == 2
+        assert model.meta["first_batch"] == 1
+
+        rng = np.random.RandomState(3)
+        img_a = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+        img_b = (rng.rand(50, 70, 3) * 255).astype(np.uint8)
+        region_a = (30.0, 15.0, 20.0, 16.0)
+        region_b = (20.0, 10.0, 16.0, 12.0)
+
+        live = FleetTracker(cfg, vgg, params, capacity=2, core=core)
+        la, lb = live.add(img_a, region_a), live.add(img_b, region_b)
+        served = FleetTracker.from_serving(model)
+        sa, sb = served.add(img_a, region_a), served.add(img_b, region_b)
+
+        for _ in range(3):
+            live_out = live.step({la: img_a, lb: img_b})
+            served_out = served.step({sa: img_a, sb: img_b})
+            np.testing.assert_allclose(served_out[sa], live_out[la],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(served_out[sb], live_out[lb],
+                                       rtol=1e-4, atol=1e-3)
+        # slot reuse through the artifact's sliced init state
+        served.remove(sa)
+        sa2 = served.add(img_a, region_a)
+        assert sa2 == sa
+
+    def test_streaming_tracker_rejects_fleet_artifact(self, exported2):
+        *_, path = exported2
+        with pytest.raises(ValueError, match="batch-1"):
+            StreamingTracker.from_serving(ServingModel(path))
+
+    def test_validate_fleet_batch_mismatch_fails_loudly(self, exported,
+                                                        tmp_path):
+        """validate --fleet N with an artifact baked at another batch must
+        fail with the re-export guidance, not silently serve differently."""
+        from ntm_tracker_tpu.cli import build_parser
+
+        *_, path = exported
+        (tmp_path / "val.pkl").write_bytes(b"")  # never reached
+        import pickle
+
+        with open(tmp_path / "val.pkl", "wb") as f:
+            pickle.dump([], f)
+        args = build_parser().parse_args([
+            "validate", "--pickle_path", str(tmp_path / "val.pkl"),
+            "--serving_npz", path, "--fleet", "2",
+        ])
+        with pytest.raises(SystemExit, match="bakes batch"):
+            args.fn(args)
