@@ -334,6 +334,44 @@ class TestFleetServing:
         with pytest.raises(ValueError, match="batch-1"):
             StreamingTracker.from_serving(ServingModel(path))
 
+    def test_validate_fleet_serves_batched_artifact(self, exported2,
+                                                    tmp_path, capsys):
+        """CLI success path: validate --fleet N --serving_npz with an
+        artifact baked at batch N replays sequences through
+        FleetTracker.from_serving."""
+        import pickle
+
+        from PIL import Image
+
+        from ntm_tracker_tpu.cli import build_parser
+
+        *_, path = exported2
+        rng = np.random.RandomState(5)
+        seqs = []
+        for s in range(2):
+            seq_dir = tmp_path / f"seq{s}"
+            seq_dir.mkdir()
+            frames = []
+            for i in range(3):
+                arr = (rng.rand(90, 120, 3) * 255).astype(np.uint8)
+                img_path = str(tmp_path / f"s{s}_{i:06d}.JPEG")
+                Image.fromarray(arr).save(img_path)
+                (seq_dir / f"{i:06d}.txt").write_text(
+                    ",".join(["0.2", "0.25", "0.8", "0.85",
+                              "0.125", "0.125", "0.875", "0.875",
+                              img_path, "0.0", "0.0"]))
+                frames.append(f"{i:06d}")
+            seqs.append((str(seq_dir), frames))
+        pkl = tmp_path / "val.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(seqs, f)
+        args = build_parser().parse_args([
+            "validate", "--pickle_path", str(pkl),
+            "--serving_npz", path, "--fleet", "2",
+        ])
+        assert args.fn(args) == 0
+        assert "overall mean IoU" in capsys.readouterr().out
+
     def test_validate_fleet_batch_mismatch_fails_loudly(self, exported,
                                                         tmp_path):
         """validate --fleet N with an artifact baked at another batch must
