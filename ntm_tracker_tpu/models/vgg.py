@@ -281,8 +281,8 @@ def vgg16_conv43_tokens(
     204x204 patch and running the whole stack VALID therefore yields
     BIT-IDENTICAL tokens to extract_features(vgg16_features(images)) at f32
     (asserted in tests/test_vgg.py) at 16.1 vs 27.9 GFLOP per crop (-42%):
-    measured 5087 -> 6044 -> 6900+ frames/s/chip on v5e across the two
-    rounds of this optimization.
+    measured 5087 -> 7926 frames/s/chip on v5e with this optimization
+    (BENCH_r02.json).
 
     Only valid for 224x224 inputs and the canonical grid; callers with
     custom feature_points use the general path.

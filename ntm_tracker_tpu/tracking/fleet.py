@@ -3,8 +3,8 @@
 The serving-scale counterpart of StreamingTracker: N independent tracks
 share ONE jitted frame step (crops [N,224,224,3] -> offsets [N,2] + batched
 state), so the chip amortizes the VGG + NTM work across the fleet — this is
-exactly the configuration the headline benchmark measures (~5000 tracked
-frames/s/chip at N=256). Host-side crop/decode geometry stays per-track
+exactly the configuration the headline benchmark measures (~7950 tracked
+frames/s/chip at N=256 on v5e, BENCH_r02.json). Host-side crop/decode geometry stays per-track
 (cheap numpy).
 
 Tracks are slot-based: `add(image, region)` claims a slot, `step(images)`
