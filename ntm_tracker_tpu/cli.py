@@ -1022,10 +1022,19 @@ def cmd_export_serving(args) -> int:
     params = _resolve_tracker_weights(args, cfg, core)
 
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
+    device_loop = None
+    if getattr(args, "device_loop", ""):
+        try:
+            h, w = args.device_loop.lower().split("x")
+            device_loop = (int(h), int(w))
+        except ValueError:
+            raise SystemExit(
+                f"--device_loop wants HxW (e.g. 360x640), got "
+                f"{args.device_loop!r}")
     artifact = export_serving(
         cfg, core, vgg_params, params, batch=args.batch,
         delimiter_first=getattr(args, "delimiter_first", False),
-        platforms=platforms,
+        platforms=platforms, device_loop=device_loop,
     )
     save_serving(args.out, artifact)
     import json as _json
@@ -1033,7 +1042,11 @@ def cmd_export_serving(args) -> int:
 
     meta = _json.loads(str(artifact["meta"]))
     tokens = "int8 tokens, " if meta.get("vgg_int8") else ""
-    print(f"exported init/first/step for platforms {meta['platforms']} "
+    entries = "init/first/step"
+    if meta.get("device_loop"):
+        h, w = meta["device_loop"]
+        entries += f"/dinit/dstep@{h}x{w}"
+    print(f"exported {entries} for platforms {meta['platforms']} "
           f"(batch {meta['batch']}, {tokens}{meta['core']} core) -> {args.out} "
           f"({_os.path.getsize(args.out) / 1e6:.1f} MB)")
     if meta["batch"] == 1:
@@ -1493,6 +1506,11 @@ def build_parser() -> argparse.ArgumentParser:
     es.add_argument("--batch", type=int, default=1,
                     help="batch baked into the artifact (1 = streaming "
                     "tracker; >1 = fleet-style batches)")
+    es.add_argument("--device_loop", default="", metavar="HxW",
+                    help="also bake the fully device-resident track loop "
+                    "(crop geometry + VGG + cell steps + recrop feedback "
+                    "in one program) at this raw-frame geometry, e.g. "
+                    "360x640 (ServingModel.device_init/device_step)")
     es.add_argument("--platforms", default="",
                     help="comma-separated lowering platforms (e.g. "
                     "tpu,cpu); default = the current backend")

@@ -11,6 +11,15 @@ serving entry points into one `.npz`:
   first  (crops [1,S,S,3], gt [1,F]) -> (offsets [1,2], B=1 state leaves)
   step   (crops [B,S,S,3], leaves)   -> (offsets [B,2], state leaves)
 
+plus, with `device_loop=(H, W)` (CLI `--device_loop HxW`), the fully
+device-resident loop of tracking/tracker.py:make_device_track_step — crop
+geometry, VGG, 65 cell steps AND the recrop feedback in one program, for
+pipelines whose frames are already on device (raw RGB, fixed HxW):
+
+  dinit  (frames [B,H,W,3], bbox0 [B,4], leaves) -> state leaves
+  dstep  (frames [B,H,W,3], bbox [B,4], leaves)
+         -> (region [B,4] x,y,w,h px, next_bbox [B,4], state leaves)
+
 first is ALWAYS baked at batch 1 — presenting a first frame is a per-track
 event (StreamingTracker serves B=1; FleetTracker.add presents one track and
 merges its state into the batch), while init/step carry the artifact batch
@@ -56,9 +65,11 @@ def export_serving(
     batch: int = 1,
     delimiter_first: bool = False,
     platforms: Optional[Sequence[str]] = None,
+    device_loop: Optional[Tuple[int, int]] = None,
 ) -> dict:
     """Export init/first/step as serialized StableHLO; returns the artifact
-    dict (np.savez-able)."""
+    dict (np.savez-able). device_loop=(H, W) additionally bakes the
+    device-resident track loop at that frame geometry (dinit/dstep)."""
     import jax
     from jax import export as jexport
 
@@ -106,6 +117,33 @@ def export_serving(
     exp_step = jexport.export(jax.jit(flat_step), **kw)(
         crops_spec, *leaf_specs)
 
+    exp_dinit = exp_dstep = None
+    if device_loop is not None:
+        from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+        H, W = int(device_loop[0]), int(device_loop[1])
+        if H < 2 or W < 2:
+            raise ValueError(f"device_loop frame geometry too small: {H}x{W}")
+        dinit_fn, dstep_fn = make_device_track_step(
+            cfg, core, vgg_params, params, delimiter_first=delimiter_first)
+
+        def flat_dinit(frames, bbox0, *leaves):
+            state = jax.tree_util.tree_unflatten(treedef, leaves)
+            new_state = dinit_fn(frames, bbox0, state)
+            return tuple(jax.tree_util.tree_leaves(new_state))
+
+        def flat_dstep(frames, bbox, *leaves):
+            state = jax.tree_util.tree_unflatten(treedef, leaves)
+            region, nbbox, new_state = dstep_fn(frames, bbox, state)
+            return (region, nbbox, *jax.tree_util.tree_leaves(new_state))
+
+        frames_spec = jax.ShapeDtypeStruct((batch, H, W, 3), np.float32)
+        bbox_spec = jax.ShapeDtypeStruct((batch, 4), np.float32)
+        exp_dinit = jexport.export(jax.jit(flat_dinit), **kw)(
+            frames_spec, bbox_spec, *leaf_specs)
+        exp_dstep = jexport.export(jax.jit(flat_dstep), **kw)(
+            frames_spec, bbox_spec, *leaf_specs)
+
     import dataclasses
 
     meta = {
@@ -123,18 +161,27 @@ def export_serving(
         # lowered programs; nothing host-side branches on this
         "vgg_int8": bool(getattr(cfg, "vgg_int8", False)),
         "platforms": list(exp_step.platforms),
+        # frame geometry the device-resident loop was baked at (or None)
+        "device_loop": (None if device_loop is None
+                        else [int(device_loop[0]), int(device_loop[1])]),
         "state_leaves": [
             {"shape": list(l.shape), "dtype": str(np.dtype(l.dtype))}
             for l in leaves0
         ],
         "jax_version": jax.__version__,
     }
-    return {
+    artifact = {
         "meta": np.asarray(json.dumps(meta)),
         "init": np.frombuffer(bytes(exp_init.serialize()), np.uint8),
         "first": np.frombuffer(bytes(exp_first.serialize()), np.uint8),
         "step": np.frombuffer(bytes(exp_step.serialize()), np.uint8),
     }
+    if exp_dinit is not None:
+        artifact["dinit"] = np.frombuffer(
+            bytes(exp_dinit.serialize()), np.uint8)
+        artifact["dstep"] = np.frombuffer(
+            bytes(exp_dstep.serialize()), np.uint8)
+    return artifact
 
 
 def _portable(cfg):
@@ -189,12 +236,20 @@ class ServingModel:
             self._init = jexport.deserialize(z["init"].tobytes())
             self._first = jexport.deserialize(z["first"].tobytes())
             self._step = jexport.deserialize(z["step"].tobytes())
+            self._dinit = (jexport.deserialize(z["dinit"].tobytes())
+                           if "dinit" in z else None)
+            self._dstep = (jexport.deserialize(z["dstep"].tobytes())
+                           if "dstep" in z else None)
         # jit the .call wrappers once: eager Exported.call re-traces per
         # invocation (~0.6 ms/call host overhead measured on CPU — ~30% of
         # the whole B=1 frame step), defeating the artifact's latency point
         self._init_call = jax.jit(self._init.call)
         self._first_call = jax.jit(self._first.call)
         self._step_call = jax.jit(self._step.call)
+        self._dinit_call = (jax.jit(self._dinit.call)
+                            if self._dinit is not None else None)
+        self._dstep_call = (jax.jit(self._dstep.call)
+                            if self._dstep is not None else None)
 
     @staticmethod
     def _f32(x):
@@ -217,3 +272,29 @@ class ServingModel:
     def step(self, crops, leaves) -> Tuple[np.ndarray, Tuple]:
         out = self._step_call(self._f32(crops), *leaves)
         return np.asarray(out[0]), tuple(out[1:])
+
+    # -- device-resident loop (export-serving --device_loop HxW) ----------
+    @property
+    def has_device_loop(self) -> bool:
+        return self._dstep is not None
+
+    def _need_device_loop(self):
+        if self._dstep is None:
+            raise ValueError(
+                "artifact has no device-resident loop; re-export with "
+                "export-serving --device_loop HxW")
+
+    def device_init(self, frames, bbox0, leaves) -> Tuple:
+        """frames [B,H,W,3] raw RGB at the baked geometry, bbox0 [B,4]
+        y1x1y2x2 in the tracker's /(dim-1) normalization -> state leaves."""
+        self._need_device_loop()
+        return tuple(self._dinit_call(
+            self._f32(frames), self._f32(bbox0), *leaves))
+
+    def device_step(self, frames, bbox, leaves):
+        """-> (region [B,4] x,y,w,h px np.ndarray, next_bbox [B,4] jax
+        array, state leaves). next_bbox stays on device: it feeds straight
+        back into the next device_step."""
+        self._need_device_loop()
+        out = self._dstep_call(self._f32(frames), self._f32(bbox), *leaves)
+        return np.asarray(out[0]), out[1], tuple(out[2:])

@@ -285,6 +285,85 @@ class TestCLI:
             args.fn(args)
 
 
+class TestDeviceLoopExport:
+    H, W = 48, 64
+
+    @pytest.fixture(scope="class")
+    def exported_dev(self, tmp_path_factory):
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        path = str(tmp_path_factory.mktemp("exportd") / "serving_dev.npz")
+        save_serving(path, export_serving(
+            cfg, core, vgg, params, batch=1, device_loop=(self.H, self.W)))
+        return cfg, core, vgg, params, path
+
+    def test_device_loop_matches_live(self, exported_dev):
+        """dinit/dstep reproduce make_device_track_step's closed-loop
+        region/bbox trajectory from the artifact alone."""
+        from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+        cfg, core, vgg, params, path = exported_dev
+        model = ServingModel(path)
+        assert model.has_device_loop
+        assert model.meta["device_loop"] == [self.H, self.W]
+
+        rng = np.random.RandomState(7)
+        frames = (rng.rand(4, self.H, self.W, 3) * 255).astype(np.float32)
+        x, y, w, h = 20.0, 12.0, 18.0, 14.0
+        bbox0 = np.asarray([[y / (self.H - 1), x / (self.W - 1),
+                             (y + h) / (self.H - 1),
+                             (x + w) / (self.W - 1)]], np.float32)
+
+        init_fn, step_fn = make_device_track_step(cfg, core, vgg, params)
+        state_l = init_fn(frames[0:1], jnp.asarray(bbox0),
+                          core.init_state(params, 1))
+        bbox_l = jnp.asarray(bbox0)
+
+        leaves = model.init_state()
+        leaves = model.device_init(frames[0:1], bbox0, leaves)
+        bbox_s = bbox0
+
+        for t in range(1, 4):
+            region_l, bbox_l, state_l = step_fn(frames[t:t + 1], bbox_l,
+                                                state_l)
+            region_s, bbox_s, leaves = model.device_step(frames[t:t + 1],
+                                                         bbox_s, leaves)
+            np.testing.assert_allclose(region_s, np.asarray(region_l),
+                                       rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(bbox_s),
+                                       np.asarray(bbox_l),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_plain_artifact_has_no_device_loop(self, exported_dev):
+        from ntm_tracker_tpu.tools.export_serving import ServingModel as SM
+
+        cfg, core, vgg, params, _ = exported_dev
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            p = td + "/plain.npz"
+            save_serving(p, export_serving(cfg, core, vgg, params, batch=1))
+            plain = SM(p)
+            assert not plain.has_device_loop
+            assert plain.meta["device_loop"] is None
+            with pytest.raises(ValueError, match="device_loop"):
+                plain.device_step(np.zeros((1, 8, 8, 3)),
+                                  np.zeros((1, 4)), plain.init_state())
+
+    def test_cli_flag_parses_and_rejects_garbage(self, tmp_path):
+        from ntm_tracker_tpu.cli import build_parser
+
+        args = build_parser().parse_args([
+            "export-serving", "--mem_size", "16", "--mem_dim", "8",
+            "--hidden_size", "24", "--read_head_size", "2",
+            "--device_loop", "48x64a", "--out", str(tmp_path / "x.npz"),
+        ])
+        with pytest.raises(SystemExit, match="HxW"):
+            args.fn(args)
+
+
 class TestFleetServing:
     @pytest.fixture(scope="class")
     def exported2(self, tmp_path_factory):
