@@ -184,6 +184,56 @@ class TestDeviceTrackStep:
             atol=0.05, rtol=1e-4,
         )
 
+    def test_batched_tracks_are_independent(self):
+        """The device loop at B=N (uniform-frame fleet serving: N tracks of
+        the same camera geometry in ONE program) must produce exactly what
+        N separate B=1 loops produce — no cross-sample coupling anywhere in
+        crop/VGG/cell/recrop."""
+        from ntm_tracker_tpu.models.core import make_core
+        from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+        cfg = tiny_cfg()
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+
+        rng = np.random.RandomState(1)
+        H, W = 60, 80
+        T, N = 4, 3
+        frames = (rng.rand(N, T, H, W, 3) * 255).astype(np.float32)
+        regions0 = [(30.0, 15.0, 20.0, 16.0), (20.0, 10.0, 24.0, 20.0),
+                    (40.0, 25.0, 16.0, 12.0)]
+
+        def norm(region):
+            x, y, w, h = region
+            return [y / (H - 1), x / (W - 1),
+                    (y + h) / (H - 1), (x + w) / (W - 1)]
+
+        init_fn, step_fn = make_device_track_step(cfg, core, vgg, params)
+
+        # batched run
+        bbox = jnp.asarray([norm(r) for r in regions0], jnp.float32)
+        state = init_fn(jnp.asarray(frames[:, 0]), bbox,
+                        core.init_state(params, N))
+        batched = []
+        for t in range(1, T):
+            region, bbox, state = step_fn(jnp.asarray(frames[:, t]),
+                                          bbox, state)
+            batched.append(np.asarray(region))
+
+        # N separate single-track runs
+        for i in range(N):
+            bbox1 = jnp.asarray([norm(regions0[i])], jnp.float32)
+            state1 = init_fn(jnp.asarray(frames[i, 0:1]), bbox1,
+                             core.init_state(params, 1))
+            for t in range(1, T):
+                region1, bbox1, state1 = step_fn(
+                    jnp.asarray(frames[i, t:t + 1]), bbox1, state1)
+                np.testing.assert_allclose(
+                    batched[t - 1][i], np.asarray(region1[0]),
+                    rtol=1e-5, atol=1e-4,
+                )
+
 
 class TestValidateAggregates:
     def test_aggregate_clamps_at_zero_per_frame_stays_raw(self, tmp_path):
