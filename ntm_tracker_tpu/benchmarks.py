@@ -224,6 +224,20 @@ def main():
             print(f"bench: int8 B=1 latency measurement skipped: {e}",
                   file=sys.stderr)
 
+    # secondary metric: the fully device-resident closed loop (crop
+    # geometry + VGG + cell steps + recrop feedback in ONE program,
+    # make_device_track_step) at the headline's best batch — the true
+    # end-to-end number for uniform-frame fleet serving, raw 360x640
+    # frames in, pixel regions out
+    devloop_fps = None
+    if platform != "cpu":
+        try:
+            devloop_fps = _device_loop_throughput(
+                cfg, core, vgg_params, params, best_batch)
+        except Exception as e:  # never let the secondary metric kill bench
+            print(f"bench: device-loop measurement skipped: {e}",
+                  file=__import__("sys").stderr)
+
     # secondary metric: training throughput from the feature cache
     # (train-offsets --feature_cache; the 1300-step BPTT without the VGG)
     train_fps = train_ms = None
@@ -254,6 +268,8 @@ def main():
                          if int8_fps else None),
         "int8_best_batch": int8_batch if int8_fps else None,
         "int8_frame_ms_b1": round(int8_ms_b1, 3) if int8_ms_b1 else None,
+        "device_loop_frames_per_sec": (round(float(devloop_fps), 1)
+                                       if devloop_fps else None),
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,
         "train_step_ms_cached": round(train_ms, 2) if train_ms else None,
         "train_mfu": (_train_mfu(train_ms, peak, *train_shape)
@@ -273,6 +289,37 @@ def main():
             _write_track_artifact()
         except Exception as e:
             print(f"bench: TRACK artifact failed: {e}", file=sys.stderr)
+
+
+def _device_loop_throughput(cfg, core, vgg_params, params, B: int,
+                            H: int = 360, W: int = 640,
+                            iters: int = 20) -> float:
+    """Frames/s of the closed device loop (make_device_track_step) at
+    batch B over raw HxW frames: includes the on-device crop_and_resize
+    and recrop-feedback geometry the headline frame-step number excludes.
+    Same best-of-3, value-fetch-sync protocol as bench_batch."""
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+    init_fn, step_fn = make_device_track_step(cfg, core, vgg_params, params)
+    rng = np.random.RandomState(1)
+    nb = min(B, 16)  # bound host scratch; identical tiles cost the same
+    block = (rng.rand(nb, H, W, 3) * 255).astype(np.float32)
+    frames = jnp.asarray(
+        np.tile(block, (-(-B // nb), 1, 1, 1))[:B] if B > nb else block)
+    bbox = jnp.tile(jnp.asarray([[0.3, 0.3, 0.6, 0.6]], jnp.float32), (B, 1))
+    state = init_fn(frames, bbox, core.init_state(params, B))
+    region, bbox, state = step_fn(frames, bbox, state)  # compile
+    np.asarray(region)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            region, bbox, state = step_fn(frames, bbox, state)
+        np.asarray(region)  # value fetch = hard sync (see bench_batch)
+        best = min(best, time.perf_counter() - t0)
+    return B * iters / best
 
 
 def _train_mfu(train_ms: float, peak_tflops: float | None,
