@@ -1016,12 +1016,8 @@ def cmd_export_serving(args) -> int:
         save_serving,
     )
 
-    cfg = _tracker_config(args, args.core)
-    vgg_params = _load_vgg(args)
-    core = make_core(cfg)
-    params = _resolve_tracker_weights(args, cfg, core)
-
-    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
+    # validate the flag FIRST: a typo must not cost the user the whole
+    # model/weights build before erroring
     device_loop = None
     if getattr(args, "device_loop", ""):
         try:
@@ -1031,6 +1027,16 @@ def cmd_export_serving(args) -> int:
             raise SystemExit(
                 f"--device_loop wants HxW (e.g. 360x640), got "
                 f"{args.device_loop!r}")
+        if device_loop[0] < 2 or device_loop[1] < 2:
+            raise SystemExit(
+                f"--device_loop frame geometry too small: {args.device_loop}")
+
+    cfg = _tracker_config(args, args.core)
+    vgg_params = _load_vgg(args)
+    core = make_core(cfg)
+    params = _resolve_tracker_weights(args, cfg, core)
+
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()] or None
     artifact = export_serving(
         cfg, core, vgg_params, params, batch=args.batch,
         delimiter_first=getattr(args, "delimiter_first", False),

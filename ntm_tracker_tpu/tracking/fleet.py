@@ -85,6 +85,13 @@ class FleetTracker:
 
             self._sharding = batch_sharding(mesh)
         if serving_model is not None:
+            baked = serving_model.meta.get("batch")
+            if baked != capacity:
+                raise ValueError(
+                    f"serving artifact bakes batch {baked} but fleet "
+                    f"capacity is {capacity}; use FleetTracker.from_serving "
+                    "(capacity comes from the file) or re-export with "
+                    f"export-serving --batch {capacity}")
             self.core = core  # unused; kept for introspection only
             self._init_full = serving_model.init_state()  # leaves at capacity
             self._step_first = serving_model.first  # baked at B=1

@@ -99,6 +99,8 @@ def replay_sequences_fleet(
     sequence, clamped-mean logging. Pass `fleet` (e.g.
     FleetTracker.from_serving) to replay through a prebuilt fleet instead
     of cfg/vgg_params/params."""
+    from PIL import Image
+
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.tracking.demo import mean_clamped_iou
     from ntm_tracker_tpu.tracking.fleet import FleetTracker
@@ -121,8 +123,9 @@ def replay_sequences_fleet(
             idx = next_seq
             next_seq += 1
             seq_path, frame_names = seqs[idx]
-            img, _ = _frame_and_gt(seq_path, frame_names[0])
-            _, region = get_image(os.path.join(seq_path, frame_names[0]))
+            imagepath, region = get_image(
+                os.path.join(seq_path, frame_names[0]))
+            img = np.asarray(Image.open(imagepath).convert("RGB"))
             slot = fleet.add(img, region)
             if len(frame_names) < 2:  # nothing to track
                 finish(slot, idx)
@@ -155,6 +158,8 @@ def replay_sequences_fleet(
 def validate_tracker(args) -> int:
     """CLI glue: load the pickle, build the model, replay."""
     fleet_n = int(getattr(args, "fleet", 0) or 0)
+    if fleet_n < 0:
+        raise SystemExit(f"--fleet wants a positive capacity, got {fleet_n}")
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
 

@@ -295,6 +295,13 @@ class TestValidateSmoke:
         ]) == 0
         assert "mean IoU" in capsys.readouterr().out
 
+    def test_negative_fleet_fails_loudly(self, tmp_path):
+        with pytest.raises(SystemExit, match="positive capacity"):
+            _run([
+                "validate", *MODEL_TINY,
+                "--pickle_path", str(tmp_path / "x.pkl"), "--fleet", "-2",
+            ])
+
 
 
 def _tiny_pickle(tmp_path, rng, n_seqs=1, n_frames=4, gt_side=28):

@@ -355,13 +355,14 @@ class TestDeviceLoopExport:
     def test_cli_flag_parses_and_rejects_garbage(self, tmp_path):
         from ntm_tracker_tpu.cli import build_parser
 
-        args = build_parser().parse_args([
-            "export-serving", "--mem_size", "16", "--mem_dim", "8",
-            "--hidden_size", "24", "--read_head_size", "2",
-            "--device_loop", "48x64a", "--out", str(tmp_path / "x.npz"),
-        ])
-        with pytest.raises(SystemExit, match="HxW"):
-            args.fn(args)
+        for bad, msg in (("48x64a", "HxW"), ("0x640", "too small")):
+            args = build_parser().parse_args([
+                "export-serving", "--mem_size", "16", "--mem_dim", "8",
+                "--hidden_size", "24", "--read_head_size", "2",
+                "--device_loop", bad, "--out", str(tmp_path / "x.npz"),
+            ])
+            with pytest.raises(SystemExit, match=msg):
+                args.fn(args)
 
 
 class TestFleetServing:
@@ -413,6 +414,17 @@ class TestFleetServing:
         with pytest.raises(ValueError, match="batch-1"):
             StreamingTracker.from_serving(ServingModel(path))
 
+    def test_constructor_rejects_capacity_mismatch(self, exported2):
+        """The public constructor must also refuse a serving model whose
+        baked batch differs from capacity (silent state corruption
+        otherwise: .at[slot] drops rows past the baked batch)."""
+        from ntm_tracker_tpu.tracking.fleet import FleetTracker
+
+        cfg, _, _, _, path = exported2
+        with pytest.raises(ValueError, match="bakes batch"):
+            FleetTracker(cfg, None, None, capacity=4,
+                         serving_model=ServingModel(path))
+
     def test_validate_fleet_serves_batched_artifact(self, exported2,
                                                     tmp_path, capsys):
         """CLI success path: validate --fleet N --serving_npz with an
@@ -458,7 +470,6 @@ class TestFleetServing:
         from ntm_tracker_tpu.cli import build_parser
 
         *_, path = exported
-        (tmp_path / "val.pkl").write_bytes(b"")  # never reached
         import pickle
 
         with open(tmp_path / "val.pkl", "wb") as f:
