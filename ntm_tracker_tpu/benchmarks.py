@@ -193,12 +193,14 @@ def main():
         # of pinning int8 to it
         int8_fps, int8_batch = 0.0, best_batch
         B8 = best_batch
+        fail_floor = None  # smallest batch that failed: never re-attempt
         while B8 <= 4096:
             try:
                 fps8, _ = bench_batch(B8, iters=20, cfg_use=cfg8)
             except Exception as e:
                 print(f"bench: int8 sweep stopped at B={B8}: {e}",
                       file=sys.stderr)
+                fail_floor = B8 if fail_floor is None else min(fail_floor, B8)
                 if int8_fps == 0.0 and B8 > 1:
                     # nothing measured yet: the int8 step holds f32 + int8
                     # activation copies, so its peak memory at a given B can
@@ -212,6 +214,10 @@ def main():
             if fps8 > int8_fps * 1.03:
                 int8_fps, int8_batch = fps8, B8
                 B8 *= 2
+                if fail_floor is not None and B8 >= fail_floor:
+                    # doubling would re-attempt a batch that already failed
+                    # (multi-minute remote compile/OOM on the tunneled link)
+                    break
             else:
                 break
         try:

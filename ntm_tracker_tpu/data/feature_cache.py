@@ -181,8 +181,10 @@ def build_feature_cache(
     # cache entries are keyed by the sequence dir's BASENAME (_frame_path),
     # so two sequence dirs sharing a basename under different parents would
     # silently overwrite / cross-read each other's tokens — refuse up front
+    from collections import Counter
+
     basenames = [os.path.basename(os.path.normpath(s)) for s in sequence_dirs]
-    dups = sorted({b for b in basenames if basenames.count(b) > 1})
+    dups = sorted(b for b, n in Counter(basenames).items() if n > 1)
     if dups:
         raise ValueError(
             f"sequence dirs with duplicate basenames would collide in the "

@@ -65,7 +65,6 @@ def main() -> int:
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
 
     rng = np.random.RandomState(0)
-    raw = synthetic_offset_batch(cfg, rng)
     n = args.batch * args.seq_len
     modes = {m for m in args.modes.split(",") if m}
     unknown = modes - {"images", "tokens"}
@@ -74,6 +73,9 @@ def main() -> int:
                          f"{args.modes!r}")
     batches = {}
     if "images" in modes:
+        # only generate the multi-GB [B*L,224,224,3] crop batch when the
+        # images mode actually runs (synthetic_cached_batch builds its own)
+        raw = synthetic_offset_batch(cfg, rng)
         batches["images"] = {k: jnp.asarray(v) for k, v in raw.items()}
     if "tokens" in modes:
         batches["tokens"] = synthetic_cached_batch(cfg, rng)

@@ -75,7 +75,15 @@ def export_serving(
 
     from ntm_tracker_tpu.tracking.tracker import build_frame_step
 
-    cfg = _portable(cfg)
+    portable = _portable(cfg)
+    if portable is not cfg:
+        # the core captured the original cfg at make_core time; rebuild it
+        # from the portable one so the pinned dispatch flags actually apply
+        # (params are structurally identical — the flags only pick kernels)
+        from ntm_tracker_tpu.models.core import make_core
+
+        core = make_core(portable)
+    cfg = portable
     step_first, _ = build_frame_step(
         cfg, core, vgg_params, params,
         donate_state=False, delimiter_first=delimiter_first,
@@ -186,12 +194,16 @@ def export_serving(
 
 def _portable(cfg):
     """Exported programs must not depend on the trace-time backend: pin the
-    reference-semantics jnp scan (no Pallas kernel in the artifact)."""
+    reference-semantics jnp scan (no Pallas kernel in the artifact) — both
+    the fused single-stream scan AND the per-step Mosaic addressing kernel
+    (NTMConfig.use_pallas), which cannot lower for non-TPU platforms."""
     import dataclasses
 
-    if cfg.fused_inference is False:
+    if cfg.fused_inference is False and not cfg.ntm.use_pallas:
         return cfg
-    return dataclasses.replace(cfg, fused_inference=False)
+    return dataclasses.replace(
+        cfg, fused_inference=False,
+        ntm=dataclasses.replace(cfg.ntm, use_pallas=False))
 
 
 def save_serving(path: str, artifact: dict) -> None:

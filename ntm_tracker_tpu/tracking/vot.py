@@ -108,6 +108,12 @@ class VOT:
             fin, fout = trax_streams or (None, None)
             self._trax_native = TraxServer(region_format, fin, fout)
             request = self._trax_native.wait()
+            if request.type == "quit":
+                # the toolkit probes trackers (or aborts a run) by closing
+                # stdin / quitting right after the hello: a clean no-op
+                # session, not a tracker failure
+                self._trax_native.quit()
+                raise SystemExit(0)
             if request.type != "initialize":
                 raise RuntimeError(
                     f"expected initialize, got {request.type!r}")

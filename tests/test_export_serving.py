@@ -285,6 +285,29 @@ class TestCLI:
             args.fn(args)
 
 
+class TestPortability:
+    def test_pallas_configs_export_portably(self, tmp_path):
+        """_portable must pin BOTH Pallas dispatch knobs: a cfg with
+        NTMConfig.use_pallas=True (TPU-only Mosaic addressing kernel) still
+        exports a CPU-lowerable artifact."""
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, ntm=dataclasses.replace(cfg.ntm, use_pallas=True))
+        core = make_core(cfg)
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+        p = str(tmp_path / "pallas_cfg.npz")
+        save_serving(p, export_serving(cfg, core, vgg, params, batch=1))
+        model = ServingModel(p)
+        leaves = model.init_state()
+        crops = np.zeros((1, cfg.data.crop_size, cfg.data.crop_size, 3),
+                         np.float32)
+        offsets, _ = model.step(crops, leaves)
+        assert offsets.shape == (1, 2)
+
+
 class TestDeviceLoopExport:
     H, W = 48, 64
 

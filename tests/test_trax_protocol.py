@@ -125,6 +125,24 @@ class TestVOTNativeTraxMode:
         assert out[1][1] == ["0.0,0.0,10.0,20.0"]  # initialize echo
         assert out[2][1] == ["1,2,3,4"]
 
+    def test_quit_after_hello_is_clean_exit(self):
+        """The toolkit probes trackers (or aborts) by quitting right after
+        the hello — a clean zero-exit no-op session, not a RuntimeError."""
+        fin = io.StringIO("@@TRAX:quit\n")
+        fout = io.StringIO()
+        with pytest.raises(SystemExit) as e:
+            vot.VOT("rectangle", mode="trax", trax_streams=(fin, fout))
+        assert e.value.code in (0, None)
+        out = [parse_message(l) for l in fout.getvalue().splitlines()]
+        assert [m[0] for m in out] == ["hello", "quit"]
+
+    def test_eof_after_hello_is_clean_exit(self):
+        fin = io.StringIO("")  # client hung up without a word
+        fout = io.StringIO()
+        with pytest.raises(SystemExit) as e:
+            vot.VOT("rectangle", mode="trax", trax_streams=(fin, fout))
+        assert e.value.code in (0, None)
+
     def test_trax_lib_mode_requires_package(self):
         if not vot.TRAX:
             with pytest.raises(RuntimeError, match="trax package"):
