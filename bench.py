@@ -64,15 +64,23 @@ if __name__ == "__main__":
     import time
     import traceback
 
+    # The wall-clock budget starts NOW (not when main() starts): backend
+    # waiting eats it too, so main's phase gates and the TRACK artifact's
+    # adaptive training see what is truly left of the driver's patience
+    # (NTM_BENCH_BUDGET_S, default 1500s — the r3 run hit the driver's
+    # timeout at rc=124 and lost half its accuracy artifact).
+    deadline = time.time() + float(
+        os.environ.get("NTM_BENCH_BUDGET_S", "1500"))
+
     # Outages of the tunneled chip longer than 15 min have been observed
     # (>1h once); waiting longer only helps — if the driver enforces a
     # shorter budget it kills the process either way, and a recorded
     # benchmark beats a recorded stack trace.
     _wait_for_backend(time.time() + 45 * 60)
     try:
-        main()
+        main(deadline=deadline)
     except Exception:
         # one retry rescues transient drops (remote compile hiccups etc.)
         traceback.print_exc()
         print("bench: retrying once after transient failure", file=sys.stderr)
-        main()
+        main(deadline=deadline)

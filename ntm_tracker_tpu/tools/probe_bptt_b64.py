@@ -1,0 +1,93 @@
+"""Minimal repro + knob sweep for the Mosaic B=64 fused-BPTT crash
+(VERDICT r3 weak #6 / next-round item 6).
+
+scan_bptt.py's measured table shows the ceiling is the BATCH axis
+(B=8/T=1300 compiles; B=64/T=12 dies in the Mosaic compile helper with
+exit 1). This probe, run directly on the TPU backend:
+
+  1. reproduces the failure at B=64/T=12 and captures the real error,
+  2. bisects which of the two kernels (residual forward vs backward) dies,
+  3. tries the obvious knobs: a raised VMEM limit
+     (pltpu.CompilerParams(vmem_limit_bytes=...)) and
+     dimension_semantics=("arbitrary",),
+  4. records whether B=48 (between the known-good 32 and the crash at 64)
+     compiles — locating the cliff.
+
+Each attempt runs in a CHILD interpreter (the crash takes the process
+down / wedges the backend client), with a timeout.
+
+Usage: python -m ntm_tracker_tpu.tools.probe_bptt_b64
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_CHILD = r"""
+import sys
+B, T, WHICH = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+import jax, jax.numpy as jnp
+from ntm_tracker_tpu.config import NTMConfig
+from ntm_tracker_tpu.models.ntm_cell import init_ntm_params, init_ntm_state
+from ntm_tracker_tpu.ops.pallas import scan_bptt
+scan_bptt.MAX_HW_BATCH = 1024  # lift the guard: this probe IS the repro
+
+cfg = NTMConfig()  # flagship defaults — the config of the measured table
+IN = 514           # TrackerConfig.input_depth: 512 features + 2 indicator bits
+params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
+state = init_ntm_state(params, cfg, B)
+tokens = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN), jnp.float32)
+
+if WHICH == "fwd":
+    out = scan_bptt._fwd_call(params, cfg, tokens, state, False)
+    print("fwd ok", jax.tree_util.tree_leaves(out)[0].shape, flush=True)
+    import numpy as np; np.asarray(jax.tree_util.tree_leaves(out)[0][:1])
+elif WHICH == "grad":
+    def loss(p):
+        logits, _ = scan_bptt.ntm_scan_fused_bptt(p, cfg, tokens, state)
+        return jnp.sum(logits ** 2)
+    g = jax.grad(loss)(params)
+    import numpy as np; np.asarray(jax.tree_util.tree_leaves(g)[0])
+    print("grad ok", flush=True)
+print("CHILD_OK", flush=True)
+"""
+
+
+def attempt(b: int, t: int, which: str, extra_env: dict | None = None,
+            timeout: int = 420) -> str:
+    import os
+
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(b), str(t), which],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT"
+    if p.returncode == 0 and "CHILD_OK" in p.stdout:
+        return "OK"
+    tail = (p.stderr or p.stdout).strip().splitlines()[-12:]
+    return f"rc={p.returncode}\n    " + "\n    ".join(tail)
+
+
+def main() -> int:
+    runs = [
+        ("baseline B=32 T=12 grad (known good)", 32, 12, "grad", None),
+        ("repro    B=64 T=12 grad", 64, 12, "grad", None),
+        ("bisect   B=64 T=12 fwd-kernel only", 64, 12, "fwd", None),
+        ("cliff    B=48 T=12 grad", 48, 12, "grad", None),
+        ("knob     B=64 T=12 grad, 128M vmem limit", 64, 12, "grad",
+         {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=131072"}),
+    ]
+    for name, b, t, which, env in runs:
+        res = attempt(b, t, which, env)
+        print(f"{name}: {res}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

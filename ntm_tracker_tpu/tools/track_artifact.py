@@ -6,12 +6,25 @@ IoU — the machine-readable counterpart of PARITY.md's prose accuracy
 numbers, emitted every round the way bench.py emits BENCH_r0N.json, so
 accuracy regressions are driver-visible.
 
-Also records the serving-precision probe (VERDICT r2 weak #6), per core:
-with the TRAINED tracker at the backend's DEFAULT matmul precision
-(bf16 on TPU — the configuration users actually serve), the host-geometry
-streaming loop and the fully device-resident loop must stay on the same
-trajectory; `serve_precision_max_px_drift` is the worst per-frame region
-deviation in pixels.
+Per core the artifact records:
+  * untrained/trained mean IoU on the demo's "smooth" held-out clip;
+  * `scenes[]` — untrained/trained IoU on every data/synthetic.SCENES
+    variant (scale change, fast motion, high-frequency texture), so a
+    regression cannot hide in one easy scene;
+  * the serving-precision probe: with the TRAINED tracker at the backend's
+    DEFAULT matmul precision (bf16 on TPU — the configuration users
+    actually serve), the host-geometry streaming loop and the fully
+    device-resident loop must stay on the same trajectory. `drift_px` is
+    the worst per-frame region deviation in pixels; `drift_frac` is that
+    normalized by the clip's initial gt-box diagonal. A `drift_frac`
+    above DRIFT_FRAC_MAX trips `drift_breach` and fails the artifact run
+    loudly AFTER all cores are recorded.
+
+Budget discipline (round-3 lesson: the driver killed bench mid-artifact,
+rc=124, losing the DNC record): every core's record is flushed to disk
+incrementally — once right after training (IoU numbers), again after the
+scene sweep, again after the drift probe — and the training loop itself
+stops early at a step boundary when a `deadline` is passed and near.
 
 All progress goes to stderr (bench.py's stdout contract is one JSON line).
 
@@ -26,25 +39,41 @@ import json
 import sys
 import time
 
+# Tripwire for the serving-precision probe: r3 measured drift_frac ~0.03
+# (2.28 px over a ~74 px box diagonal); 0.15 gives 5x headroom while still
+# catching the 20-px-scale silent regression the bound exists for.
+DRIFT_FRAC_MAX = 0.15
+
+# Seconds reserved out of the deadline for the post-training work
+# (trained evals + scene sweep + drift probe, all compile-warm).
+_EVAL_RESERVE_S = 90.0
+
 
 def _log(msg: str) -> None:
     print(f"track_artifact: {msg}", file=sys.stderr, flush=True)
 
 
-def eval_iou(cfg, vgg, params, seed: int, frames_n: int):
+def eval_iou(cfg, vgg, params, seed: int, frames_n: int,
+             scene: str = "smooth"):
     """Mean streaming-tracker IoU over a held-out synthetic clip — the
     demo's exact evaluation protocol (tracking/demo.py:eval_streaming_iou,
     shared so the artifact cannot diverge from the demo numbers)."""
     from ntm_tracker_tpu.tracking.demo import eval_streaming_iou, mean_clamped_iou
 
-    return mean_clamped_iou(eval_streaming_iou(cfg, vgg, params, seed, frames_n))
+    return mean_clamped_iou(
+        eval_streaming_iou(cfg, vgg, params, seed, frames_n, scene=scene)
+    )
 
 
 def serve_precision_drift(cfg, core, vgg, params, seed: int,
-                          frames_n: int = 12) -> float:
-    """Max per-frame |region| deviation (px) between the host-geometry
-    streaming loop and the device-resident loop at the backend's DEFAULT
-    matmul precision, with the given (trained) weights."""
+                          frames_n: int = 12):
+    """Serving-precision probe at the backend's DEFAULT matmul precision
+    with the given (trained) weights: max per-frame |region| deviation
+    between the host-geometry streaming loop and the device-resident loop.
+
+    Returns (drift_px, drift_frac): absolute pixels, and normalized by the
+    clip's initial gt-box diagonal in pixels (so the number is comparable
+    across frame/box sizes and can carry the DRIFT_FRAC_MAX tripwire)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,6 +87,7 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
     H, W = frames.shape[1:3]
     b0 = boxes[0]
     region0 = (b0[1] * W, b0[0] * H, (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H)
+    box_diag = float(np.hypot(region0[2], region0[3]))
 
     host = StreamingTracker(cfg, vgg, params, core)
     host.init(frames[0], region0)
@@ -76,14 +106,23 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
         region, bbox, state = step_fn(fdev[t : t + 1], bbox, state)
         d = np.abs(np.asarray(region[0]) - np.asarray(host_regions[t - 1])).max()
         drift = max(drift, float(d))
-    return drift
+    return drift, drift / box_diag
 
 
 def run_core(core: str, train_steps: int, seed: int = 0,
-             eval_frames: int = 40, drift_frames: int = 12) -> dict:
+             eval_frames: int = 40, drift_frames: int = 12,
+             scene_frames: int = 24, deadline: float | None = None,
+             flush=None) -> dict:
+    """Train + evaluate one memory core; returns its artifact record.
+
+    `deadline` (absolute time.time()) stops training early at a step
+    boundary, reserving _EVAL_RESERVE_S for the trained evals/drift so a
+    driver timeout cannot truncate the record. `flush(record)` is called
+    after each mutation so partial progress is already on disk."""
     import jax
     import numpy as np
 
+    from ntm_tracker_tpu.data.synthetic import SCENES
     from ntm_tracker_tpu.models.core import make_core
     from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.tracking.demo import demo_config, training_batch
@@ -98,13 +137,25 @@ def run_core(core: str, train_steps: int, seed: int = 0,
 
     untrained = eval_iou(cfg, vgg, params, seed, eval_frames)
     _log(f"{core}: untrained IoU {untrained:.3f}")
+    scenes = []
+    for scene in SCENES:
+        u = (untrained if scene == "smooth" and scene_frames == eval_frames
+             else eval_iou(cfg, vgg, params, seed, scene_frames, scene=scene))
+        scenes.append({"scene": scene, "untrained_iou": round(u, 4)})
 
     step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
     t0 = time.perf_counter()
     m = None
+    steps_done = 0
     for i in range(train_steps):
+        if deadline is not None and i % 10 == 0 and i > 0:
+            if time.time() > deadline - _EVAL_RESERVE_S:
+                _log(f"{core}: budget: stopping training at step {i} "
+                     f"(deadline reserve {_EVAL_RESERVE_S:.0f}s)")
+                break
         batch = training_batch(cfg, rng)
         params, opt_state, m = step(params, opt_state, batch)
+        steps_done = i + 1
         if i % 100 == 0:
             _log(f"{core}: step {i} loss {float(m['loss']):.4f}")
     if m is not None:
@@ -112,25 +163,51 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     train_s = time.perf_counter() - t0
 
     trained = eval_iou(cfg, vgg, params, seed, eval_frames)
-    _log(f"{core}: trained IoU {trained:.3f} ({train_steps} steps, "
+    _log(f"{core}: trained IoU {trained:.3f} ({steps_done} steps, "
          f"{train_s:.0f}s)")
     out = {
         "core": core,
-        "steps": train_steps,
+        "steps": steps_done,
         "untrained_iou": round(untrained, 4),
         "trained_iou": round(trained, 4),
         "train_seconds": round(train_s, 1),
+        "scenes": scenes,
     }
-    drift = serve_precision_drift(cfg, mcore, vgg, params, seed,
-                                  frames_n=drift_frames)
-    out["serve_precision_max_px_drift"] = round(drift, 4)
-    _log(f"{core}: serving-precision drift {drift:.4f} px "
-         f"(host-loop vs device-loop, default matmul precision)")
+    if flush is not None:
+        flush(out)
+
+    for rec in scenes:
+        scene = rec["scene"]
+        t = (trained if scene == "smooth" and scene_frames == eval_frames
+             else eval_iou(cfg, vgg, params, seed, scene_frames, scene=scene))
+        rec["trained_iou"] = round(t, 4)
+        _log(f"{core}: scene {scene}: IoU {rec['untrained_iou']:.3f} -> "
+             f"{rec['trained_iou']:.3f}")
+    if flush is not None:
+        flush(out)
+
+    drift_px, drift_frac = serve_precision_drift(
+        cfg, mcore, vgg, params, seed, frames_n=drift_frames
+    )
+    out["drift_px"] = round(drift_px, 4)
+    out["drift_frac"] = round(drift_frac, 4)
+    out["drift_breach"] = bool(drift_frac > DRIFT_FRAC_MAX)
+    _log(f"{core}: serving-precision drift {drift_px:.4f} px "
+         f"({drift_frac:.4f} of the gt-box diagonal; host-loop vs "
+         f"device-loop, default matmul precision)"
+         + (" — BREACH" if out["drift_breach"] else ""))
+    if flush is not None:
+        flush(out)
     return out
 
 
-def write_artifact(out_path: str, train_steps: int = 400,
-                   eval_frames: int = 40, drift_frames: int = 12) -> dict:
+def write_artifact(out_path: str, train_steps: int = 200,
+                   eval_frames: int = 40, drift_frames: int = 12,
+                   scene_frames: int = 24,
+                   deadline: float | None = None) -> dict:
+    """Write TRACK artifact for both cores; raises AFTER all cores are on
+    disk if any core's drift_frac breached DRIFT_FRAC_MAX (the tripwire
+    must fail the round loudly without losing the other core's record)."""
     import jax
 
     artifact = {
@@ -145,24 +222,50 @@ def write_artifact(out_path: str, train_steps: int = 400,
             json.dump(artifact, f, indent=1)
             f.write("\n")
 
-    for core in ("ntm", "dnc"):
-        # dump incrementally so a driver-side timeout still leaves the
-        # finished cores on disk
-        artifact["cores"].append(
-            run_core(core, train_steps,
-                     eval_frames=eval_frames, drift_frames=drift_frames)
-        )
-        dump()
+    cores = ("ntm", "dnc")
+    for idx, core in enumerate(cores):
+        # split the remaining budget evenly across the cores still to run,
+        # and flush incrementally so a driver-side timeout still leaves
+        # every finished stage on disk
+        core_deadline = None
+        if deadline is not None:
+            core_deadline = time.time() + (deadline - time.time()) / (
+                len(cores) - idx
+            )
+        rec = run_core(core, train_steps,
+                       eval_frames=eval_frames, drift_frames=drift_frames,
+                       scene_frames=scene_frames, deadline=core_deadline,
+                       flush=lambda r, _i=idx: _splice(artifact, _i, r, dump))
+        _splice(artifact, idx, rec, dump)
     _log(f"wrote {out_path}")
+    breached = [c["core"] for c in artifact["cores"] if c.get("drift_breach")]
+    if breached:
+        raise RuntimeError(
+            f"serving-precision drift tripwire: drift_frac > "
+            f"{DRIFT_FRAC_MAX} for core(s) {breached} — see {out_path}"
+        )
     return artifact
+
+
+def _splice(artifact: dict, idx: int, record: dict, dump) -> None:
+    cores = artifact["cores"]
+    if idx < len(cores):
+        cores[idx] = record
+    else:
+        cores.append(record)
+    dump()
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="TRACK.json")
-    ap.add_argument("--train_steps", type=int, default=400)
+    ap.add_argument("--train_steps", type=int, default=200)
     ap.add_argument("--eval_frames", type=int, default=40)
     ap.add_argument("--drift_frames", type=int, default=12)
+    ap.add_argument("--scene_frames", type=int, default=24)
+    ap.add_argument("--budget_s", type=float, default=None,
+                    help="optional wall-clock budget; training stops early "
+                    "at a step boundary to keep the artifact complete")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -171,7 +274,10 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     write_artifact(args.out, args.train_steps,
                    eval_frames=args.eval_frames,
-                   drift_frames=args.drift_frames)
+                   drift_frames=args.drift_frames,
+                   scene_frames=args.scene_frames,
+                   deadline=(time.time() + args.budget_s
+                             if args.budget_s else None))
     return 0
 
 

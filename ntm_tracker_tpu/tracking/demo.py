@@ -81,14 +81,19 @@ def demo_config(crop_size: int = 64, core: str = "ntm"):
 
 
 def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
-                       core=None, print_every: int = 0):
+                       core=None, print_every: int = 0,
+                       scene: str = "smooth"):
     """Held-out synthetic clip through the REAL streaming tracker
     (per-frame recrop); returns the list of per-frame IoUs. The single
-    evaluation protocol behind both `demo` and the TRACK_r0N artifact."""
+    evaluation protocol behind both `demo` and the TRACK_r0N artifact.
+    `scene` selects a synthetic-clip variant (data/synthetic.SCENES) —
+    "smooth" is the demo's original clip."""
     from ntm_tracker_tpu.data.geometry import bb_iou
+    from ntm_tracker_tpu.data.synthetic import make_scene
     from ntm_tracker_tpu.tracking.tracker import StreamingTracker
 
-    frames, boxes = make_video(np.random.RandomState(seed + 1000), frames_n)
+    frames, boxes = make_scene(np.random.RandomState(seed + 1000), frames_n,
+                               scene=scene)
     H, W = frames.shape[1:3]
     tracker = StreamingTracker(cfg, vgg, params, *(
         (core,) if core is not None else ()
@@ -118,10 +123,15 @@ def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
 
 def mean_clamped_iou(ious) -> float:
     """THE aggregate-IoU contract (demo / TRACK_r0N / validate / int8
-    artifacts): disjoint frames count 0 — an untrained wandering tracker
-    means ~0, not bb_iou's negative +1-area artifact (e.g. -31.8) — while
-    per-frame lists everywhere keep the raw reference quirk."""
-    return float(np.mean([max(0.0, i) for i in ious])) if len(ious) else float("nan")
+    artifacts): per-frame values are clamped to [0, 1] before averaging —
+    disjoint frames count 0 (not bb_iou's negative +1-area artifact, e.g.
+    -31.8) and degenerate predicted boxes count at most 1 (bb_iou's +1-area
+    formula exceeds 1 when a wandering tracker emits a negative-extent box;
+    the r3 artifact recorded an untrained "IoU" of 5.44 that way). Per-frame
+    lists everywhere keep the raw reference quirk."""
+    if not len(ious):
+        return float("nan")
+    return float(np.mean([min(1.0, max(0.0, i)) for i in ious]))
 
 
 def training_batch(cfg, rng: np.random.RandomState):

@@ -35,3 +35,28 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# -- fast/slow split ---------------------------------------------------------
+# The full suite is 30-40 min warm; `-m "not slow"` is the <10-min core
+# (parity + unit surfaces). Multi-minute end-to-end smokes are marked slow
+# by module here (measured with --durations=0); individual tests can also
+# opt in with @pytest.mark.slow.
+SLOW_TEST_MODULES = {
+    "test_cli_smoke",        # executes every CLI command body end-to-end
+    "test_export_serving",   # AOT export/load round trips
+    "test_graft_entry",      # single-chip compile + 8-device dryrun
+    "test_track_artifact",   # trains both cores (miniature) + drift probes
+    "test_multiprocess_dp",  # spawns 2 real processes with their own jax
+    "test_training_e2e",     # train/ckpt/resume loops
+    "test_copy_task_training",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if module in SLOW_TEST_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -16,10 +16,13 @@ from ntm_tracker_tpu.tracking.demo import (
 
 def test_mean_clamped_iou_contract():
     """THE aggregate contract shared by demo / TRACK_r0N / validate / int8
-    artifacts: disjoint frames count 0 in means; inputs stay raw (bb_iou's
-    unclamped +1-area quirk, reference test_tracker.py:59-83)."""
+    artifacts: per-frame values clamp to [0, 1] in means — disjoint frames
+    count 0, degenerate boxes (bb_iou's +1-area quirk exceeds 1 for
+    negative-extent predictions) count at most 1; inputs stay raw
+    (reference test_tracker.py:59-83)."""
     assert mean_clamped_iou([0.5, -31.8, 1.0]) == 0.5
     assert mean_clamped_iou([-5.0, -5.0]) == 0.0
+    assert mean_clamped_iou([5.44, 0.5]) == 0.75  # r3's untrained-DNC case
     assert np.isnan(mean_clamped_iou([]))
 
 
@@ -33,6 +36,37 @@ def test_make_video_boxes_contain_square():
         assert 0 < y1 < y2 < 1 and 0 < x1 < x2 < 1
         cy, cx = int((y1 + y2) / 2 * H), int((x1 + x2) / 2 * W)
         assert frames[t, cy, cx].min() > 200  # box center is the bright square
+
+
+def test_make_scene_variants_contract():
+    """Scene variants (TRACK_r0N cores[].scenes[]) share make_video's
+    return contract; 'smooth' IS make_video; 'scale' really changes the
+    box size; targets stay visible at the box center in every variant."""
+    from ntm_tracker_tpu.data.synthetic import SCENES, make_scene
+
+    H, W = 90, 160
+    for scene in SCENES:
+        frames, boxes = make_scene(np.random.RandomState(1), 8, scene, (H, W))
+        assert frames.shape == (8, H, W, 3) and boxes.shape == (8, 4)
+        for t in range(8):
+            y1, x1, y2, x2 = boxes[t]
+            assert 0 < y1 < y2 < 1 and 0 < x1 < x2 < 1
+            cy, cx = int((y1 + y2) / 2 * H), int((x1 + x2) / 2 * W)
+            assert frames[t, cy, cx].min() > 140  # target at box center
+
+    f1, b1 = make_scene(np.random.RandomState(3), 5, "smooth", (H, W))
+    f2, b2 = make_video(np.random.RandomState(3), 5, (H, W))
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(b1, b2)
+
+    _, bs = make_scene(np.random.RandomState(4), 9, "scale", (H, W))
+    sizes = bs[:, 2] - bs[:, 0]
+    assert sizes.max() / sizes.min() > 1.3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_scene(np.random.RandomState(0), 3, "nope")
 
 
 def test_training_batch_contract():
