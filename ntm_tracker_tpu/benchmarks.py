@@ -259,60 +259,11 @@ def main(deadline: float | None = None):
                   file=sys.stderr)
         phase_done("device_loop")
 
-    # secondary metric: the opt-in int8 VGG serving path (vgg_int8=True) at
-    # the f32 sweep's best batch — records whether s8xs8->s32 convs beat
-    # bf16 on this chip (models/vgg_int8.py docstring; quantized numerics,
-    # so it never replaces the headline f32 number)
-    int8_fps = None
-    int8_ms_b1 = None
-    int8_batch = None
-    if platform != "cpu" and gate("int8", 300):
-        import dataclasses
-
-        cfg8 = dataclasses.replace(cfg, vgg_int8=True)
-        # int8's knee can sit HIGHER than f32's (roughly half the MXU
-        # time per frame leaves more room before compute saturates), so
-        # continue the doubling sweep from the f32 best batch instead
-        # of pinning int8 to it
-        int8_fps, int8_batch = 0.0, best_batch
-        B8 = best_batch
-        fail_floor = None  # smallest batch that failed: never re-attempt
-        while B8 <= 4096:
-            try:
-                fps8, _ = bench_batch(B8, iters=20, cfg_use=cfg8)
-            except Exception as e:
-                print(f"bench: int8 sweep stopped at B={B8}: {e}",
-                      file=sys.stderr)
-                fail_floor = B8 if fail_floor is None else min(fail_floor, B8)
-                if int8_fps == 0.0 and B8 > 1:
-                    # nothing measured yet: the int8 step holds f32 + int8
-                    # activation copies, so its peak memory at a given B can
-                    # EXCEED the f32 path's — the knee may sit BELOW the f32
-                    # best batch; probe downward instead of nulling the metric
-                    B8 //= 2
-                    continue
-                # OOM at a doubled batch: the knee was the previous batch —
-                # keep the partial sweep result
-                break
-            if fps8 > int8_fps * 1.03:
-                int8_fps, int8_batch = fps8, B8
-                B8 *= 2
-                if fail_floor is not None and B8 >= fail_floor:
-                    # doubling would re-attempt a batch that already failed
-                    # (multi-minute remote compile/OOM on the tunneled link)
-                    break
-            else:
-                break
-        try:
-            # single-stream latency: same best-of-3 pipelined protocol as
-            # the headline B=1 number; independent of the sweep, so a
-            # sweep failure must not take it down (and vice versa)
-            _, int8_step_b1 = bench_batch(1, iters=50, cfg_use=cfg8)
-            int8_ms_b1 = int8_step_b1 * 1e3
-        except Exception as e:  # never let the secondary metric kill bench
-            print(f"bench: int8 B=1 latency measurement skipped: {e}",
-                  file=sys.stderr)
-        phase_done("int8")
+    # int8 serving: CLOSED by measurement this round — XLA on v5e has no
+    # int8 conv fast path (s8 convs run ~3x slower than bf16 and a lone s8
+    # conv compile hangs >10 min; tools/probe_int8.py, verdict in
+    # models/vgg_int8.py). The per-round sweep is retired; the opt-in
+    # cfg.vgg_int8 mode remains for numerics experiments only.
 
     flops = frame_flops(cfg)
     achieved_tflops = throughput * flops / 1e12
@@ -333,11 +284,6 @@ def main(deadline: float | None = None):
         "frame_gflops": round(flops / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
-        "int8_frames_per_sec": round(float(int8_fps), 1) if int8_fps else None,
-        "int8_speedup": (round(float(int8_fps) / float(throughput), 3)
-                         if int8_fps else None),
-        "int8_best_batch": int8_batch if int8_fps else None,
-        "int8_frame_ms_b1": round(int8_ms_b1, 3) if int8_ms_b1 else None,
         "device_loop_frames_per_sec": (round(float(devloop_fps), 1)
                                        if devloop_fps else None),
         "train_frames_per_sec_cached": round(train_fps, 1) if train_fps else None,

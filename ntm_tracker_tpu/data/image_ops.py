@@ -107,6 +107,67 @@ def crop_and_resize(
     return jax.vmap(one)(images, boxes)
 
 
+def crop_and_resize_mm(
+    images: jax.Array,
+    boxes: jax.Array,
+    crop_size: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+    precision=None,
+) -> jax.Array:
+    """`crop_and_resize` restructured as two batched matmuls (TPU fast
+    path for LARGE source frames).
+
+    For axis-aligned boxes the bilinear crop is separable:
+        out = Wy @ img @ Wx^T
+    with per-sample interpolation matrices Wy [out_h, H], Wx [out_w, W]
+    holding each output row/column's two bilinear weights
+    (max(0, 1 - |in_y - y|) reproduces the gather path's (1-fy, fy) pair
+    bit-for-bit in exact arithmetic). Out-of-image rows/columns are zeroed
+    in W and the output gets `extrapolation_value` through the same
+    validity mask as the gather path.
+
+    Why: the gather formulation reads the full [B, H, W, C] frame through
+    HBM with 4 dependent gathers per output pixel — measured 5x slower
+    than the frame's VGG pass in the device-resident tracking loop at
+    [256, 360, 640, 3] (BENCH r3's device_loop gap). The matmul form is
+    ~0.5 GFLOP/frame of MXU work (~3% of the frame's VGG FLOPs).
+
+    `precision` is the einsum precision (None = backend default — bf16 on
+    TPU, which matches serving numerics where the crop feeds bf16 convs
+    anyway; use jax.lax.Precision.HIGHEST for near-f32). Numerics differ
+    from `crop_and_resize` only by matmul rounding/accumulation order, so
+    parity paths (TF-golden tests, preprocessing) keep the gather form.
+    """
+    B, H, W, C = images.shape
+    out_h, out_w = crop_size
+
+    def interp(lo, hi, out_n, size):
+        # sample coordinates: EXACTLY the gather path's formula
+        if out_n > 1:
+            coords = lo[:, None] * (size - 1) + jnp.arange(
+                out_n, dtype=jnp.float32
+            )[None, :] * ((hi - lo) * (size - 1) / (out_n - 1))[:, None]
+        else:
+            coords = 0.5 * (lo + hi)[:, None] * (size - 1) * jnp.ones(
+                (1, 1), jnp.float32
+            )
+        grid = jnp.arange(size, dtype=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))
+        valid = (coords >= 0) & (coords <= size - 1)
+        return w * valid[..., None], valid
+
+    y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
+    Wy, vy = interp(y1, y2, out_h, H)   # [B, out_h, H]
+    Wx, vx = interp(x1, x2, out_w, W)   # [B, out_w, W]
+    img = images.astype(jnp.float32)
+    tmp = jnp.einsum("biy,byxc->bixc", Wy, img, precision=precision)
+    out = jnp.einsum("bjx,bixc->bijc", Wx, tmp, precision=precision)
+    mask = (vy[:, :, None] & vx[:, None, :])[..., None]
+    if extrapolation_value == 0.0:
+        return out * mask
+    return jnp.where(mask, out, extrapolation_value)
+
+
 def preprocess_frame(
     image: jax.Array,
     cropbox: jax.Array,

@@ -1,8 +1,30 @@
-"""Opt-in int8 quantized VGG token path (serving-speed experiment).
+"""Opt-in int8 quantized VGG token path — MEASURED NEGATIVE; numerics
+experiment only, NOT a serving-speed lever.
 
-The v5e MXU's int8 peak is ~2x its bf16 peak, and the serving frame step is
-~96% VGG conv time (BENCH decomposition), so an s8xs8->s32 conv stack is the
-one remaining large perf lever on the frame step. This module mirrors the
+MEASURED VERDICT (v5e via XLA, round 4, tools/probe_int8.py): the chip's
+"~2x int8 MXU peak" is NOT reachable from XLA-lowered s8 convolutions on
+this toolchain:
+
+  * the compiled token path keeps s8xs8->s32 convolutions (10/10 convs
+    emit s32 with fused quantized operands — the lowering is honest), but
+    runs 93.6 ms at B=256 vs ~32 ms for the bf16 headline path (~3x
+    SLOWER) and 81 ms for exact f32 (0.87x);
+  * a STATIC-scale variant (pre-quantized weights, fixed activation
+    scale — no per-sample amax/rescale) is slower still (152 ms), so the
+    dynamic-quantization overhead is NOT the cause: the s8 conv itself
+    has no fast path and XLA emulates it;
+  * a LONE s8xs8->s32 96x96x128 conv never finished COMPILING inside
+    10+ minutes (probe rc=124), and an s8 dot_general (the im2col escape
+    hatch, tools/probe_int8_dot.py) compiled only after minutes and ran
+    0.58x bf16 (19.4 vs 33.5 TFLOP/s) — no int8 MXU path is reachable
+    from XLA on this toolchain, for convs or dots.
+
+BENCH_r03's int8_speedup 0.749 is thereby explained (and was flattering:
+it amortized the cell steps). The per-round bench sweep is retired; this
+module stays as the measured-negative record and for quantization-numerics
+experiments (per-token cosine ~0.99 vs the exact path, tested).
+
+This module mirrors the
 exact receptive-field-sliced fast path of `vgg.vgg16_conv43_tokens` with
 
   * per-output-channel symmetric int8 weights (scale = max|W[..,o]| / 127),
@@ -16,9 +38,9 @@ either constants (XLA folds the rounding at compile time) or step arguments
 (the per-step rounding cost is ~7M elements — noise next to the convs).
 
 This changes numerics, so it is OPT-IN (`TrackerConfig.vgg_int8`) and only
-for serving-style use; training and all parity paths stay on the exact f32
-pipeline. Accuracy and speed verdicts are recorded in PARITY.md once
-measured on hardware.
+for experimental use; training and all parity paths stay on the exact f32
+pipeline. The measured accuracy/speed verdicts live in PARITY.md and the
+verdict block above.
 
 Reference note: the reference has no quantized path (its VGG is an imported
 frozen f32 graph, direct_offset_output.py:417-422); this is a beyond-

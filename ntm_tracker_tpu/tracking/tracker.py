@@ -156,6 +156,7 @@ def make_device_track_step(
         cropbox_of,
         to_image_space,
     )
+    from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
 
     d = cfg.data
     canon = canonical_box(d.cropbox_grid, d.bbox_grid)
@@ -168,8 +169,13 @@ def make_device_track_step(
     frame_fn = step_first.frame_fn
 
     def _crop(frames, cropbox):
+        # separable-matmul bilinear crop: the gather formulation on full
+        # [B,H,W,3] frames was the r3 device-loop gap (decomposition in
+        # tools/probe_devloop.py); HIGH precision keeps the crop near-f32
+        # so the host-loop drift tripwire stays tight
         imgs = frames.astype(jnp.float32) - jnp.asarray(VGG_MEAN)
-        return crop_and_resize(imgs, cropbox, (d.crop_size, d.crop_size))
+        return crop_and_resize_mm(imgs, cropbox, (d.crop_size, d.crop_size),
+                                  precision=jax.lax.Precision.HIGH)
 
     def init_fn(frames, bbox0, state):
         crops = _crop(frames, cropbox_of(bbox0, d.cropbox_grid, d.bbox_grid))

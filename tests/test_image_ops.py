@@ -110,3 +110,47 @@ class TestPreprocessFrame:
         assert out.shape == (32, 32, 3)
         # mean-subtracted: values are roughly centered
         assert out.mean() < 60 and out.mean() > -60
+
+
+class TestCropAndResizeMM:
+    """The separable-matmul crop (TPU device-loop fast path) must match the
+    gather formulation — same sample grid, same extrapolation mask; on CPU
+    f32 einsums the difference is accumulation-order rounding only."""
+
+    def test_matches_gather_formulation(self):
+        from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
+
+        rng = np.random.RandomState(7)
+        imgs = jnp.asarray(rng.rand(4, 37, 53, 3).astype(np.float32) * 255)
+        boxes = jnp.asarray(
+            np.stack([
+                [0.1, 0.2, 0.7, 0.9],
+                [-0.2, -0.1, 0.5, 0.6],   # spills past the top-left
+                [0.4, 0.5, 1.3, 1.2],     # spills past the bottom-right
+                [0.0, 0.0, 1.0, 1.0],     # identity-ish full box
+            ]).astype(np.float32)
+        )
+        ref = np.asarray(crop_and_resize(imgs, boxes, (24, 16)))
+        got = np.asarray(crop_and_resize_mm(imgs, boxes, (24, 16)))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_extrapolation_value(self):
+        from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
+
+        rng = np.random.RandomState(8)
+        imgs = jnp.asarray(rng.rand(1, 10, 10, 1).astype(np.float32))
+        boxes = jnp.asarray([[-1.0, -1.0, -0.2, -0.2]], jnp.float32)  # fully outside
+        out = np.asarray(crop_and_resize_mm(imgs, boxes, (4, 4),
+                                            extrapolation_value=7.5))
+        np.testing.assert_allclose(out, 7.5)
+
+    def test_single_pixel_output(self):
+        from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
+
+        rng = np.random.RandomState(9)
+        imgs = jnp.asarray(rng.rand(2, 9, 9, 2).astype(np.float32))
+        boxes = jnp.asarray([[0.2, 0.2, 0.6, 0.6], [0.0, 0.0, 1.0, 1.0]],
+                            jnp.float32)
+        ref = np.asarray(crop_and_resize(imgs, boxes, (1, 1)))
+        got = np.asarray(crop_and_resize_mm(imgs, boxes, (1, 1)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
