@@ -9,6 +9,22 @@ batch, and prototypes a separable MATMUL bilinear crop (axis-aligned boxes
 factor into out = Wy @ img @ Wx^T with 2-nonzero-per-row interp matrices —
 MXU work instead of HBM-bound gathers) at several precisions.
 
+MEASURED (v5e, B=256, round 4) — gap CLOSED by the matmul crop
+(crop_and_resize_mm, now make_device_track_step's crop):
+
+    frame_step (headline work)   32.27 ms   7,934 f/s
+    device loop, matmul crop     35.24 ms   7,264 f/s   (r3 gather loop:
+                                            52.7 ms / 4,857 f/s — +50%)
+
+i.e. the full closed loop now runs within 8.4% of the crop-free headline
+step; the gather crop was ~20 ms/step of HBM-bound gathers, the matmul
+crop ~3 ms of MXU work. Precision sweep of the crop (max|err| vs the
+gather form, fraction of the 255 scale): default/bf16 6.7e-3,
+HIGH 4.2e-5 (production choice), HIGHEST 1.2e-7. NOTE: the standalone
+crop timings this probe prints are TUNNEL-SYNC bound (the sync fetches
+the full [256,224,224,3] crop, ~154 MB, over the tunneled link) — use
+the loop-level numbers for compute comparisons.
+
 Usage: python -m ntm_tracker_tpu.tools.probe_devloop [--batch 256]
 """
 

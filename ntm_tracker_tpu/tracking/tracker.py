@@ -170,9 +170,12 @@ def make_device_track_step(
 
     def _crop(frames, cropbox):
         # separable-matmul bilinear crop: the gather formulation on full
-        # [B,H,W,3] frames was the r3 device-loop gap (decomposition in
-        # tools/probe_devloop.py); HIGH precision keeps the crop near-f32
-        # so the host-loop drift tripwire stays tight
+        # [B,360,640,3] frames cost ~20 ms/step of the r3 loop's 52.7 ms
+        # at B=256; the matmul form is ~3 ms of MXU work, putting the
+        # whole closed loop within 8.4% of the crop-free headline step
+        # (35.24 vs 32.27 ms — tools/probe_devloop.py). HIGH precision
+        # keeps the crop near-f32 (4.2e-5 of full scale vs the gather
+        # form) so the host-loop drift tripwire stays tight.
         imgs = frames.astype(jnp.float32) - jnp.asarray(VGG_MEAN)
         return crop_and_resize_mm(imgs, cropbox, (d.crop_size, d.crop_size),
                                   precision=jax.lax.Precision.HIGH)
