@@ -44,6 +44,25 @@ def _crop_jit(size: int):
     )
 
 
+def _crop_on_host(size: int, images: np.ndarray, boxes: np.ndarray):
+    """Run the exact crop sampler on the HOST CPU backend and return numpy.
+
+    Synthetic-training batches are generated per step; cropping on the
+    accelerator means shipping the full [B*L, H, W, 3] frames over the
+    (tunneled) link every step — ~22 MB/step at the demo scale, which
+    dominated the TRACK artifact's 0.76 s/step in r3. Cropping on the CPU
+    backend ships only the [B*L, size, size, 3] crops (~1.5 MB). Same
+    jitted sampling code, so train and eval crops stay the same math."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        crops = _crop_jit(size)(
+            jax.device_put(images, cpu), jax.device_put(boxes, cpu)
+        )
+    return np.asarray(crops)
+
+
 # re-exported for callers/tests; the generator is shared with the
 # active-resize toy batches (data/synthetic.py)
 from ntm_tracker_tpu.data.synthetic import make_video  # noqa: E402,F401
@@ -137,9 +156,9 @@ def mean_clamped_iou(ious) -> float:
 def training_batch(cfg, rng: np.random.RandomState):
     """Reference-contract batch from synthetic clips: centered first-frame
     cropbox, SAME transformation for the whole sequence, per-frame Gaussian
-    gt + center offsets (preprocess.py geometry)."""
-    import jax.numpy as jnp
-
+    gt + center offsets (preprocess.py geometry). Arrays come back as
+    numpy (crops computed on the host CPU backend) — the jitted train step
+    transfers them; only crop-sized tensors cross the device link."""
     from ntm_tracker_tpu.data import geometry
 
     d = cfg.data
@@ -162,15 +181,16 @@ def training_batch(cfg, rng: np.random.RandomState):
             gts.append(np.asarray(heat, np.float32))
             yos.append(dy)
             xos.append(dx)
-    imgs = jnp.asarray(np.stack(images))
-    boxes_a = jnp.asarray(np.stack(crops), jnp.float32)
-    cropped = _crop_jit(d.crop_size)(imgs, boxes_a)
+    boxes_a = np.stack(crops).astype(np.float32)
+    # crop on the host CPU backend: only the crops cross the device link
+    # (the full frames are ~14x bigger and the link is the bottleneck)
+    cropped = _crop_on_host(d.crop_size, np.stack(images), boxes_a)
     return {
         "images": cropped,
         "cropboxes": boxes_a,
-        "gts": jnp.asarray(np.stack(gts)),
-        "y_offsets": jnp.asarray(np.asarray(yos, np.float32)),
-        "x_offsets": jnp.asarray(np.asarray(xos, np.float32)),
+        "gts": np.stack(gts),
+        "y_offsets": np.asarray(yos, np.float32),
+        "x_offsets": np.asarray(xos, np.float32),
     }
 
 
