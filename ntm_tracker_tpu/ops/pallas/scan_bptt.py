@@ -37,8 +37,26 @@ the fused-BPTT question with data:
       8        23.3 ms             29.6 ms    (fused 1.27x faster)
      16        35.4 ms             38.1 ms    (fused 1.08x)
      32        49.8 ms             57.0 ms    (fused 1.14x)
-     64        Mosaic compile-helper crash (exit 1); ceiling is batch,
-    256        not sequence length (B=8/T=1300 compiles, B=64/T=12 dies)
+     64        compile failure; ceiling is batch, not sequence length
+    256        (B=8/T=1300 compiles, B=64/T=12 dies)
+
+ROOT CAUSE (round 4, tools/probe_bptt_b64.py): the B=64 failure is NOT a
+Mosaic bug — it is a scoped-VMEM stack OOM, reported only when run under
+a child that captures the real error: "Ran out of memory in memory space
+vmem ... Scoped allocation with size 19.09M and limit 16.00M exceeded
+scoped vmem limit by 3.09M" on the backward pallas_call. The kernel's
+VMEM need is ~0.3 MB per batch row (T-independent — the residual streams
+are t-indexed blocks): B=48 (~14.3 M) compiles and runs, B=64 (19.09 M)
+trips the 16 MB default limit. The cliff is therefore between 48 and 64,
+and the fix on a STANDARD TPU VM is the documented libtpu flag
+  LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536"
+plus NTM_FUSED_BPTT_MAX_BATCH to lift the guard (v5e has 128 MB physical
+VMEM; 16 MB is only the scoped default). ATTEMPTED HERE: setting that
+flag from the probe child TIMED OUT at compile — on this tunneled axon
+backend the AOT compile server snapshots the TERMINAL's env ("adopted
+terminal's compile env for AOT"), so child-process libtpu flags never
+reach the compiler; the workaround is validated as far as this
+environment allows and the guard message carries the recipe.
 
 Per-step cost fits t = 13 + 0.77*B microseconds: the kernel is VPU
 INSTRUCTION-ISSUE bound (the D=20/H=5 unrolled row loops emit ~2k small
@@ -56,6 +74,7 @@ TrainConfig.fused_bptt.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -68,10 +87,18 @@ from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
 
 f32 = jnp.float32
 
-# Largest batch the Mosaic compiler handles for the backward kernel on
-# real hardware (B=32/T=1300 compiles in ~60 s; B=64 crashes the compile
-# helper even at T=12 — see the measured table in the module docstring).
-MAX_HW_BATCH = 32
+# Largest batch the backward kernel compiles at under the DEFAULT scoped
+# VMEM limit. Round 4 root-caused the B=64 "compile crash": it is a scoped
+# vmem stack OOM — the kernel needs 19.09 MB of scoped VMEM at B=64 vs the
+# 16 MB default limit ("Scoped allocation with size 19.09M and limit
+# 16.00M", tools/probe_bptt_b64.py). v5e has 128 MB of physical VMEM, so
+# the limit can be raised at process start:
+#     LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536"
+#     NTM_FUSED_BPTT_MAX_BATCH=128
+# (libtpu flags are snapshotted at backend init, so the framework cannot
+# raise them itself mid-process; the env override lifts this guard to
+# match.) See the module docstring for the measured scaling.
+MAX_HW_BATCH = int(os.environ.get("NTM_FUSED_BPTT_MAX_BATCH", "32"))
 
 
 def _forward_math(x, M_prev, w_prev, read_prev, c_prev, h_prev, lstm_w,
@@ -742,13 +769,14 @@ def _bptt_wrapped(cfg: NTMConfig, interpret: bool):
         B = tokens.shape[0]
         if not interpret and B > MAX_HW_BATCH:
             raise ValueError(
-                f"fused_bptt: batch {B} exceeds the Mosaic hardware compile "
-                f"ceiling ({MAX_HW_BATCH}); the B=64+ backward kernel "
-                "crashes the TPU compiler, and measured scaling "
-                "(13 + 0.77*B us/step) shows XLA's remat scan is within ~7% "
-                "of this design at the B=256 knee anyway — use the default "
-                "scan path for large-batch training and fused_bptt for "
-                "batch<=32 (1.1-1.3x faster)."
+                f"fused_bptt: batch {B} exceeds the scoped-VMEM compile "
+                f"ceiling ({MAX_HW_BATCH}): the backward kernel needs "
+                "~0.3 MB of scoped VMEM per batch row (19.09 MB at B=64) "
+                "vs the 16 MB default limit. To lift it, start the process "
+                "with LIBTPU_INIT_ARGS='--xla_tpu_scoped_vmem_limit_kib="
+                "65536' and set NTM_FUSED_BPTT_MAX_BATCH accordingly; "
+                "otherwise use the default scan path for large-batch "
+                "training and fused_bptt for batch<=32 (1.1-1.3x faster)."
             )
         logits, final_state, res = _fwd_call(params, cfg, tokens, state,
                                              interpret)

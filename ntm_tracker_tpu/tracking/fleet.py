@@ -25,7 +25,7 @@ import numpy as np
 
 from ntm_tracker_tpu.config import TrackerConfig
 from ntm_tracker_tpu.data import geometry
-from ntm_tracker_tpu.data.image_ops import crop_and_resize
+from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
 from ntm_tracker_tpu.models.core import MemoryCore, make_core
 from ntm_tracker_tpu.models.vgg import VGG_MEAN
 from ntm_tracker_tpu.tracking.tracker import (
@@ -104,10 +104,14 @@ class FleetTracker:
                 donate_state=False, delimiter_first=delimiter_first,
             )
         d = cfg.data
+        # separable-matmul crop: the gather form's full-frame HBM gathers
+        # were the r3 device-loop gap (tools/probe_devloop.py); HIGH
+        # precision keeps it within 4.2e-5 of the gather sampler
         self._crop_jit = jax.jit(
-            lambda imgs, boxes: crop_and_resize(
+            lambda imgs, boxes: crop_and_resize_mm(
                 imgs.astype(jnp.float32) - jnp.asarray(VGG_MEAN),
                 boxes, (d.crop_size, d.crop_size),
+                precision=jax.lax.Precision.HIGH,
             )
         )
         self.state = self._shard(self._fresh_state(capacity))

@@ -50,6 +50,12 @@ SLOW_TEST_MODULES = {
     "test_multiprocess_dp",  # spawns 2 real processes with their own jax
     "test_training_e2e",     # train/ckpt/resume loops
     "test_copy_task_training",
+    # kernel-grad-parity sweeps and training smokes measured >25s each
+    # (--durations; the hardware kernel checks run separately per round)
+    "test_pallas_bptt",
+    "test_pallas_packed",
+    "test_heatmap_experiment",
+    "test_active_resize",
 }
 
 

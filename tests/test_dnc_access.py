@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ntm_tracker_tpu.config import DNCConfig
 from ntm_tracker_tpu.models.dnc.access import (
@@ -158,6 +159,7 @@ class TestDNCCore:
             np.asarray(o1), np.asarray(jnp.swapaxes(o2, 0, 1)), rtol=1e-5
         )
 
+    @pytest.mark.slow  # ~1 min: full per-chunk replay grad sweep
     def test_chunked_remat_grads_match_per_step(self):
         """remat_chunk only changes the carry SAVE schedule (boundary saves
         + per-chunk replay) — values and every gradient leaf must match the

@@ -1,6 +1,7 @@
 """VGG-16 prefix tests: shapes, endpoint, token gather, weight-loading maps."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -178,6 +179,7 @@ class TestFastConv43Tokens:
             vgg16_conv43_tokens(params, jnp.zeros((1, 64, 64, 3)))
 
 
+@pytest.mark.slow  # int8 is a measured-negative experiment; ~4 min on CPU
 class TestInt8Tokens:
     """Opt-in int8 serving path (models/vgg_int8.py): NOT exact — pinned
     here to tight-but-quantized tolerances against the exact f32 path."""
