@@ -15,11 +15,13 @@ import time
 import numpy as np
 
 # Wall-clock held back from the bench budget for the TRACK accuracy
-# artifact (2 cores: compile + ~150s adaptive training + scene sweep +
-# drift probe each). Secondary bench phases only run if they fit in
-# remaining - reserve; the artifact itself also stops training early when
-# the deadline nears, so the reserve is a floor, not a promise.
-_TRACK_RESERVE_S = 480.0
+# artifact. Measured r4: the full artifact (2 cores x [compiles ~350s +
+# 400-step training ~50s + scene sweep + drift probe]) runs ~930-990s;
+# ~700s is the compile/eval floor that survives even when the deadline
+# adapter trims the trainings. Secondary bench phases only run if they
+# fit in remaining - reserve; the artifact itself also stops training
+# early when the deadline nears, so the reserve is a floor, not a promise.
+_TRACK_RESERVE_S = 700.0
 
 # bf16 peak TFLOP/s by device_kind substring (public spec sheets)
 _PEAK_BF16_TFLOPS = {
@@ -362,9 +364,11 @@ def _write_track_artifact(deadline: float | None = None):
     """TRACK_r0N.json at the repo root; N = 1 + the latest BENCH round on
     disk (bench.py runs before the driver records BENCH_r0N, so the next
     round number is max+1). NTM_TRACK_STEPS overrides the training budget
-    (default 200: the r3 run showed the loss plateaus by ~step 200 — 0.1009
-    at 200 vs 0.1265 at 300); `deadline` additionally stops each core's
-    training early so the artifact always completes inside the budget."""
+    (default 400: with batches now cropped host-side a 400-step training is
+    ~50 s/core, and the 400-step tracker is measurably more contractive —
+    r4 drift 9.6 px vs 12.8 px at 200 steps — with better scene IoUs);
+    `deadline` additionally stops each core's training early so the
+    artifact always completes inside the budget."""
     import glob
     import os
     import re
@@ -382,7 +386,7 @@ def _write_track_artifact(deadline: float | None = None):
     # re-running bench within the SAME round refreshes TRACK_r0N, while a
     # round closed by a BENCH record can never lose its accuracy artifact
     n = max(ns, default=0) + 1
-    steps = int(os.environ.get("NTM_TRACK_STEPS", "200"))
+    steps = int(os.environ.get("NTM_TRACK_STEPS", "400"))
     write_artifact(os.path.join(root, f"TRACK_r{n:02d}.json"), steps,
                    deadline=deadline)
 
