@@ -366,7 +366,9 @@ def _write_track_artifact(deadline: float | None = None):
     round number is max+1). NTM_TRACK_STEPS overrides the training budget
     (default 400: with batches now cropped host-side a 400-step training is
     ~50 s/core, and the 400-step tracker is measurably more contractive —
-    r4 drift 9.6 px vs 12.8 px at 200 steps — with better scene IoUs);
+    r4 drift 9.6 px vs 12.8 px at 200 steps with the HIGH-precision crop;
+    the device loop has since moved to a HIGHEST/f32-exact crop, which
+    alone cuts the 200-step drift to 2.59 px — with better scene IoUs);
     `deadline` additionally stops each core's training early so the
     artifact always completes inside the budget."""
     import glob

@@ -87,18 +87,21 @@ from ntm_tracker_tpu.ops.memory import circular_convolution_shifts
 
 f32 = jnp.float32
 
-# Largest batch the backward kernel compiles at under the DEFAULT scoped
-# VMEM limit. Round 4 root-caused the B=64 "compile crash": it is a scoped
-# vmem stack OOM — the kernel needs 19.09 MB of scoped VMEM at B=64 vs the
-# 16 MB default limit ("Scoped allocation with size 19.09M and limit
-# 16.00M", tools/probe_bptt_b64.py). v5e has 128 MB of physical VMEM, so
-# the limit can be raised at process start:
-#     LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536"
-#     NTM_FUSED_BPTT_MAX_BATCH=128
-# (libtpu flags are snapshotted at backend init, so the framework cannot
-# raise them itself mid-process; the env override lifts this guard to
-# match.) See the module docstring for the measured scaling.
-MAX_HW_BATCH = int(os.environ.get("NTM_FUSED_BPTT_MAX_BATCH", "32"))
+# Batch rows processed per grid tile. Round 4 root-caused the old B=64
+# "compile crash" as a scoped-VMEM stack OOM — the kernels need ~0.3 MB of
+# scoped VMEM per batch row vs the 16 MB default limit ("Scoped allocation
+# with size 19.09M and limit 16.00M" at B=64, tools/probe_bptt_b64.py) —
+# and then FIXED IT BY DESIGN: the grid is now (B/tile, T), so each tile's
+# scratch is bounded by the tile size regardless of B (batch rows are
+# independent everywhere except the parameter-gradient accumulators, which
+# live in a grid-constant block and accumulate across tiles; TPU grids run
+# sequentially, so the revisited block stays VMEM-resident). 32 rows ≈
+# 10 MB of scoped VMEM — comfortably inside the default limit, and the
+# largest tile measured fastest (the per-grid-step fixed cost ~13 us is
+# amortized over more rows). Batches that don't divide are zero-padded to
+# the tile boundary; padded rows carry zero cotangents, so every gradient
+# contribution from them is exactly zero.
+BATCH_TILE = int(os.environ.get("NTM_FUSED_BPTT_BATCH_TILE", "32"))
 
 
 def _forward_math(x, M_prev, w_prev, read_prev, c_prev, h_prev, lstm_w,
@@ -222,7 +225,7 @@ def _fwd_res_kernel(
     *, cs,
 ):
     (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
-    t = pl.program_id(0)
+    t = pl.program_id(1)  # grid = (batch tiles, T); T is the inner dim
 
     @pl.when(t == 0)
     def _init():
@@ -271,16 +274,23 @@ def _bwd_kernel(
     *, cs,
 ):
     (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # grid = (batch tiles, T reversed); T inner
     B = x_ref.shape[1]
 
     @pl.when(i == 0)
-    def _init():
+    def _init_carries():
+        # every batch tile starts its reverse sweep from ITS final-state
+        # cotangent block
         dM_ref[:] = dMf_ref[:]
         dw_ref[:] = dwf_ref[:]
         dread_ref[:] = dreadf_ref[:]
         dc_ref[:] = dcf_ref[:]
         dh_ref[:] = dhf_ref[:]
+
+    @pl.when((pl.program_id(0) == 0) & (i == 0))
+    def _init_param_grads():
+        # the param-grad blocks are grid-constant: zeroed once on the very
+        # first grid step, then accumulated across ALL tiles and timesteps
         dlstm_w_ref[:] = jnp.zeros_like(dlstm_w_ref)
         dlstm_b_ref[:] = jnp.zeros_like(dlstm_b_ref)
         dheads_w_ref[:] = jnp.zeros_like(dheads_w_ref)
@@ -569,8 +579,24 @@ def _pack_weights(params, cfg: NTMConfig, IN: int):
     return lstm_w, lstm_b, kins, KIN
 
 
+def _tiles_of(B: int) -> Tuple[int, int, int]:
+    """(tile, padded batch, num tiles) for the (B/tile, T) kernel grid."""
+    Bt = min(B, BATCH_TILE)
+    Bp = -(-B // Bt) * Bt
+    return Bt, Bp, Bp // Bt
+
+
+def _pad_rows(x, Bp: int, axis: int = 0):
+    if x.shape[axis] == Bp:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, Bp - x.shape[axis])
+    return jnp.pad(x, pads)
+
+
 def _fwd_call(params, cfg: NTMConfig, tokens, state, interpret):
     B, T, IN = tokens.shape
+    Bt, Bp, nb = _tiles_of(B)
     cs = _static(cfg)
     (H, R, W, D, N, S, Hc, L, _sh, _wf, sizes, _sl) = cs
     P = sum(sizes.values())
@@ -579,71 +605,84 @@ def _fwd_call(params, cfg: NTMConfig, tokens, state, interpret):
     c0 = jnp.stack([c for c, _ in state["controller_state"]]).astype(f32)
     h0 = jnp.stack([h for _, h in state["controller_state"]]).astype(f32)
 
-    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda t: (0, 0, 0),
+    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda bi, t: (0, 0, 0),
                                           memory_space=pltpu.VMEM)
-    const2 = lambda a, b: pl.BlockSpec((a, b), lambda t: (0, 0),
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda bi, t: (0, 0),
                                        memory_space=pltpu.VMEM)
-    tidx3 = lambda a, b: pl.BlockSpec((1, a, b), lambda t: (t, 0, 0),
-                                      memory_space=pltpu.VMEM)
-    tidx4 = lambda a, b, c: pl.BlockSpec((1, a, b, c), lambda t: (t, 0, 0, 0),
-                                         memory_space=pltpu.VMEM)
+    # per-batch-tile state/carry blocks
+    btile3 = lambda b, c: pl.BlockSpec((Bt, b, c), lambda bi, t: (bi, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    btile2 = lambda b: pl.BlockSpec((Bt, b), lambda bi, t: (bi, 0),
+                                    memory_space=pltpu.VMEM)
+    ltile3 = lambda b: pl.BlockSpec((L, Bt, b), lambda bi, t: (0, bi, 0),
+                                    memory_space=pltpu.VMEM)
+    # t-indexed streams, tiled over batch
+    tidx3 = lambda b: pl.BlockSpec((1, Bt, b), lambda bi, t: (t, bi, 0),
+                                   memory_space=pltpu.VMEM)
+    tidx4 = lambda b, c: pl.BlockSpec(
+        (1, Bt, b, c), lambda bi, t: (t, bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    tidxL = lambda b: pl.BlockSpec(
+        (1, L, Bt, b), lambda bi, t: (t, 0, bi, 0), memory_space=pltpu.VMEM
+    )
 
     kern = functools.partial(_fwd_res_kernel, cs=cs)
     out = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(nb, T),
         in_specs=[
-            tidx3(B, IN),
+            tidx3(IN),
             const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
             const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
-            const3(B, D, N), const3(B, H, N), const2(B, R * D),
-            const3(L, B, Hc), const3(L, B, Hc),
+            btile3(D, N), btile3(H, N), btile2(R * D),
+            ltile3(Hc), ltile3(Hc),
         ],
         out_specs=(
-            tidx3(B, O),
-            const3(B, D, N), const3(B, H, N), const2(B, R * D),
-            const3(L, B, Hc), const3(L, B, Hc),
-            tidx4(B, D, N), tidx4(B, H, N), tidx3(B, R * D),
-            tidx4(L, B, Hc), tidx4(L, B, Hc),
+            tidx3(O),
+            btile3(D, N), btile3(H, N), btile2(R * D),
+            ltile3(Hc), ltile3(Hc),
+            tidx4(D, N), tidx4(H, N), tidx3(R * D),
+            tidxL(Hc), tidxL(Hc),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, O), f32),
-            jax.ShapeDtypeStruct((B, D, N), f32),
-            jax.ShapeDtypeStruct((B, H, N), f32),
-            jax.ShapeDtypeStruct((B, R * D), f32),
-            jax.ShapeDtypeStruct((L, B, Hc), f32),
-            jax.ShapeDtypeStruct((L, B, Hc), f32),
-            jax.ShapeDtypeStruct((T, B, D, N), f32),
-            jax.ShapeDtypeStruct((T, B, H, N), f32),
-            jax.ShapeDtypeStruct((T, B, R * D), f32),
-            jax.ShapeDtypeStruct((T, L, B, Hc), f32),
-            jax.ShapeDtypeStruct((T, L, B, Hc), f32),
+            jax.ShapeDtypeStruct((T, Bp, O), f32),
+            jax.ShapeDtypeStruct((Bp, D, N), f32),
+            jax.ShapeDtypeStruct((Bp, H, N), f32),
+            jax.ShapeDtypeStruct((Bp, R * D), f32),
+            jax.ShapeDtypeStruct((L, Bp, Hc), f32),
+            jax.ShapeDtypeStruct((L, Bp, Hc), f32),
+            jax.ShapeDtypeStruct((T, Bp, D, N), f32),
+            jax.ShapeDtypeStruct((T, Bp, H, N), f32),
+            jax.ShapeDtypeStruct((T, Bp, R * D), f32),
+            jax.ShapeDtypeStruct((T, L, Bp, Hc), f32),
+            jax.ShapeDtypeStruct((T, L, Bp, Hc), f32),
         ),
         interpret=interpret,
     )(
-        jnp.swapaxes(tokens.astype(f32), 0, 1),
+        _pad_rows(jnp.swapaxes(tokens.astype(f32), 0, 1), Bp, axis=1),
         lstm_w, lstm_b,
         params["heads_w"].astype(f32), params["heads_b"].astype(f32)[None, :],
         params["out_w"].astype(f32), params["out_b"].astype(f32)[None, :],
-        jnp.swapaxes(state["M"].astype(f32), 1, 2),
-        state["w"].astype(f32),
-        state["read"].astype(f32).reshape(B, R * D),
-        c0, h0,
+        _pad_rows(jnp.swapaxes(state["M"].astype(f32), 1, 2), Bp),
+        _pad_rows(state["w"].astype(f32), Bp),
+        _pad_rows(state["read"].astype(f32).reshape(B, R * D), Bp),
+        _pad_rows(c0, Bp, axis=1), _pad_rows(h0, Bp, axis=1),
     )
     (logits, M, w, read, c, h, Mh, wh, readh, ch, hh) = out
     final_state = {
-        "M": jnp.swapaxes(M, 1, 2),
-        "w": w,
-        "read": read.reshape(B, R, D),
-        "controller_state": [(c[l], h[l]) for l in range(L)],
+        "M": jnp.swapaxes(M[:B], 1, 2),
+        "w": w[:B],
+        "read": read[:B].reshape(B, R, D),
+        "controller_state": [(c[l, :B], h[l, :B]) for l in range(L)],
     }
-    residuals = (Mh, wh, readh, ch, hh)
-    return jnp.swapaxes(logits, 0, 1), final_state, residuals
+    residuals = (Mh, wh, readh, ch, hh)  # padded to Bp; bwd re-pads to match
+    return jnp.swapaxes(logits[:, :B], 0, 1), final_state, residuals
 
 
 def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
               interpret):
     B, T, IN = tokens.shape
+    Bt, Bp, nb = _tiles_of(B)
     cs = _static(cfg)
     (H, R, W, D, N, S, Hc, L, _sh, _wf, sizes, _sl) = cs
     P = sum(sizes.values())
@@ -654,65 +693,84 @@ def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
     ])  # [L, 4Hc, KIN]
     heads_wT = jnp.swapaxes(params["heads_w"].astype(f32), 0, 1)
     out_wT = jnp.swapaxes(params["out_w"].astype(f32), 0, 1)
-    Mh, wh, readh, ch, hh = residuals
+    Mh, wh, readh, ch, hh = residuals  # already padded to Bp by _fwd_call
 
-    dMf = jnp.swapaxes(dfinal["M"].astype(f32), 1, 2)
-    dwf = dfinal["w"].astype(f32)
-    dreadf = dfinal["read"].astype(f32).reshape(B, R * D)
-    dcf = jnp.stack([c for c, _ in dfinal["controller_state"]]).astype(f32)
-    dhf = jnp.stack([h for _, h in dfinal["controller_state"]]).astype(f32)
+    # padded rows carry ZERO cotangents, so although the residual streams
+    # hold garbage-but-finite values for them, every padded-row gradient
+    # contribution (param accumulators included) is exactly zero
+    dMf = _pad_rows(jnp.swapaxes(dfinal["M"].astype(f32), 1, 2), Bp)
+    dwf = _pad_rows(dfinal["w"].astype(f32), Bp)
+    dreadf = _pad_rows(dfinal["read"].astype(f32).reshape(B, R * D), Bp)
+    dcf = _pad_rows(
+        jnp.stack([c for c, _ in dfinal["controller_state"]]).astype(f32),
+        Bp, axis=1)
+    dhf = _pad_rows(
+        jnp.stack([h for _, h in dfinal["controller_state"]]).astype(f32),
+        Bp, axis=1)
 
-    rev3 = lambda a, b: pl.BlockSpec((1, a, b), lambda i: (T - 1 - i, 0, 0),
-                                     memory_space=pltpu.VMEM)
-    rev4 = lambda a, b, c: pl.BlockSpec(
-        (1, a, b, c), lambda i: (T - 1 - i, 0, 0, 0), memory_space=pltpu.VMEM
+    rev3 = lambda b: pl.BlockSpec(
+        (1, Bt, b), lambda bi, i: (T - 1 - i, bi, 0), memory_space=pltpu.VMEM
     )
-    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda i: (0, 0, 0),
+    rev4 = lambda b, c: pl.BlockSpec(
+        (1, Bt, b, c), lambda bi, i: (T - 1 - i, bi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    revL = lambda b: pl.BlockSpec(
+        (1, L, Bt, b), lambda bi, i: (T - 1 - i, 0, bi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const3 = lambda a, b, c: pl.BlockSpec((a, b, c), lambda bi, i: (0, 0, 0),
                                           memory_space=pltpu.VMEM)
-    const2 = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda bi, i: (0, 0),
                                        memory_space=pltpu.VMEM)
+    btile3 = lambda b, c: pl.BlockSpec((Bt, b, c), lambda bi, i: (bi, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    btile2 = lambda b: pl.BlockSpec((Bt, b), lambda bi, i: (bi, 0),
+                                    memory_space=pltpu.VMEM)
+    ltile3 = lambda b: pl.BlockSpec((L, Bt, b), lambda bi, i: (0, bi, 0),
+                                    memory_space=pltpu.VMEM)
 
     kern = functools.partial(_bwd_kernel, cs=cs)
     out = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(nb, T),
         in_specs=[
-            rev3(B, IN),
-            rev4(B, D, N), rev4(B, H, N), rev3(B, R * D),
-            rev4(L, B, Hc), rev4(L, B, Hc),
-            rev3(B, O),
+            rev3(IN),
+            rev4(D, N), rev4(H, N), rev3(R * D),
+            revL(Hc), revL(Hc),
+            rev3(O),
             const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
             const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
             const3(L, 4 * Hc, KIN), const2(P, Hc), const2(O, Hc),
-            const3(B, D, N), const3(B, H, N), const2(B, R * D),
-            const3(L, B, Hc), const3(L, B, Hc),
+            btile3(D, N), btile3(H, N), btile2(R * D),
+            ltile3(Hc), ltile3(Hc),
         ],
         out_specs=(
-            const3(B, D, N), const3(B, H, N), const2(B, R * D),
-            const3(L, B, Hc), const3(L, B, Hc),
+            btile3(D, N), btile3(H, N), btile2(R * D),
+            ltile3(Hc), ltile3(Hc),
             const3(L, KIN, 4 * Hc), const2(L, 4 * Hc),
             const2(Hc, P), const2(1, P), const2(Hc, O), const2(1, O),
-            rev3(B, IN),
+            rev3(IN),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, D, N), f32),
-            jax.ShapeDtypeStruct((B, H, N), f32),
-            jax.ShapeDtypeStruct((B, R * D), f32),
-            jax.ShapeDtypeStruct((L, B, Hc), f32),
-            jax.ShapeDtypeStruct((L, B, Hc), f32),
+            jax.ShapeDtypeStruct((Bp, D, N), f32),
+            jax.ShapeDtypeStruct((Bp, H, N), f32),
+            jax.ShapeDtypeStruct((Bp, R * D), f32),
+            jax.ShapeDtypeStruct((L, Bp, Hc), f32),
+            jax.ShapeDtypeStruct((L, Bp, Hc), f32),
             jax.ShapeDtypeStruct((L, KIN, 4 * Hc), f32),
             jax.ShapeDtypeStruct((L, 4 * Hc), f32),
             jax.ShapeDtypeStruct((Hc, P), f32),
             jax.ShapeDtypeStruct((1, P), f32),
             jax.ShapeDtypeStruct((Hc, O), f32),
             jax.ShapeDtypeStruct((1, O), f32),
-            jax.ShapeDtypeStruct((T, B, IN), f32),
+            jax.ShapeDtypeStruct((T, Bp, IN), f32),
         ),
         interpret=interpret,
     )(
-        jnp.swapaxes(tokens.astype(f32), 0, 1),
+        _pad_rows(jnp.swapaxes(tokens.astype(f32), 0, 1), Bp, axis=1),
         Mh, wh, readh, ch, hh,
-        jnp.swapaxes(dlogits.astype(f32), 0, 1),
+        _pad_rows(jnp.swapaxes(dlogits.astype(f32), 0, 1), Bp, axis=1),
         lstm_w, lstm_b,
         params["heads_w"].astype(f32), params["heads_b"].astype(f32)[None, :],
         params["out_w"].astype(f32), params["out_b"].astype(f32)[None, :],
@@ -738,12 +796,12 @@ def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
         "init_read": jnp.zeros_like(params["init_read"]),
     }
     dstate0 = {
-        "M": jnp.swapaxes(dM0, 1, 2),
-        "w": dw0,
-        "read": dread0.reshape(B, R, D),
-        "controller_state": [(dc0[l], dh0[l]) for l in range(L)],
+        "M": jnp.swapaxes(dM0[:B], 1, 2),
+        "w": dw0[:B],
+        "read": dread0[:B].reshape(B, R, D),
+        "controller_state": [(dc0[l, :B], dh0[l, :B]) for l in range(L)],
     }
-    return dparams, jnp.swapaxes(dx, 0, 1), dstate0
+    return dparams, jnp.swapaxes(dx[:, :B], 0, 1), dstate0
 
 
 @functools.lru_cache(maxsize=None)
@@ -762,22 +820,9 @@ def _bptt_wrapped(cfg: NTMConfig, interpret: bool):
     fn = jax.custom_vjp(forward)
 
     def fwd(params, tokens, state):
-        # the Mosaic ceiling is on the residual-streaming/backward pair, so
-        # the guard lives HERE (runs only under differentiation) — the
-        # residual-free primal above compiles fine at B=256 and must not be
-        # blocked for forward-only large-batch calls
-        B = tokens.shape[0]
-        if not interpret and B > MAX_HW_BATCH:
-            raise ValueError(
-                f"fused_bptt: batch {B} exceeds the scoped-VMEM compile "
-                f"ceiling ({MAX_HW_BATCH}): the backward kernel needs "
-                "~0.3 MB of scoped VMEM per batch row (19.09 MB at B=64) "
-                "vs the 16 MB default limit. To lift it, start the process "
-                "with LIBTPU_INIT_ARGS='--xla_tpu_scoped_vmem_limit_kib="
-                "65536' and set NTM_FUSED_BPTT_MAX_BATCH accordingly; "
-                "otherwise use the default scan path for large-batch "
-                "training and fused_bptt for batch<=32 (1.1-1.3x faster)."
-            )
+        # no batch ceiling since the (B/tile, T) grid: scoped VMEM is
+        # bounded by BATCH_TILE regardless of B (the r4 scoped-VMEM OOM
+        # fix; see BATCH_TILE above)
         logits, final_state, res = _fwd_call(params, cfg, tokens, state,
                                              interpret)
         return (logits, final_state), (params, tokens, res)
@@ -805,10 +850,10 @@ def ntm_scan_fused_bptt(
     init_ntm_state under the same jax.grad). Returns (logits [B,T,O],
     final state).
 
-    The MAX_HW_BATCH Mosaic compile ceiling applies only under
-    differentiation (the residual-streaming fwd/bwd kernel pair) and is
-    enforced in the VJP fwd rule; undifferentiated calls dispatch the
-    residual-free forward kernel, which compiles and runs at B=256."""
+    Any batch size compiles: the fwd/bwd kernels grid over BATCH_TILE-row
+    tiles, so scoped VMEM is bounded regardless of B (the r4 fix for the
+    old B>32 scoped-VMEM compile ceiling). Undifferentiated calls dispatch
+    the residual-free forward kernel."""
     if cfg.use_pallas:
         import dataclasses as _dc
 

@@ -105,13 +105,16 @@ class FleetTracker:
             )
         d = cfg.data
         # separable-matmul crop: the gather form's full-frame HBM gathers
-        # were the r3 device-loop gap (tools/probe_devloop.py); HIGH
-        # precision keeps it within 4.2e-5 of the gather sampler
+        # were the r3 device-loop gap (tools/probe_devloop.py). HIGHEST
+        # keeps it f32-exact vs the gather sampler (1.2e-7 of full scale;
+        # HIGH's 4.2e-5 residue tripped the r4 drift tripwire through the
+        # NTM recrop feedback) and measures within 1% of HIGH on the
+        # closed loop — correctness is free here.
         self._crop_jit = jax.jit(
             lambda imgs, boxes: crop_and_resize_mm(
                 imgs.astype(jnp.float32) - jnp.asarray(VGG_MEAN),
                 boxes, (d.crop_size, d.crop_size),
-                precision=jax.lax.Precision.HIGH,
+                precision=jax.lax.Precision.HIGHEST,
             )
         )
         self.state = self._shard(self._fresh_state(capacity))

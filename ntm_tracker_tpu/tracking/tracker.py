@@ -125,6 +125,7 @@ def make_device_track_step(
     vgg_params: Any,
     params: Any,
     delimiter_first: bool = False,
+    crop_precision=jax.lax.Precision.HIGHEST,
 ):
     """Fully device-resident per-frame tracking: the crop geometry, the
     recrop, the VGG and the 65 cell steps all inside ONE jitted call — for
@@ -173,12 +174,17 @@ def make_device_track_step(
         # [B,360,640,3] frames cost ~20 ms/step of the r3 loop's 52.7 ms
         # at B=256; the matmul form is ~3 ms of MXU work, putting the
         # whole closed loop within 8.4% of the crop-free headline step
-        # (35.24 vs 32.27 ms — tools/probe_devloop.py). HIGH precision
-        # keeps the crop near-f32 (4.2e-5 of full scale vs the gather
-        # form) so the host-loop drift tripwire stays tight.
+        # (35.24 vs 32.27 ms — tools/probe_devloop.py). crop_precision
+        # controls how closely the crop matches the host loop's f32
+        # gather form: HIGH leaves 4.2e-5-of-full-scale error, which the
+        # NTM recrop feedback amplified to a 12.83 px / 0.166 drift_frac
+        # TRIPWIRE BREACH in the r4 rehearsal TRACK artifact; HIGHEST is
+        # 1.2e-7 of full scale (f32-exact) and restores r3-level drift
+        # (measured 2.59 px / 0.034 with the same trained weights) at
+        # +0.9% closed-loop step cost — correctness is free here.
         imgs = frames.astype(jnp.float32) - jnp.asarray(VGG_MEAN)
         return crop_and_resize_mm(imgs, cropbox, (d.crop_size, d.crop_size),
-                                  precision=jax.lax.Precision.HIGH)
+                                  precision=crop_precision)
 
     def init_fn(frames, bbox0, state):
         crops = _crop(frames, cropbox_of(bbox0, d.cropbox_grid, d.bbox_grid))

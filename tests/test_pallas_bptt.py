@@ -48,26 +48,47 @@ def test_fused_bptt_matches_jax_grad(name):
         )
 
 
-def test_fused_bptt_hw_batch_ceiling():
-    """DIFFERENTIATED non-interpret calls beyond the measured Mosaic compile
-    ceiling fail fast with the measured guidance instead of crashing the TPU
-    compiler. The ceiling is on the residual-streaming fwd/bwd pair only, so
-    the guard lives in the VJP fwd rule — undifferentiated calls dispatch
-    the residual-free forward kernel, which runs at B=256 on hardware."""
-    from ntm_tracker_tpu.ops.pallas.scan_bptt import MAX_HW_BATCH
+@pytest.mark.parametrize("big_b", [8, 11])
+def test_fused_bptt_batch_tiled_matches_jax_grad(big_b, monkeypatch):
+    """Batches beyond BATCH_TILE run on a (B/tile, T) grid — the r4 fix for
+    the scoped-VMEM compile ceiling. Exercise multiple tiles (B=8, tile 4)
+    AND a non-dividing batch (B=11 -> padded to 12): values, every gradient
+    path, and the cross-tile param-grad accumulation must still match
+    jax.grad of the jnp scan exactly. Padded rows carry zero cotangents, so
+    they must contribute nothing."""
+    import ntm_tracker_tpu.ops.pallas.scan_bptt as sb
 
-    cfg = CONFIGS["flagship_shape"]
-    params, state, tokens, _ = _setup(cfg, seed=1)
-    big = jnp.tile(tokens, (MAX_HW_BATCH, 1, 1))[: MAX_HW_BATCH + 1]
-    big_state = init_ntm_state(params, cfg, MAX_HW_BATCH + 1)
+    monkeypatch.setattr(sb, "BATCH_TILE", 4)
+    cfg = CONFIGS["two_layer_two_write_s2_wf"]
+    params, _state, tokens, cot = _setup(cfg, seed=7)
+    rs = np.random.RandomState(8)
+    T, IN = tokens.shape[1:]
+    big = jnp.asarray(rs.uniform(-1, 1, (big_b, T, IN)).astype(np.float32))
+    big_state = init_ntm_state(params, cfg, big_b)
+    A, BM, Bw, Br, Bc = cot
+    tile_to = lambda a: jnp.tile(a, (-(-big_b // a.shape[0]),) + (1,) * (a.ndim - 1))[:big_b]
+    big_cot = (tile_to(A), tile_to(BM), tile_to(Bw), tile_to(Br), tile_to(Bc))
 
-    def loss(p):
-        logits, _ = ntm_scan_fused_bptt(p, cfg, big, big_state,
-                                        interpret=False)
-        return logits.sum()
-
-    with pytest.raises(ValueError, match="compile ceiling"):
-        jax.grad(loss)(params)
+    loss_ref = _loss(lambda p, t, s: _jnp_unroll(p, cfg, t, s), big_cot)
+    loss_fused = _loss(
+        lambda p, t, s: ntm_scan_fused_bptt(p, cfg, t, s, interpret=True),
+        big_cot,
+    )
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        params, big, big_state
+    )
+    v_fused, g_fused = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(
+        params, big, big_state
+    )
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-5)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_flatten(g_fused)[0]
+    for (path, r), f in zip(flat_ref, flat_fused):
+        scale = max(1e-3, float(jnp.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), atol=3e-5 * scale, rtol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
 
 
 def test_fused_bptt_forward_matches_jnp():
