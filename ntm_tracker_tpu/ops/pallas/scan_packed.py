@@ -78,8 +78,10 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
 )
 
 # Largest batch the Mosaic compiler handles for the packed backward on real
-# hardware — measured identical to scan_bptt.MAX_HW_BATCH (B=64 crashes the
-# compile helper).
+# hardware — the same scoped-VMEM stack OOM scan_bptt.py hit at B=64
+# (probe_bptt_b64.py). scan_bptt fixed it by tiling its grid over batch;
+# this kernel is a measured-slower alternate kept for record, so it keeps
+# the plain guard instead of growing a tiled variant.
 MAX_HW_BATCH = 32
 
 

@@ -16,6 +16,10 @@ exit 1). This probe, run directly on the TPU backend:
 Each attempt runs in a CHILD interpreter (the crash takes the process
 down / wedges the backend client), with a timeout.
 
+OUTCOME (r4): the OOM was fixed by design — scan_bptt.py now grids over
+(B/BATCH_TILE, T) so scoped VMEM is bounded by the tile. This probe pins
+BATCH_TILE high to keep reproducing the original single-tile failure.
+
 Usage: python -m ntm_tracker_tpu.tools.probe_bptt_b64
 """
 
@@ -31,7 +35,10 @@ import jax, jax.numpy as jnp
 from ntm_tracker_tpu.config import NTMConfig
 from ntm_tracker_tpu.models.ntm_cell import init_ntm_params, init_ntm_state
 from ntm_tracker_tpu.ops.pallas import scan_bptt
-scan_bptt.MAX_HW_BATCH = 1024  # lift the guard: this probe IS the repro
+# force ONE grid tile so this probe keeps reproducing the ORIGINAL
+# un-tiled scoped-VMEM OOM (the shipped kernel now grids over
+# BATCH_TILE-row tiles and no longer has a batch ceiling)
+scan_bptt.BATCH_TILE = 1024
 
 cfg = NTMConfig()  # flagship defaults — the config of the measured table
 IN = 514           # TrackerConfig.input_depth: 512 features + 2 indicator bits

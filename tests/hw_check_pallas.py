@@ -107,11 +107,15 @@ def check_addressing(name, cfg, B=1):
     print(f"  PASS addr  {name}")
 
 
-def check_bptt(name, cfg, B=8, T=65, IN=514):
+def check_bptt(name, cfg, B=8, T=65, IN=514, label=""):
     """Mosaic-compile the whole-sequence BPTT pair (residual forward +
     hand-derived backward, ops/pallas/scan_bptt.py) on the real chip and
-    assert gradient parity against jax.grad of the jnp scan. B=8 is inside
-    the measured hardware compile ceiling (MAX_HW_BATCH=32)."""
+    assert gradient parity against jax.grad of the jnp scan. Run once
+    inside a single batch tile (B=8) and once across tiles with padding
+    (B=40 = 32 + 8: two grid tiles, the second half-padded) — the r4
+    batch-tiled grid must accumulate param grads across tiles and keep
+    padded rows at exactly zero contribution ON HARDWARE, not just in
+    interpret mode."""
     from ntm_tracker_tpu.ops.pallas.scan_bptt import ntm_scan_fused_bptt
 
     params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
@@ -144,7 +148,8 @@ def check_bptt(name, cfg, B=8, T=65, IN=514):
             f"{name}: grad rel diff {d:.2e} at {jax.tree_util.keystr(path)}"
         )
         worst = max(worst, d)
-    print(f"  PASS bptt  {name:16s} [f32] worst grad rel diff {worst:.2e}")
+    tag = f"{name}{label}"
+    print(f"  PASS bptt  {tag:16s} [f32] worst grad rel diff {worst:.2e}")
 
 
 def check_packed(name, cfg, B=8, T=65, IN=514):
@@ -239,6 +244,7 @@ def main():
     check_addressing("write-first", CONFIGS["write-first"])
     check_addressing("slotwise", CONFIGS["slotwise"])
     check_bptt("flagship", CONFIGS["flagship"])
+    check_bptt("flagship", CONFIGS["flagship"], B=40, label=" B40/2tile")
     check_packed("flagship", CONFIGS["flagship"])
     try:
         check_int8()
