@@ -396,8 +396,11 @@ def _write_track_artifact(deadline: float | None = None):
 def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
     """Full train step (grads + 1300-step BPTT + RMSProp) on precomputed
     tokens, the train-offsets --feature_cache path. Returns (frames/s,
-    step_ms). B=256 is the measured knee (17.8k f/s vs 16.7k at 128 and
-    17.3k at 512, tools/bench_train.py sweep)."""
+    step_ms). B=256 is the measured knee for BOTH training paths: fused
+    Pallas BPTT (the TrainConfig "auto" default on one TPU chip) 24.6k
+    f/s at 256 vs 23.8k at 128 (fused B=512 fails to compile — see
+    scan_bptt.py); the XLA scan knee was 17.8k at 256 vs 16.7k at 128
+    and 15.7k at 512 (tools/bench_train.py + bench_bptt_knee.py)."""
     import jax
 
     from ntm_tracker_tpu.config import TrackerConfig, TrainConfig

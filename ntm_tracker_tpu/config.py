@@ -118,12 +118,17 @@ class TrainConfig:
     # run the NTM training BPTT as ONE fused Pallas forward + hand-derived
     # Pallas backward (ops/pallas/scan_bptt.py) instead of lax.scan +
     # autodiff. f32 compute only; grad-parity asserted in
-    # tests/test_pallas_bptt.py. Measured (v5e, T=1300): 1.1-1.3x faster
-    # than the XLA scan at batch<=32, but HARD-LIMITED to batch 32 by a Mosaic
-    # compile ceiling, and XLA is within ~7% of this design at the B=256
-    # training knee — use for small-batch runs only (scan_bptt.py docstring
-    # has the full measured table).
-    fused_bptt: bool = False
+    # tests/test_pallas_bptt.py. "auto" (default) resolves to True on a
+    # single TPU chip at f32 with batch >= 64, False elsewhere (CPU runs
+    # the XLA scan; pjit meshes keep the XLA scan — Pallas has no GSPMD
+    # partitioning rules; sub-64 batches skip the narrow-tile Mosaic
+    # compile, measured ~5 min at tile 32 — pass True to override).
+    # Measured (v5e, T=1300, r4 knee sweep after the batch-tiled
+    # grid removed the old B>32 ceiling and the dcontrols scratch-store
+    # swap): fused beats the XLA scan at EVERY batch — 1.48x at B=32 and
+    # 1.39x at the B=256 cached-training knee (207.8 vs 289.8 ms;
+    # scan_bptt.py docstring has the full table).
+    fused_bptt: bool | str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

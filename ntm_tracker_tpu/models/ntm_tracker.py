@@ -42,7 +42,7 @@ def ntm_tracker_unroll(
     compute_dtype=None,
     unroll: int = 1,
     layout: str = "nd",
-    fused_bptt: bool = False,
+    fused_bptt: bool | str = False,
 ) -> Tuple[jax.Array, jax.Array, NTMState]:
     """Run the cell over a serialized token sequence.
 
@@ -79,6 +79,32 @@ def ntm_tracker_unroll(
     B = inputs.shape[0]
     if state is None:
         state = init_ntm_state(params, cfg, B)
+
+    if isinstance(fused_bptt, str) and fused_bptt != "auto":
+        # guard the truthiness trap: any typo'd string would otherwise
+        # silently enable the fused kernel below
+        raise ValueError(
+            f"fused_bptt must be True, False or 'auto', got {fused_bptt!r}"
+        )
+    if fused_bptt == "auto":
+        # measured winner at every training-scale batch on a SINGLE v5e
+        # chip at f32 (r4 knee sweep, tools/bench_bptt_knee.py: 1.48x at
+        # B=32, 1.61x at B=64, 1.39x at B=256 with BATCH_TILE=64) — but
+        # Pallas calls carry no GSPMD partitioning rules, so under a pjit
+        # mesh (parallel/mesh.py) the XLA scan remains the multi-chip
+        # path; multi-chip users inside shard_map (per-device local
+        # shapes) may still pass True. B<64 also stays on the XLA scan:
+        # sub-64 batches run a narrower grid tile whose Mosaic compile
+        # was measured at ~5 MINUTES (tile 32; tile 64 compiles in
+        # 17-46 s) — a one-off the ~19 ms/step win only repays after
+        # ~17k steps, far past the demo/TRACK-scale runs. Small-batch
+        # production runs that amortize it may pass True explicitly.
+        fused_bptt = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and B >= 64
+            and (compute_dtype is None or compute_dtype == jnp.float32)
+        )
 
     if fused_bptt:
         # whole-sequence Pallas forward + hand-derived Pallas backward

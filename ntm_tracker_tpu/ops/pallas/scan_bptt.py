@@ -30,44 +30,52 @@ Semantics match jax.grad of the jnp lax.scan over ntm_cell_step at f32
 intentional deviation is d/dgamma of pow at w_conv == 0 exactly, where
 jax.grad yields NaN*0 and this kernel yields 0).
 
-MEASURED VERDICT (v5e, T=1300, flagship config, round 3) — this closes
-the fused-BPTT question with data:
+MEASURED VERDICT (v5e, T=1300, flagship config; r3 measured the original
+single-tile kernel, r4 re-measured after (a) the batch-tiled grid +
+scoped-VMEM raise removed the old B>32 compile ceiling and (b) the
+dcontrols assembly switched from masked-iota accumulation — O(B*P) VPU
+work per column — to single-column scratch stores, worth another 16-38%;
+tools/bench_bptt_knee.py, tile 64):
 
     batch   fused grad step     XLA grad step (remat scan, same day)
-      8        23.3 ms             29.6 ms    (fused 1.27x faster)
-     16        35.4 ms             38.1 ms    (fused 1.08x)
-     32        49.8 ms             57.0 ms    (fused 1.14x)
-     64        compile failure; ceiling is batch, not sequence length
-    256        (B=8/T=1300 compiles, B=64/T=12 dies)
+      8        23.3 ms  (r3)       29.6 ms    (fused 1.27x faster)
+     16        35.4 ms  (r3)       38.1 ms    (fused 1.08x)
+     32        38.7 ms             57.4 ms    (fused 1.48x)
+     64        56.2 ms             90.7 ms    (fused 1.61x)
+    128       107.5 ms            155.7 ms    (fused 1.45x)
+    256       207.8 ms            289.8 ms    (fused 1.39x —
+                                   24,636 trained frames/s at the knee)
+    512       compile failed*     651.8 ms    (15.7k f/s — past the knee)
 
-ROOT CAUSE (round 4, tools/probe_bptt_b64.py): the B=64 failure is NOT a
-Mosaic bug — it is a scoped-VMEM stack OOM, reported only when run under
-a child that captures the real error: "Ran out of memory in memory space
-vmem ... Scoped allocation with size 19.09M and limit 16.00M exceeded
-scoped vmem limit by 3.09M" on the backward pallas_call. The kernel's
-VMEM need is ~0.3 MB per batch row (T-independent — the residual streams
-are t-indexed blocks): B=48 (~14.3 M) compiles and runs, B=64 (19.09 M)
-trips the 16 MB default limit. The cliff is therefore between 48 and 64,
-and the fix on a STANDARD TPU VM is the documented libtpu flag
-  LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536"
-plus NTM_FUSED_BPTT_MAX_BATCH to lift the guard (v5e has 128 MB physical
-VMEM; 16 MB is only the scoped default). ATTEMPTED HERE: setting that
-flag from the probe child TIMED OUT at compile — on this tunneled axon
-backend the AOT compile server snapshots the TERMINAL's env ("adopted
-terminal's compile env for AOT"), so child-process libtpu flags never
-reach the compiler; the workaround is validated as far as this
-environment allows and the guard message carries the recipe.
+  * the remote compile helper exits 1 (HTTP 500, no diagnostic) on the
+    8-tile B=512 program; irrelevant in practice — per-row cost is flat
+    in B (~40 us/tile-step at tile 64), so B=512 could at best match
+    B=256's 24.6k f/s while XLA's own B=512 is 11% WORSE than its B=256,
+    i.e. 256 is the knee for both paths.
 
-Per-step cost fits t = 13 + 0.77*B microseconds: the kernel is VPU
+ROOT CAUSE of the old ceiling (r4, tools/probe_bptt_b64.py): a
+scoped-VMEM stack OOM, reported only when run under a child that captures
+the real error: "Ran out of memory in memory space vmem ... Scoped
+allocation with size 19.09M and limit 16.00M exceeded scoped vmem limit
+by 3.09M" on the backward pallas_call — ~0.3 MB of scoped VMEM per batch
+row (T-independent) vs the 16 MB default limit. FIXED TWICE OVER: the
+(B/BATCH_TILE, T) grid bounds scoped VMEM by the tile size, and
+_COMPILER_PARAMS raises the per-kernel limit to 100 MB
+(pltpu.CompilerParams(vmem_limit_bytes=...) — the per-kernel knob works
+on this backend; the LIBTPU_INIT_ARGS env route does not, because the
+tunnel's AOT compile server snapshots the terminal's env).
+
+Per-step cost fits t = 13 + 0.5*Bt microseconds per tile (down from
+13 + 0.77*Bt before the scratch-store swap): the kernel is VPU
 INSTRUCTION-ISSUE bound (the D=20/H=5 unrolled row loops emit ~2k small
-vector ops per step), not HBM bound — extrapolated B=256 is ~270 ms vs
-XLA's measured 291 ms, and sequential batch-chunking (8 x 49.8 ms) loses
-outright. Decision: fused_bptt is the SMALL-BATCH (<=32) training path
-where it beats XLA by 1.1-1.3x; the B=256 cached-training knee stays on
-the XLA scan, which this measurement shows is within ~7% of what the
-fused design could reach there.
+vector ops per step), not HBM bound. DECISION (r4): the fused path beats
+the XLA scan at EVERY measured batch including the B=256 cached-training
+knee (1.39x), so TrainConfig.fused_bptt defaults to "auto" — fused on a
+single TPU chip at f32 with B >= 64; XLA scan on CPU, under pjit meshes
+(Pallas has no GSPMD partitioning rules), and below B=64 (narrow-tile
+Mosaic compiles measured ~5 min; see the BATCH_TILE note).
 
-Training entry: ntm_tracker_unroll(..., fused_bptt=True) /
+Training entry: ntm_tracker_unroll(..., fused_bptt=True|"auto") /
 TrainConfig.fused_bptt.
 """
 
@@ -95,13 +103,39 @@ f32 = jnp.float32
 # scratch is bounded by the tile size regardless of B (batch rows are
 # independent everywhere except the parameter-gradient accumulators, which
 # live in a grid-constant block and accumulate across tiles; TPU grids run
-# sequentially, so the revisited block stays VMEM-resident). 32 rows ≈
-# 10 MB of scoped VMEM — comfortably inside the default limit, and the
-# largest tile measured fastest (the per-grid-step fixed cost ~13 us is
-# amortized over more rows). Batches that don't divide are zero-padded to
-# the tile boundary; padded rows carry zero cotangents, so every gradient
-# contribution from them is exactly zero.
-BATCH_TILE = int(os.environ.get("NTM_FUSED_BPTT_BATCH_TILE", "32"))
+# sequentially, so the revisited block stays VMEM-resident). Batches that
+# don't divide are zero-padded to the tile boundary; padded rows carry
+# zero cotangents, so every gradient contribution from them is exactly
+# zero.
+#
+# Tile choice (swept at B=256/T=1300, v5e, with the _COMPILER_PARAMS
+# scoped-VMEM raise below, pre-scratch-store kernel — relative ordering
+# holds): bigger tiles amortize the ~13 us/grid-step fixed cost but
+# inflate Mosaic compile time steeply —
+#     tile    grad step     first compile
+#      32      345 ms          14 s
+#      64      247 ms          46 s     <- default (207.8 ms post-
+#     128      227 ms         5.4 min      scratch-store — the shipped
+#     256      (compile >15 min; rejected) kernel; see module docstring)
+# NTM_FUSED_BPTT_BATCH_TILE=128 bought +9% in that sweep for long
+# production runs that can eat the one-off compile.
+#
+# Post-scratch-store the compile-time balance FLIPPED: tile-64 kernels
+# now compile in 17-46 s but the NARROW tile (Bt=32, taken automatically
+# when B<64) was measured at ~5 min — which is why fused_bptt="auto"
+# only engages at B>=64 (ntm_tracker.py); explicit True accepts the
+# one-off compile at any batch.
+BATCH_TILE = int(os.environ.get("NTM_FUSED_BPTT_BATCH_TILE", "64"))
+
+# Per-kernel scoped-VMEM limit override. The original B=64 OOM was against
+# the 16 MB DEFAULT scoped limit; pltpu.CompilerParams(vmem_limit_bytes=...)
+# raises it for THIS kernel only (no libtpu process flag needed — the
+# env-var route is unusable on the tunneled axon backend, whose AOT compile
+# server snapshots the terminal's env; probe_bptt_b64.py). 100 MB of the
+# chip's 128 MB physical VMEM, same setting scan_packed.py ships.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
 
 
 def _forward_math(x, M_prev, w_prev, read_prev, c_prev, h_prev, lstm_w,
@@ -271,6 +305,8 @@ def _bwd_kernel(
     dM_ref, dw_ref, dread_ref, dc_ref, dh_ref,
     dlstm_w_ref, dlstm_b_ref, dheads_w_ref, dheads_b_ref, dout_w_ref,
     dout_b_ref, dx_ref,
+    # scratch
+    dctrl_ref,
     *, cs,
 ):
     (H, R, W, D, N, S, Hc, L, shifts, write_first, sizes, slotwise) = cs
@@ -306,16 +342,15 @@ def _bwd_kernel(
     h_prev = [hh_ref[0, l] for l in range(L)]
 
     P = heads_w_ref.shape[1]
-    # dcontrols is assembled by MASKED ACCUMULATION into a zeros [B,P]
-    # buffer instead of concatenating ~200 width-1 column vectors — Mosaic
-    # rejects tpu.concatenate of tiny slices with mismatched layouts
-    # ('result/input offset mismatch on non-concat dimension'); broadcasting
-    # a [B,1] piece against an iota mask is the pattern the (hardware-
-    # proven) forward kernel already relies on.
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-
-    def place(buf, col, piece):
-        return buf + jnp.where(col_iota == col, piece, 0.0)
+    # dcontrols is assembled by SINGLE-COLUMN STORES into a [B,P] VMEM
+    # scratch (every one of the P columns is written exactly once per
+    # step, so no zeroing is needed). Mosaic rejects tpu.concatenate of
+    # ~200 width-1 slices ('result/input offset mismatch on non-concat
+    # dimension'), and the r3 masked-iota accumulation did O(B*P) work
+    # PER COLUMN; a static column store is O(B).
+    def place(_buf, col, piece):
+        dctrl_ref[:, col : col + 1] = piece
+        return _buf
 
     # ---- recompute the forward step (VMEM-local) -------------------------
     _logit, M_rows, w_heads, _read, _c_new, _h_new, it = _forward_math(
@@ -484,6 +519,9 @@ def _bwd_kernel(
             dM_prev_rows[d] = dM_prev_rows[d] + 2.0 * M_prev[:, d, :] * dss_d
 
     # ---- head/output linear backward ------------------------------------
+    # the column stores above have populated every column of the scratch;
+    # read it back as the assembled [B,P] cotangent of the head controls
+    dcontrols = dctrl_ref[:]
     ctrl_out = it["ctrl_out"]
     dheads_w_ref[:] += jax.lax.dot_general(
         ctrl_out, dcontrols, (((0,), (0,)), ((), ())),
@@ -658,6 +696,7 @@ def _fwd_call(params, cfg: NTMConfig, tokens, state, interpret):
             jax.ShapeDtypeStruct((T, L, Bp, Hc), f32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         _pad_rows(jnp.swapaxes(tokens.astype(f32), 0, 1), Bp, axis=1),
         lstm_w, lstm_b,
@@ -766,7 +805,9 @@ def _bwd_call(params, cfg: NTMConfig, tokens, residuals, dlogits, dfinal,
             jax.ShapeDtypeStruct((1, O), f32),
             jax.ShapeDtypeStruct((T, Bp, IN), f32),
         ),
+        scratch_shapes=[pltpu.VMEM((Bt, P), f32)],  # dcontrols assembly
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         _pad_rows(jnp.swapaxes(tokens.astype(f32), 0, 1), Bp, axis=1),
         Mh, wh, readh, ch, hh,

@@ -245,6 +245,13 @@ def main():
     check_addressing("slotwise", CONFIGS["slotwise"])
     check_bptt("flagship", CONFIGS["flagship"])
     check_bptt("flagship", CONFIGS["flagship"], B=40, label=" B40/2tile")
+    # fused BPTT is the default single-chip training path since r4
+    # (TrainConfig.fused_bptt="auto"), so hardware-compile the backward's
+    # config-dependent loops too: multi-write-head erase/add + wide shifts
+    # (write2-shift2) and the slotwise-cosine VJP (slotwise) — interpret
+    # mode already asserts their semantics, this guards Mosaic lowering.
+    check_bptt("write2-shift2", CONFIGS["write2-shift2"])
+    check_bptt("slotwise", CONFIGS["slotwise"])
     check_packed("flagship", CONFIGS["flagship"])
     try:
         check_int8()

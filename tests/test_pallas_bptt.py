@@ -91,6 +91,27 @@ def test_fused_bptt_batch_tiled_matches_jax_grad(big_b, monkeypatch):
         )
 
 
+def test_fused_bptt_auto_resolves_to_xla_on_cpu():
+    """TrainConfig.fused_bptt defaults to "auto": fused only on a single
+    TPU chip at f32 with training-scale batches. Under the test suite's
+    CPU backend "auto" must resolve to the XLA scan and be bit-identical
+    to an explicit fused_bptt=False call."""
+    from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
+
+    cfg = CONFIGS["flagship_shape"]
+    params, state, tokens, _ = _setup(cfg, seed=3)
+    _, lo_auto, fin_auto = ntm_tracker_unroll(
+        params, cfg, tokens, state=state, fused_bptt="auto"
+    )
+    _, lo_xla, fin_xla = ntm_tracker_unroll(
+        params, cfg, tokens, state=state, fused_bptt=False
+    )
+    np.testing.assert_array_equal(np.asarray(lo_auto), np.asarray(lo_xla))
+    np.testing.assert_array_equal(
+        np.asarray(fin_auto["M"]), np.asarray(fin_xla["M"])
+    )
+
+
 def test_fused_bptt_forward_matches_jnp():
     cfg = CONFIGS["flagship_shape"]
     params, state, tokens, _ = _setup(cfg, seed=0)
