@@ -14,11 +14,19 @@ Per core the artifact records:
   * the serving-precision probe: with the TRAINED tracker at the backend's
     DEFAULT matmul precision (bf16 on TPU — the configuration users
     actually serve), the host-geometry streaming loop and the fully
-    device-resident loop must stay on the same trajectory. `drift_px` is
-    the worst per-frame region deviation in pixels; `drift_frac` is that
-    normalized by the clip's initial gt-box diagonal. A `drift_frac`
-    above DRIFT_FRAC_MAX trips `drift_breach` and fails the artifact run
-    loudly AFTER all cores are recorded.
+    device-resident loop run the same clip. `drift_px` is the worst
+    per-frame region deviation in pixels over the whole trajectory;
+    `drift_frac` is that normalized by the clip's initial gt-box diagonal.
+    The TRIPWIRE fires on `drift_step1_frac` — the deviation at the FIRST
+    tracked frame, where both loops start from an identical init state, so
+    the number measures pure implementation/precision mismatch of one
+    step (crop -> VGG -> cell -> decode -> recrop). Trajectory drift is
+    recorded but advisory: bf16 rounding differences compound chaotically
+    over frames (measured run-to-run drift_frac 0.01-0.17 on identical
+    code, r4), so a trajectory threshold cannot separate regression from
+    seed luck — the one-step deviation can. `drift_step1_frac` above
+    STEP1_FRAC_MAX trips `drift_breach` and fails the artifact run loudly
+    AFTER all cores are recorded.
 
 Budget discipline (round-3 lesson: the driver killed bench mid-artifact,
 rc=124, losing the DNC record): every core's record is flushed to disk
@@ -39,9 +47,21 @@ import json
 import sys
 import time
 
-# Tripwire for the serving-precision probe: r3 measured drift_frac ~0.03
-# (2.28 px over a ~74 px box diagonal); 0.15 gives 5x headroom while still
-# catching the 20-px-scale silent regression the bound exists for.
+# Tripwire for the serving-precision probe, asserted on the ONE-STEP
+# deviation (identical init state into both loops): a geometry/decode/crop
+# implementation regression shows up at frame 1 at the tens-of-px scale,
+# while honest bf16 rounding of one step stays well under a pixel
+# (measured r4 on v5e: ntm 0.18 px / dnc 0.07 px over a ~77 px diagonal).
+# 0.05 of the gt-box diagonal (~3.9 px here) gives >20x headroom over the
+# measured value while still catching the 20-px-scale silent regression
+# the bound exists for.
+STEP1_FRAC_MAX = 0.05
+
+# Advisory ceiling for the full-trajectory drift, kept for context in the
+# artifact but NOT asserted: measured run-to-run drift_frac on identical
+# code spans 0.01-0.17 (bf16 rounding compounds chaotically through the
+# recrop feedback loop), so no threshold on it separates regression from
+# seed luck. Retained so readers of older rounds' artifacts can compare.
 DRIFT_FRAC_MAX = 0.15
 
 # Seconds reserved out of the deadline for the post-training work:
@@ -70,12 +90,17 @@ def eval_iou(cfg, vgg, params, seed: int, frames_n: int,
 def serve_precision_drift(cfg, core, vgg, params, seed: int,
                           frames_n: int = 12):
     """Serving-precision probe at the backend's DEFAULT matmul precision
-    with the given (trained) weights: max per-frame |region| deviation
-    between the host-geometry streaming loop and the device-resident loop.
+    with the given (trained) weights: |region| deviation between the
+    host-geometry streaming loop and the device-resident loop.
 
-    Returns (drift_px, drift_frac): absolute pixels, and normalized by the
-    clip's initial gt-box diagonal in pixels (so the number is comparable
-    across frame/box sizes and can carry the DRIFT_FRAC_MAX tripwire)."""
+    Returns (drift_px, drift_frac, step1_px, step1_frac): the worst
+    per-frame deviation over the whole trajectory, and the deviation at
+    the FIRST tracked frame, each in absolute pixels and normalized by
+    the clip's initial gt-box diagonal (comparable across frame/box
+    sizes). The step-1 pair carries the STEP1_FRAC_MAX tripwire: both
+    loops enter frame 1 with an identical init state, so its deviation is
+    pure one-step implementation/precision mismatch, free of the chaotic
+    trajectory amplification that makes the full-drift pair advisory."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -104,11 +129,14 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
     fdev = frames.astype(np.float32)
     state = init_fn(fdev[0:1], bbox, core.init_state(params, 1))
     drift = 0.0
+    step1 = 0.0
     for t in range(1, frames_n):
         region, bbox, state = step_fn(fdev[t : t + 1], bbox, state)
         d = np.abs(np.asarray(region[0]) - np.asarray(host_regions[t - 1])).max()
+        if t == 1:
+            step1 = float(d)
         drift = max(drift, float(d))
-    return drift, drift / box_diag
+    return drift, drift / box_diag, step1, step1 / box_diag
 
 
 def run_core(core: str, train_steps: int, seed: int = 0,
@@ -188,15 +216,19 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     if flush is not None:
         flush(out)
 
-    drift_px, drift_frac = serve_precision_drift(
+    drift_px, drift_frac, step1_px, step1_frac = serve_precision_drift(
         cfg, mcore, vgg, params, seed, frames_n=drift_frames
     )
     out["drift_px"] = round(drift_px, 4)
     out["drift_frac"] = round(drift_frac, 4)
-    out["drift_breach"] = bool(drift_frac > DRIFT_FRAC_MAX)
-    _log(f"{core}: serving-precision drift {drift_px:.4f} px "
-         f"({drift_frac:.4f} of the gt-box diagonal; host-loop vs "
-         f"device-loop, default matmul precision)"
+    out["drift_step1_px"] = round(step1_px, 4)
+    out["drift_step1_frac"] = round(step1_frac, 4)
+    out["drift_breach"] = bool(step1_frac > STEP1_FRAC_MAX)
+    _log(f"{core}: serving-precision drift: step-1 {step1_px:.4f} px "
+         f"({step1_frac:.4f} of the gt-box diagonal, tripwire "
+         f"{STEP1_FRAC_MAX}); trajectory {drift_px:.4f} px "
+         f"({drift_frac:.4f}, advisory); host-loop vs device-loop, "
+         f"default matmul precision"
          + (" — BREACH" if out["drift_breach"] else ""))
     if flush is not None:
         flush(out)
@@ -208,8 +240,9 @@ def write_artifact(out_path: str, train_steps: int = 400,
                    scene_frames: int = 24,
                    deadline: float | None = None) -> dict:
     """Write TRACK artifact for both cores; raises AFTER all cores are on
-    disk if any core's drift_frac breached DRIFT_FRAC_MAX (the tripwire
-    must fail the round loudly without losing the other core's record)."""
+    disk if any core's drift_step1_frac breached STEP1_FRAC_MAX (the
+    tripwire must fail the round loudly without losing the other core's
+    record)."""
     import jax
 
     artifact = {
@@ -243,8 +276,8 @@ def write_artifact(out_path: str, train_steps: int = 400,
     breached = [c["core"] for c in artifact["cores"] if c.get("drift_breach")]
     if breached:
         raise RuntimeError(
-            f"serving-precision drift tripwire: drift_frac > "
-            f"{DRIFT_FRAC_MAX} for core(s) {breached} — see {out_path}"
+            f"serving-precision drift tripwire: drift_step1_frac > "
+            f"{STEP1_FRAC_MAX} for core(s) {breached} — see {out_path}"
         )
     return artifact
 

@@ -5,7 +5,7 @@ TPU; this CPU smoke executes the full write path at miniature sizes so a
 break in the artifact tool cannot silently cost a round its accuracy
 record. Both cores run, including the scene sweep and the
 serving-precision drift probe (host-geometry loop vs device-resident
-loop) with its drift_frac tripwire.
+loop) with its one-step drift_step1_frac tripwire.
 """
 
 import json
@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from ntm_tracker_tpu.tools.track_artifact import (
-    DRIFT_FRAC_MAX,
+    STEP1_FRAC_MAX,
     serve_precision_drift,
     write_artifact,
 )
@@ -42,9 +42,12 @@ def test_write_artifact_smoke(tmp_path):
             assert 0.0 <= s["untrained_iou"] <= 1.0
             assert 0.0 <= s["trained_iou"] <= 1.0
         # the drift probe runs for BOTH cores; on CPU at f32 the two loops
-        # agree closely, so the tripwire must be far from firing
+        # agree closely, so the one-step tripwire must be far from firing
+        # (the full-trajectory pair is recorded but advisory)
         assert 0.0 <= c["drift_px"] < 1e3
-        assert 0.0 <= c["drift_frac"] < DRIFT_FRAC_MAX
+        assert 0.0 <= c["drift_frac"] < 1e3
+        assert 0.0 <= c["drift_step1_frac"] < STEP1_FRAC_MAX
+        assert 0.0 <= c["drift_step1_px"] <= c["drift_px"] + 1e-9
         assert c["drift_breach"] is False
         assert c["train_seconds"] >= 0.0
 
@@ -55,7 +58,8 @@ def test_trained_host_vs_device_trajectory_bound(tmp_path):
     matmul precision, the host-geometry loop and the device-resident loop
     must stay on the same trajectory, with a pinned bound. On CPU both
     paths compile to f32 programs, so the bound is tight; on TPU the
-    artifact's tripwire (DRIFT_FRAC_MAX) carries the bf16 version."""
+    artifact's one-step tripwire (STEP1_FRAC_MAX) carries the bf16
+    version."""
     import jax
 
     from ntm_tracker_tpu.models.core import make_core
@@ -73,10 +77,12 @@ def test_trained_host_vs_device_trajectory_bound(tmp_path):
     for _ in range(25):
         params, opt_state, _ = step(params, opt_state, training_batch(cfg, rng))
 
-    drift_px, drift_frac = serve_precision_drift(
+    drift_px, drift_frac, step1_px, step1_frac = serve_precision_drift(
         cfg, core, vgg, params, seed=0, frames_n=6
     )
     # trained (contractive) weights, identical f32 numerics: the two loops
     # are the same trajectory to rounding noise
     assert drift_px < 0.1, (drift_px, drift_frac)
     assert drift_frac < 1e-3, (drift_px, drift_frac)
+    assert step1_px <= drift_px + 1e-9, (step1_px, drift_px)
+    assert step1_frac < STEP1_FRAC_MAX, (step1_px, step1_frac)
