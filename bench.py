@@ -64,6 +64,15 @@ if __name__ == "__main__":
     import time
     import traceback
 
+    from ntm_tracker_tpu.utils.compcache import (
+        enable_persistent_compilation_cache,
+    )
+
+    # Persistent XLA compile cache: the round's fixed cost is dominated by
+    # remote compiles (~850s of the r4 rehearsal's 1500s budget); a warm
+    # cache from this session's runs collapses that for the driver's run.
+    enable_persistent_compilation_cache()
+
     # The wall-clock budget starts NOW (not when main() starts): backend
     # waiting eats it too, so main's phase gates and the TRACK artifact's
     # adaptive training see what is truly left of the driver's patience

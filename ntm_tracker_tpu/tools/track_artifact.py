@@ -307,6 +307,11 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from ntm_tracker_tpu.utils.compcache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     write_artifact(args.out, args.train_steps,
                    eval_frames=args.eval_frames,
                    drift_frames=args.drift_frames,
