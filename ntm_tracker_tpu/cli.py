@@ -45,6 +45,13 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--init_scale", type=float, default=0.05)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 matmul/conv compute (params stay fp32)")
+    p.add_argument("--predict_scale", action="store_true",
+                   help="beyond-reference (dy,dx,ds) head: the tracker "
+                   "adapts box SIZE (widens output_dim to 3; scale "
+                   "targets derive from the records' crop-space bboxes)")
+    p.add_argument("--scale_range", type=float, default=0.15,
+                   help="tanh->log-scale range for --predict_scale "
+                   "(|log s| <= scale_range per prediction)")
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -97,14 +104,18 @@ def _tracker_config(args, core: str):
         {} if gw == 8
         else {"num_features": gw * gw, "feature_points": _centered_grid(gw)}
     )
+    predict_scale = getattr(args, "predict_scale", False)
+    out_dim = 3 if predict_scale else 2
     return TrackerConfig(
         core=core,
         **grid_kwargs,
         data=DataConfig(gt_width=gw),
         vgg_int8=getattr(args, "vgg_int8", False),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
+        predict_scale=predict_scale,
+        scale_range=getattr(args, "scale_range", 0.5),
         ntm=NTMConfig(
-            output_dim=2, mem_size=args.mem_size, mem_dim=args.mem_dim,
+            output_dim=out_dim, mem_size=args.mem_size, mem_dim=args.mem_dim,
             controller_hidden_size=args.hidden_size,
             controller_num_layers=args.num_layers,
             read_head_size=args.read_head_size,
@@ -112,7 +123,7 @@ def _tracker_config(args, core: str):
             write_first=args.write_first, init_scale=args.init_scale,
         ),
         dnc=DNCConfig(
-            output_dim=2, memory_size=args.mem_size, word_size=args.mem_dim,
+            output_dim=out_dim, memory_size=args.mem_size, word_size=args.mem_dim,
             num_reads=args.read_head_size, num_writes=args.write_head_size,
             hidden_size=args.hidden_size,
         ),
@@ -330,14 +341,17 @@ def cmd_train_offsets(args) -> int:
         from ntm_tracker_tpu.data.feature_cache import token_batch_iterator
 
         def to_device(tb):
-            return put({
+            b = {
                 # tokens ship in the cache's storage dtype (float16 halves
                 # the transfer); loss_fn casts to float32 on device
                 "features": tb.features,
                 "gts": tb.gts,
                 "y_offsets": tb.y_offsets,
                 "x_offsets": tb.x_offsets,
-            })
+            }
+            if cfg.predict_scale:
+                b["scales"] = tb.scales / cfg.scale_range
+            return put(b)
 
         train_it = PrefetchIterator(
             token_batch_iterator(train_seqs, local_bs, feature_cache,
@@ -359,7 +373,7 @@ def cmd_train_offsets(args) -> int:
             )
     else:
         def to_device(fb):
-            return put({
+            b = {
                 # raw mode ships uint8 and casts on device (preprocess_frame
                 # does astype(float32)); resized mode is already float32
                 "images": fb.images if dev_resize else fb.images.astype(np.float32),
@@ -367,7 +381,10 @@ def cmd_train_offsets(args) -> int:
                 "gts": fb.gts,
                 "y_offsets": fb.y_offsets,
                 "x_offsets": fb.x_offsets,
-            })
+            }
+            if cfg.predict_scale:
+                b["scales"] = fb.scales / cfg.scale_range
+            return put(b)
 
         train_it = PrefetchIterator(
             batch_iterator(train_seqs, local_bs, args.gt_width,

@@ -162,6 +162,26 @@ class TrackerConfig:
     # numerics — never use for parity work or training; only engages where
     # the fast_conv43 path applies (224 crops, canonical grid).
     vgg_int8: bool = False
+    # BEYOND-REFERENCE scale head: the reference predicts (dy, dx) only
+    # (direct_offset_output.py output_dim=2), freezing the tracked box at
+    # its first-frame size — a hard IoU cap on scale-changing targets.
+    # predict_scale=True adds a third tanh output ds; the decoded box is
+    # the canonical box scaled by exp(ds * scale_range) about its center
+    # before the (dy, dx) shift, and training supervises ds with the gt
+    # box's crop-space log-scale (geometry.calculate_scale). The active
+    # core's output_dim must be 3 (validate_head).
+    predict_scale: bool = False
+    # tanh -> log-scale range: |log s| <= scale_range per prediction
+    # (0.15 = 0.86x..1.16x); also the target normalizer at training time.
+    # Measured (v5e demo, 400 steps): 0.5 lets ds noise compound through
+    # the recrop loop and collapses even constant-size scenes (smooth IoU
+    # 0.83 -> 0.53); 0.15 bounds the per-frame damage (0.75 at 1200 steps).
+    scale_range: float = 0.15
+
+    @property
+    def head_dim(self) -> int:
+        """Output-head width the pipelines expect from the active core."""
+        return 3 if self.predict_scale else 2
 
     @property
     def input_depth(self) -> int:
@@ -176,3 +196,18 @@ class TrackerConfig:
     def total_steps(self) -> int:
         # direct_offset_output.py:460
         return self.train.sequence_length * self.tokens_per_frame
+
+
+def validate_head(cfg: "TrackerConfig") -> None:
+    """Fail fast when the active core's output layer doesn't match the
+    decode contract (2 = reference offsets head, 3 = predict_scale head).
+    Called from the offset pipelines' constructors — NOT from TrackerConfig
+    itself, because non-tracker users (copy task, repeat-copy) size
+    output_dim freely."""
+    core_cfg = cfg.ntm if cfg.core == "ntm" else cfg.dnc
+    if core_cfg.output_dim != cfg.head_dim:
+        raise ValueError(
+            f"{cfg.core} output_dim={core_cfg.output_dim} but "
+            f"predict_scale={cfg.predict_scale} needs {cfg.head_dim} "
+            "(set NTMConfig/DNCConfig output_dim to match)"
+        )

@@ -37,6 +37,8 @@ class TokenBatch(NamedTuple):
     gts: np.ndarray        # [B*L, gt, gt] float32
     y_offsets: np.ndarray  # [B*L] float32
     x_offsets: np.ndarray  # [B*L] float32
+    # raw log-scale targets (loader.record_log_scales; flip-invariant)
+    scales: np.ndarray = None  # [B*L] float32
 
 
 def cache_fingerprint(cfg, vgg_params, flip: bool) -> str:
@@ -255,11 +257,11 @@ def load_token_batch(
     """Assemble a token batch: per-frame .npy tokens from the cache +
     gt/offset fields from the .txt/.bin records (the cheap part of the
     loader — no JPEG decode, no resize)."""
-    from ntm_tracker_tpu.data.loader import load_record_arrays
+    from ntm_tracker_tpu.data.loader import load_record_arrays, record_log_scales
 
     root = _variant_dir(cache_dir, reverse_image)
     feats = np.stack([np.load(_frame_path(root, p)) for p in frame_paths])
-    _crops, offsets, gts, _paths = load_record_arrays(
+    _crops, offsets, gts, _paths, bboxes = load_record_arrays(
         frame_paths, gt_width, use_native
     )
     xo = -offsets[:, 1] if reverse_image else offsets[:, 1]
@@ -268,6 +270,7 @@ def load_token_batch(
         gts=gts,
         y_offsets=offsets[:, 0].copy(),
         x_offsets=np.asarray(xo),
+        scales=record_log_scales(bboxes),
     )
 
 

@@ -69,6 +69,31 @@ def offset_bbox(init_transformed_bbox: Box, offsets: Tuple[float, float]) -> Tup
     return (y1 + dy, x1 + dx, y2 + dy, x2 + dx)
 
 
+def calculate_scale(transformed_bbox: Box, init_transformed_bbox: Box) -> float:
+    """Isotropic log-scale of the bbox vs the canonical box: 0.5 * log of
+    the area ratio (= log of the sqrt-area side ratio).
+
+    BEYOND-REFERENCE: the reference's head is offsets-only
+    (direct_offset_output.py output_dim=2), which freezes the tracked box
+    size at its first-frame value — the scale-head target this function
+    computes is the training counterpart of `scale_bbox` at decode time
+    (TrackerConfig.predict_scale)."""
+    y1, x1, y2, x2 = transformed_bbox
+    iy1, ix1, iy2, ix2 = init_transformed_bbox
+    return 0.5 * float(
+        np.log(((y2 - y1) * (x2 - x1)) / ((iy2 - iy1) * (ix2 - ix1)))
+    )
+
+
+def scale_bbox(bbox: Box, factor: float) -> Tuple[float, float, float, float]:
+    """Scale a bbox about its own center (the scale-head decode;
+    inverse of `calculate_scale` for isotropic boxes)."""
+    y1, x1, y2, x2 = bbox
+    yc, xc = (y1 + y2) / 2, (x1 + x2) / 2
+    hh, hw = factor * (y2 - y1) / 2, factor * (x2 - x1) / 2
+    return (yc - hh, xc - hw, yc + hh, xc + hw)
+
+
 def calculate_transformation(cropbox: Box) -> np.ndarray:
     """3x3 affine mapping the cropbox to [0,0,1,1] (x-major homogeneous)."""
     y1, x1, y2, x2 = cropbox

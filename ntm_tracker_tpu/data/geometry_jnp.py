@@ -59,3 +59,22 @@ def center_offsets(bbox_crop: jax.Array, canon: jax.Array) -> jax.Array:
     y = (bbox_crop[:, 0] + bbox_crop[:, 2]) / 2.0 - (canon[0] + canon[2]) / 2.0
     x = (bbox_crop[:, 1] + bbox_crop[:, 3]) / 2.0 - (canon[1] + canon[3]) / 2.0
     return jnp.stack([y, x], axis=-1)
+
+
+def center_log_scale(bbox_crop: jax.Array, canon: jax.Array) -> jax.Array:
+    """[B,4] crop-space box -> [B] isotropic log-scale vs the canonical box
+    (jnp twin of geometry.calculate_scale — the scale-head target)."""
+    area = (bbox_crop[:, 2] - bbox_crop[:, 0]) * (
+        bbox_crop[:, 3] - bbox_crop[:, 1]
+    )
+    canon_area = (canon[2] - canon[0]) * (canon[3] - canon[1])
+    return 0.5 * jnp.log(area / canon_area)
+
+
+def scale_box(bbox: jax.Array, factor: jax.Array) -> jax.Array:
+    """Scale [...,4] boxes about their own centers by per-box factors
+    [...] (jnp twin of geometry.scale_bbox — the scale-head decode)."""
+    y1, x1, y2, x2 = jnp.moveaxis(bbox, -1, 0)
+    yc, xc = (y1 + y2) / 2.0, (x1 + x2) / 2.0
+    hh, hw = factor * (y2 - y1) / 2.0, factor * (x2 - x1) / 2.0
+    return jnp.stack([yc - hh, xc - hw, yc + hh, xc + hw], axis=-1)

@@ -29,6 +29,11 @@ class FrameBatch(NamedTuple):
     gts: np.ndarray        # [B*L, gt, gt] float32
     y_offsets: np.ndarray  # [B*L] float32
     x_offsets: np.ndarray  # [B*L] float32
+    # RAW log-scale of the record's crop-space bbox vs the canonical box
+    # (geometry.calculate_scale) — the scale-head target BEFORE the
+    # cfg.scale_range normalization (applied by the consumer, which owns
+    # the config). Flip-invariant, so reverse_image leaves it alone.
+    scales: np.ndarray = None  # [B*L] float32
 
 
 def tf1_resize_bilinear_np(image: np.ndarray, out_hw) -> np.ndarray:
@@ -88,19 +93,21 @@ def _decode_images_parallel(paths: Sequence[str], resize_hw, workers: int = 8) -
 def load_record_arrays(
     frame_paths: Sequence[str], gt_width: int = 8, use_native: bool = True
 ):
-    """(cropboxes [N,4], offsets [N,2], gts [N,g,g] — all float32 — and
-    image paths) for a list of frame records: the native C++ thread-pool
-    reader (native/record_loader.cpp) with Python fallback. The single
-    .txt/.bin reader shared by the image path (load_frame_batch) and the
-    feature-cache path (feature_cache.load_token_batch)."""
+    """(cropboxes [N,4], offsets [N,2], gts [N,g,g] — all float32 — image
+    paths, and crop-space bboxes [N,4]) for a list of frame records: the
+    native C++ thread-pool reader (native/record_loader.cpp) with Python
+    fallback. The single .txt/.bin reader shared by the image path
+    (load_frame_batch) and the feature-cache path
+    (feature_cache.load_token_batch)."""
     if use_native:
         try:
             from ntm_tracker_tpu.data.native_loader import load_records_native
 
-            crops, _bboxes, offsets, gts, img_paths = load_records_native(
+            crops, bboxes, offsets, gts, img_paths = load_records_native(
                 frame_paths, gt_width
             )
-            return np.asarray(crops, np.float32), offsets, gts, list(img_paths)
+            return (np.asarray(crops, np.float32), offsets, gts,
+                    list(img_paths), np.asarray(bboxes, np.float32))
         except RuntimeError:
             pass  # no native toolchain; fall through to the Python reader
     recs = [read_frame_record(p, gt_width) for p in frame_paths]
@@ -109,7 +116,23 @@ def load_record_arrays(
         [[r["y_offset"], r["x_offset"]] for r in recs], np.float32
     )
     gts = np.stack([r["gt"] for r in recs]).astype(np.float32)
-    return crops, offsets, gts, [r["image_path"] for r in recs]
+    bboxes = np.asarray([r["bbox"] for r in recs], np.float32)
+    return crops, offsets, gts, [r["image_path"] for r in recs], bboxes
+
+
+def record_log_scales(
+    bboxes: np.ndarray, cropbox_grid: int = 8, bbox_grid: int = 6
+) -> np.ndarray:
+    """[N,4] crop-space bboxes -> [N] raw log-scale targets vs the
+    canonical box (vectorized geometry.calculate_scale). The scale-head's
+    per-record supervision (TrackerConfig.predict_scale); raw — the
+    consumer divides by cfg.scale_range."""
+    side = bbox_grid / float(cropbox_grid)
+    area = np.maximum(
+        (bboxes[:, 2] - bboxes[:, 0]) * (bboxes[:, 3] - bboxes[:, 1]),
+        np.finfo(np.float32).tiny,
+    )
+    return (0.5 * np.log(area / (side * side))).astype(np.float32)
 
 
 def load_frame_batch(
@@ -151,7 +174,7 @@ def load_frame_batch(
         c[:, 1], c[:, 3] = 1.0 - cropboxes[:, 3], 1.0 - cropboxes[:, 1]
         return images, c
 
-    crops, offsets, gts, img_paths = load_record_arrays(
+    crops, offsets, gts, img_paths, bboxes = load_record_arrays(
         frame_paths, gt_width, use_native
     )
     images = _decode_images_parallel(img_paths, decode_resize_hw)
@@ -164,6 +187,8 @@ def load_frame_batch(
         gts=gts,
         y_offsets=offsets[:, 0].copy(),
         x_offsets=np.asarray(xo),
+        # flip-invariant (area is preserved by the horizontal mirror)
+        scales=record_log_scales(bboxes),
     )
 
 

@@ -17,11 +17,16 @@ def make_video(
     n_frames: int,
     hw: Tuple[int, int] = (180, 320),
     velocity: bool = True,
+    scale_walk: bool = False,
 ):
     """(frames [L,H,W,3] float32 RGB, boxes [L,4] normalized y1,x1,y2,x2).
 
     velocity=True: smooth random-velocity motion (the demo's clip);
-    velocity=False: per-frame positional jitter (the active-resize toy)."""
+    velocity=False: per-frame positional jitter (the active-resize toy);
+    scale_walk=True: the target's size also does a multiplicative random
+    walk (up to ~4%/frame) — the training-data counterpart of the scale
+    head (TrackerConfig.predict_scale), drawn AFTER the position draws so
+    scale_walk=False clips are bit-identical to before the flag existed."""
     H, W = hw
     frames = (rng.rand(n_frames, H, W, 3) * 40).astype(np.float32)
     boxes = np.zeros((n_frames, 4), np.float32)
@@ -40,6 +45,10 @@ def make_video(
         else:
             cy = float(np.clip(cy + rng.uniform(-0.02, 0.02), 0.2, 0.8))
             cx = float(np.clip(cx + rng.uniform(-0.02, 0.02), 0.2, 0.8))
+        if scale_walk and t > 0:
+            half = float(
+                np.clip(half * np.exp(rng.uniform(-0.04, 0.04)), 0.05, 0.18)
+            )
         boxes[t] = (cy - half, cx - half, cy + half, cx + half)
         y0, y1 = int((cy - half) * H), int((cy + half) * H)
         x0, x1 = int((cx - half) * W), int((cx + half) * W)

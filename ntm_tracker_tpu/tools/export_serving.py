@@ -165,6 +165,10 @@ def export_serving(
         "feature_points": (None if cfg.feature_points is None else
                            [list(p) for p in cfg.feature_points]),
         "delimiter_first": delimiter_first,
+        # the host decode branches on these (tracker.decode_head): scale
+        # head emits (dy, dx, ds) and the box is rescaled before the shift
+        "predict_scale": bool(cfg.predict_scale),
+        "scale_range": float(cfg.scale_range),
         # provenance only: the token path (exact or int8) is baked into the
         # lowered programs; nothing host-side branches on this
         "vgg_int8": bool(getattr(cfg, "vgg_int8", False)),
@@ -228,7 +232,11 @@ def config_from_meta(meta: dict):
         core=meta["core"], data=DataConfig(**data),
         num_features=meta["num_features"],
         feature_points=(None if fp is None else
-                        tuple(tuple(p) for p in fp)))
+                        tuple(tuple(p) for p in fp)),
+        # .get: artifacts exported before the scale head default to the
+        # reference offsets-only decode
+        predict_scale=bool(meta.get("predict_scale", False)),
+        scale_range=float(meta.get("scale_range", 0.15)))
 
 
 class ServingModel:

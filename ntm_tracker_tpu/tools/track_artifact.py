@@ -28,11 +28,19 @@ Per core the artifact records:
     STEP1_FRAC_MAX trips `drift_breach` and fails the artifact run loudly
     AFTER all cores are recorded.
 
+After both cores, a bonus `scale_head` record (budget permitting) runs
+the ntm core with the beyond-reference (dy, dx, ds) head
+(TrackerConfig.predict_scale) under the same protocol — its scale-scene
+IoU against cores[0]'s documents what the third output buys, and its
+drift probe guards the in-graph scale decode on real hardware.
+
 Budget discipline (round-3 lesson: the driver killed bench mid-artifact,
 rc=124, losing the DNC record): every core's record is flushed to disk
 incrementally — once right after training (IoU numbers), again after the
 scene sweep, again after the drift probe — and the training loop itself
 stops early at a step boundary when a `deadline` is passed and near.
+The scale-head stage runs last and is skippable, so it can never cost
+the reference-contract records.
 
 All progress goes to stderr (bench.py's stdout contract is one JSON line).
 
@@ -142,13 +150,17 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
 def run_core(core: str, train_steps: int, seed: int = 0,
              eval_frames: int = 40, drift_frames: int = 12,
              scene_frames: int = 24, deadline: float | None = None,
-             flush=None) -> dict:
+             flush=None, predict_scale: bool = False,
+             label: str | None = None) -> dict:
     """Train + evaluate one memory core; returns its artifact record.
 
     `deadline` (absolute time.time()) stops training early at a step
     boundary, reserving _EVAL_RESERVE_S for the trained evals/drift so a
     driver timeout cannot truncate the record. `flush(record)` is called
-    after each mutation so partial progress is already on disk."""
+    after each mutation so partial progress is already on disk.
+    predict_scale runs the beyond-reference (dy,dx,ds) head
+    (TrackerConfig.predict_scale) — same protocol, size-varying training
+    clips, the scale decode live in both serving loops."""
     import jax
     import numpy as np
 
@@ -158,7 +170,8 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     from ntm_tracker_tpu.tracking.demo import demo_config, training_batch
     from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
-    cfg = demo_config(core=core)
+    cfg = demo_config(core=core, predict_scale=predict_scale)
+    name = label or core
     rng = np.random.RandomState(seed)
     vgg = init_vgg_params(jax.random.PRNGKey(0))
     mcore = make_core(cfg)
@@ -166,7 +179,7 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     params, opt_state = exp.init(jax.random.PRNGKey(1))
 
     untrained = eval_iou(cfg, vgg, params, seed, eval_frames)
-    _log(f"{core}: untrained IoU {untrained:.3f}")
+    _log(f"{name}: untrained IoU {untrained:.3f}")
     scenes = []
     for scene in SCENES:
         u = (untrained if scene == "smooth" and scene_frames == eval_frames
@@ -180,20 +193,20 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     for i in range(train_steps):
         if deadline is not None and i % 10 == 0 and i > 0:
             if time.time() > deadline - _EVAL_RESERVE_S:
-                _log(f"{core}: budget: stopping training at step {i} "
+                _log(f"{name}: budget: stopping training at step {i} "
                      f"(deadline reserve {_EVAL_RESERVE_S:.0f}s)")
                 break
         batch = training_batch(cfg, rng)
         params, opt_state, m = step(params, opt_state, batch)
         steps_done = i + 1
         if i % 100 == 0:
-            _log(f"{core}: step {i} loss {float(m['loss']):.4f}")
+            _log(f"{name}: step {i} loss {float(m['loss']):.4f}")
     if m is not None:
         float(m["loss"])  # value fetch = hard sync before timing (CLAUDE.md)
     train_s = time.perf_counter() - t0
 
     trained = eval_iou(cfg, vgg, params, seed, eval_frames)
-    _log(f"{core}: trained IoU {trained:.3f} ({steps_done} steps, "
+    _log(f"{name}: trained IoU {trained:.3f} ({steps_done} steps, "
          f"{train_s:.0f}s)")
     out = {
         "core": core,
@@ -203,6 +216,8 @@ def run_core(core: str, train_steps: int, seed: int = 0,
         "train_seconds": round(train_s, 1),
         "scenes": scenes,
     }
+    if predict_scale:
+        out["predict_scale"] = True
     if flush is not None:
         flush(out)
 
@@ -211,7 +226,7 @@ def run_core(core: str, train_steps: int, seed: int = 0,
         t = (trained if scene == "smooth" and scene_frames == eval_frames
              else eval_iou(cfg, vgg, params, seed, scene_frames, scene=scene))
         rec["trained_iou"] = round(t, 4)
-        _log(f"{core}: scene {scene}: IoU {rec['untrained_iou']:.3f} -> "
+        _log(f"{name}: scene {scene}: IoU {rec['untrained_iou']:.3f} -> "
              f"{rec['trained_iou']:.3f}")
     if flush is not None:
         flush(out)
@@ -224,7 +239,7 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     out["drift_step1_px"] = round(step1_px, 4)
     out["drift_step1_frac"] = round(step1_frac, 4)
     out["drift_breach"] = bool(step1_frac > STEP1_FRAC_MAX)
-    _log(f"{core}: serving-precision drift: step-1 {step1_px:.4f} px "
+    _log(f"{name}: serving-precision drift: step-1 {step1_px:.4f} px "
          f"({step1_frac:.4f} of the gt-box diagonal, tripwire "
          f"{STEP1_FRAC_MAX}); trajectory {drift_px:.4f} px "
          f"({drift_frac:.4f}, advisory); host-loop vs device-loop, "
@@ -272,8 +287,34 @@ def write_artifact(out_path: str, train_steps: int = 400,
                        scene_frames=scene_frames, deadline=core_deadline,
                        flush=lambda r, _i=idx: _splice(artifact, _i, r, dump))
         _splice(artifact, idx, rec, dump)
+
+    # bonus stage, budget permitting: the beyond-reference scale head
+    # (TrackerConfig.predict_scale) on the ntm core — same protocol, so
+    # its scale-scene gain over cores[0] is directly readable from the
+    # artifact, and its drift probe guards the in-graph scale decode.
+    # Skipped (and recorded as skipped) when the remaining budget can't
+    # fit a full record; the two reference-contract cores always come
+    # first and are already on disk.
+    if deadline is None or deadline - time.time() > _EVAL_RESERVE_S + 90:
+        def flush_scale(r):
+            artifact["scale_head"] = r
+            dump()
+
+        rec = run_core("ntm", train_steps,
+                       eval_frames=eval_frames, drift_frames=drift_frames,
+                       scene_frames=scene_frames, deadline=deadline,
+                       flush=flush_scale, predict_scale=True,
+                       label="ntm+scale")
+        flush_scale(rec)
+    else:
+        artifact["scale_head"] = {"skipped": "budget"}
+        _log("budget: skipping the scale-head stage "
+             f"({deadline - time.time():.0f}s left)")
+        dump()
     _log(f"wrote {out_path}")
     breached = [c["core"] for c in artifact["cores"] if c.get("drift_breach")]
+    if artifact["scale_head"].get("drift_breach"):
+        breached.append("ntm+scale")
     if breached:
         raise RuntimeError(
             f"serving-precision drift tripwire: drift_step1_frac > "

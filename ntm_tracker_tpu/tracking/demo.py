@@ -68,11 +68,13 @@ def _crop_on_host(size: int, images: np.ndarray, boxes: np.ndarray):
 from ntm_tracker_tpu.data.synthetic import make_video  # noqa: E402,F401
 
 
-def demo_config(crop_size: int = 64, core: str = "ntm"):
+def demo_config(crop_size: int = 64, core: str = "ntm",
+                predict_scale: bool = False, scale_range: float = 0.15):
     """A small flagship-shaped config: crop 64 -> conv4_3 is exactly the
     8x8 token grid (all 64 points), gt 8x8, NTM 64x12 (or the DNC twin).
     Shared with tools/track_artifact.py so the committed TRACK_r0N
-    accuracy numbers measure exactly the demo's setup."""
+    accuracy numbers measure exactly the demo's setup. predict_scale
+    widens the head to (dy, dx, ds) — TrackerConfig.predict_scale."""
     import jax.numpy as jnp
 
     from ntm_tracker_tpu.config import (
@@ -84,18 +86,21 @@ def demo_config(crop_size: int = 64, core: str = "ntm"):
     )
 
     g = crop_size // 8  # conv4_3 stride is 8
+    out = 3 if predict_scale else 2
     return TrackerConfig(
         core=core,
         compute_dtype=jnp.float32,
-        ntm=NTMConfig(mem_size=64, mem_dim=12, controller_hidden_size=100,
-                      read_head_size=4),
-        dnc=DNCConfig(output_dim=2, memory_size=64, word_size=12,
+        ntm=NTMConfig(output_dim=out, mem_size=64, mem_dim=12,
+                      controller_hidden_size=100, read_head_size=4),
+        dnc=DNCConfig(output_dim=out, memory_size=64, word_size=12,
                       num_reads=4, num_writes=1, hidden_size=100),
         data=DataConfig(crop_size=crop_size, gt_width=g),
         train=TrainConfig(batch_size=4, sequence_length=8,
                           learning_rate=1e-4),
         num_features=g * g,
         feature_points=tuple((y, x) for y in range(g) for x in range(g)),
+        predict_scale=predict_scale,
+        scale_range=scale_range,
     )
 
 
@@ -164,9 +169,11 @@ def training_batch(cfg, rng: np.random.RandomState):
     d = cfg.data
     B, L = cfg.train.batch_size, cfg.train.sequence_length
     gt_side = d.gt_width
-    images, crops, gts, yos, xos = [], [], [], [], []
+    images, crops, gts, yos, xos, dss = [], [], [], [], [], []
     for _ in range(B):
-        frames, boxes = make_video(rng, L)
+        # predict_scale training needs clips whose box SIZE moves too —
+        # otherwise the ds head only ever sees target 0
+        frames, boxes = make_video(rng, L, scale_walk=cfg.predict_scale)
         cb = geometry.calculate_cropbox(boxes[0], d.cropbox_grid, d.bbox_grid)
         tf = geometry.calculate_transformation(cb)
         init_tb = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
@@ -181,17 +188,28 @@ def training_batch(cfg, rng: np.random.RandomState):
             gts.append(np.asarray(heat, np.float32))
             yos.append(dy)
             xos.append(dx)
+            if cfg.predict_scale:
+                # clip into tanh's reachable range: an 8-frame scale walk
+                # can exceed scale_range cumulatively, and an L2 target
+                # beyond +-1 would push tanh into saturation
+                dss.append(float(np.clip(
+                    geometry.calculate_scale(tb, init_tb) / cfg.scale_range,
+                    -0.95, 0.95,
+                )))
     boxes_a = np.stack(crops).astype(np.float32)
     # crop on the host CPU backend: only the crops cross the device link
     # (the full frames are ~14x bigger and the link is the bottleneck)
     cropped = _crop_on_host(d.crop_size, np.stack(images), boxes_a)
-    return {
+    batch = {
         "images": cropped,
         "cropboxes": boxes_a,
         "gts": np.stack(gts),
         "y_offsets": np.asarray(yos, np.float32),
         "x_offsets": np.asarray(xos, np.float32),
     }
+    if cfg.predict_scale:
+        batch["scales"] = np.asarray(dss, np.float32)
+    return batch
 
 
 def main() -> int:
@@ -201,6 +219,13 @@ def main() -> int:
     ap.add_argument("--crop_size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--core", default="ntm", choices=("ntm", "dnc"))
+    ap.add_argument("--predict_scale", action="store_true",
+                    help="beyond-reference (dy,dx,ds) head: track box "
+                    "SIZE too (trains on size-varying clips)")
+    ap.add_argument("--eval_scene", default="smooth",
+                    help="synthetic eval clip variant "
+                    "(smooth|scale|fast|texture)")
     ap.add_argument("--vgg_weights", default="",
                     help="converted vgg16 .npz (convert-vgg output); the "
                     "default is RANDOM frozen VGG — fine for the synthetic "
@@ -215,7 +240,8 @@ def main() -> int:
     from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
-    cfg = demo_config(args.crop_size)
+    cfg = demo_config(args.crop_size, core=args.core,
+                      predict_scale=args.predict_scale)
     rng = np.random.RandomState(args.seed)
     if args.vgg_weights:
         from ntm_tracker_tpu.models.vgg import load_params_npz
@@ -235,7 +261,7 @@ def main() -> int:
 
     # held-out clip through the real streaming tracker (per-frame recrop)
     ious = eval_streaming_iou(cfg, vgg, params, args.seed, args.eval_frames,
-                              print_every=10)
+                              print_every=10, scene=args.eval_scene)
     print(f"mean IoU over {len(ious)} tracked frames: "
           f"{mean_clamped_iou(ious):.3f}"
           f" ({'trained ' + str(args.train_steps) + ' steps' if args.train_steps else 'untrained'})")

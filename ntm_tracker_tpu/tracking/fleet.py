@@ -30,6 +30,7 @@ from ntm_tracker_tpu.models.core import MemoryCore, make_core
 from ntm_tracker_tpu.models.vgg import VGG_MEAN
 from ntm_tracker_tpu.tracking.tracker import (
     build_frame_step,
+    decode_head,
     decode_region,
     first_frame_gt,
     region_geometry,
@@ -249,8 +250,7 @@ class FleetTracker:
             if i not in images:
                 continue
             t = self._tracks[i]
-            dy, dx = offsets[i]
-            new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
+            new_bbox = decode_head(self.cfg, init_bbox, offsets[i])
             region = decode_region(t.transformation, t.image_size, new_bbox)
             self._slot_geometry(t, region)
             out[i] = region

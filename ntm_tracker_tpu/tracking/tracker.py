@@ -54,6 +54,9 @@ def build_frame_step(
     prediction at the last FEATURE token — a train/inference mismatch in
     the reference that measurably hurts tracking; kept for parity.
     """
+    from ntm_tracker_tpu.config import validate_head
+
+    validate_head(cfg)
     F = cfg.num_features
     C = cfg.feature_depth
 
@@ -155,6 +158,7 @@ def make_device_track_step(
     from ntm_tracker_tpu.data.geometry_jnp import (
         canonical_box,
         cropbox_of,
+        scale_box,
         to_image_space,
     )
     from ntm_tracker_tpu.data.image_ops import crop_and_resize_mm
@@ -196,7 +200,17 @@ def make_device_track_step(
         H, W = frames.shape[1:3]
         cb = cropbox_of(bbox, d.cropbox_grid, d.bbox_grid)
         offsets, state = frame_fn(_crop(frames, cb), None, state)
-        pred_crop = canon[None] + jnp.concatenate([offsets, offsets], axis=-1)
+        # in-graph twin of decode_head: optional scale about the canonical
+        # center, then the (dy, dx) shift
+        if cfg.predict_scale:
+            base = scale_box(
+                jnp.broadcast_to(canon, (offsets.shape[0], 4)),
+                jnp.exp(offsets[:, 2] * cfg.scale_range),
+            )
+            offsets = offsets[:, :2]
+        else:
+            base = canon[None]
+        pred_crop = base + jnp.concatenate([offsets, offsets], axis=-1)
         img_box = to_image_space(pred_crop, cb)  # [B,4] y1x1y2x2, *1/dim units
         y1, x1, y2, x2 = jnp.moveaxis(img_box, -1, 0)
         region = jnp.stack(
@@ -215,6 +229,21 @@ def make_device_track_step(
 
 # -- host-side crop/decode geometry, shared by StreamingTracker and the
 # fleet tracker (tracking/fleet.py) so the two can never diverge ----------
+
+def decode_head(cfg, init_bbox, outputs: np.ndarray):
+    """Head outputs -> crop-space box. (dy, dx): shift the canonical box
+    (offset_bbox, preprocess.py:116-119); with cfg.predict_scale a third
+    output ds first scales it about its center by exp(ds * scale_range)
+    (the beyond-reference scale head — see TrackerConfig.predict_scale).
+    Shared by StreamingTracker and FleetTracker."""
+    if cfg.predict_scale:
+        dy, dx, ds = (float(v) for v in outputs)
+        init_bbox = geometry.scale_bbox(
+            init_bbox, float(np.exp(ds * cfg.scale_range))
+        )
+    else:
+        dy, dx = (float(v) for v in outputs)
+    return geometry.offset_bbox(init_bbox, (dy, dx))
 
 def region_geometry(cfg_data, image_size, region_xywh):
     """(normalized_bbox, cropbox, transformation) for a tracked region
@@ -359,10 +388,9 @@ class StreamingTracker:
             jnp.asarray(image), jnp.asarray(self.cropbox, jnp.float32)
         )
         offsets, self.state = self._step_rest(crop[None], self.state)
-        dy, dx = np.asarray(offsets[0])
         d = self.cfg.data
         init_bbox = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
-        new_bbox = geometry.offset_bbox(init_bbox, (float(dy), float(dx)))
+        new_bbox = decode_head(self.cfg, init_bbox, np.asarray(offsets[0]))
         # kept as an attribute like the reference's tracker (test_tracker.py:171)
         self.output_bbox = new_bbox
         region = self._decode_bbox(new_bbox)

@@ -70,6 +70,9 @@ class ActiveResizeExperiment:
     core: MemoryCore = None  # type: ignore[assignment]
 
     def __post_init__(self):
+        from ntm_tracker_tpu.config import validate_head
+
+        validate_head(self.cfg)
         if self.core is None:
             self.core = make_core(self.cfg)
 
@@ -146,17 +149,37 @@ class ActiveResizeExperiment:
             state, bbox = carry
             frame, gt_box = frame_and_gt
             cb = cropbox_of(bbox, d.cropbox_grid, d.bbox_grid)
-            offsets, state = self._frame_offsets(
+            outs, state = self._frame_offsets(
                 params, crop(frame, cb), None, state
             )
-            target = _center_offsets(to_crop_space(gt_box, cb), canon)
-            loss_t = 0.5 * jnp.sum(jnp.square(offsets - target))
+            gt_crop = to_crop_space(gt_box, cb)
+            target = _center_offsets(gt_crop, canon)
+            if cfg.predict_scale:
+                from ntm_tracker_tpu.data.geometry_jnp import (
+                    center_log_scale,
+                    scale_box,
+                )
+
+                target = jnp.concatenate(
+                    [target,
+                     (center_log_scale(gt_crop, canon)
+                      / cfg.scale_range)[:, None]], axis=-1,
+                )
+                base = scale_box(
+                    jnp.broadcast_to(canon, (outs.shape[0], 4)),
+                    jnp.exp(outs[:, 2] * cfg.scale_range),
+                )
+                dyx = outs[:, :2]
+            else:
+                base = canon[None]
+                dyx = outs
+            loss_t = 0.5 * jnp.sum(jnp.square(outs - target))
             # decode the PREDICTION into the next frame's recrop center;
             # cross-frame gradients flow through the memory, not the crop
             # geometry (see module docstring)
-            pred_crop = canon[None] + jnp.concatenate(
-                [offsets, offsets], axis=-1
-            )  # canonical box shifted by (dy,dx) (offset_bbox)
+            pred_crop = base + jnp.concatenate(
+                [dyx, dyx], axis=-1
+            )  # canonical box (optionally rescaled) shifted by (dy,dx)
             next_bbox = jax.lax.stop_gradient(to_image_space(pred_crop, cb))
             return (state, next_bbox), loss_t
 
@@ -202,5 +225,7 @@ def synthetic_active_batch(
     frames = np.zeros((B, L, H, W, 3), np.float32)
     boxes = np.zeros((B, L, 4), np.float32)
     for b in range(B):
-        frames[b], boxes[b] = make_video(rng, L, (H, W), velocity=False)
+        frames[b], boxes[b] = make_video(
+            rng, L, (H, W), velocity=False, scale_walk=cfg.predict_scale
+        )
     return {"frames": frames, "bboxes": boxes}

@@ -79,7 +79,15 @@ class OffsetExperiment:
     core: MemoryCore = None  # type: ignore[assignment]
     image_mode: str = "cropped"  # "raw" | "resized" | "cropped"
 
+    # subclasses with non-offset heads (HeatmapExperiment) opt out of the
+    # (dy, dx[, ds]) output_dim check
+    _offsets_head = True
+
     def __post_init__(self):
+        if self._offsets_head:
+            from ntm_tracker_tpu.config import validate_head
+
+            validate_head(self.cfg)
         if self.core is None:
             self.core = make_core(self.cfg)
 
@@ -88,6 +96,20 @@ class OffsetExperiment:
         params = self.core.init_params(rng, self.cfg.input_depth)
         opt = self.optimizer()
         return params, opt.init(params)
+
+    def _targets(self, batch: Dict[str, jax.Array], B: int) -> jax.Array:
+        """[B, L, head_dim] supervision: (dy, dx) center offsets, plus the
+        normalized log-scale target when cfg.predict_scale (batch["scales"]
+        = geometry.calculate_scale / cfg.scale_range, see demo/loader)."""
+        cfg = self.cfg
+        L = cfg.train.sequence_length
+        t = jnp.stack([batch["y_offsets"], batch["x_offsets"]], axis=1)
+        t = t.reshape(B, L, 2)
+        if cfg.predict_scale:
+            t = jnp.concatenate(
+                [t, batch["scales"].reshape(B, L, 1)], axis=-1
+            )
+        return t
 
     def optimizer(self) -> optax.GradientTransformation:
         t = self.cfg.train
@@ -140,10 +162,7 @@ class OffsetExperiment:
         gts = batch["gts"].reshape(B, L, cfg.num_features)
         tokens = serialize_tokens(features, gts[:, 0, :])
         logits, _ = self.core.unroll(params, tokens)
-        offsets = jnp.stack(
-            [batch["y_offsets"], batch["x_offsets"]], axis=1
-        ).reshape(B, L, 2)
-        loss = offsets_loss(logits, offsets, cfg.num_features)
+        loss = offsets_loss(logits, self._targets(batch, B), cfg.num_features)
         preds = jnp.tanh(gather_delimiter_outputs(logits, cfg.num_features))
         return loss, {"loss": loss, "pred_offsets": preds}
 
@@ -227,12 +246,8 @@ class OffsetExperiment:
         """Eval aux from the full [B, T, out] logits — must agree with
         loss_fn's aux (asserted in tests); overridden per serialization."""
         cfg = self.cfg
-        L = cfg.train.sequence_length
         B = logits.shape[0]
-        offsets = jnp.stack(
-            [batch["y_offsets"], batch["x_offsets"]], axis=1
-        ).reshape(B, L, 2)
-        loss = offsets_loss(logits, offsets, cfg.num_features)
+        loss = offsets_loss(logits, self._targets(batch, B), cfg.num_features)
         preds = jnp.tanh(gather_delimiter_outputs(logits, cfg.num_features))
         return {"loss": loss, "pred_offsets": preds}
 
@@ -253,7 +268,7 @@ def synthetic_offset_batch(
         images = (rng.rand(n, 360, 640, 3) * 255).astype(np.float32)
     gts = rng.rand(n, d.gt_width, d.gt_width).astype(np.float32)
     gts /= gts.sum(axis=(1, 2), keepdims=True)
-    return {
+    batch = {
         "images": images,
         "cropboxes": np.tile(
             np.array([0.2, 0.2, 0.8, 0.8], np.float32), (n, 1)
@@ -262,6 +277,9 @@ def synthetic_offset_batch(
         "y_offsets": (rng.rand(n).astype(np.float32) - 0.5) * 0.4,
         "x_offsets": (rng.rand(n).astype(np.float32) - 0.5) * 0.4,
     }
+    if cfg.predict_scale:
+        batch["scales"] = (rng.rand(n).astype(np.float32) - 0.5) * 0.8
+    return batch
 
 
 def synthetic_cached_batch(
@@ -277,7 +295,7 @@ def synthetic_cached_batch(
     B, L = cfg.train.batch_size, cfg.train.sequence_length
     raw = synthetic_offset_batch(cfg, rng)
     n = B * L
-    return {
+    batch = {
         "features": jnp.asarray(
             (rng.rand(n, cfg.num_features, cfg.feature_depth) * 40).astype(
                 np.float16
@@ -287,6 +305,9 @@ def synthetic_cached_batch(
         "y_offsets": jnp.asarray(raw["y_offsets"]),
         "x_offsets": jnp.asarray(raw["x_offsets"]),
     }
+    if cfg.predict_scale:
+        batch["scales"] = jnp.asarray(raw["scales"])
+    return batch
 
 
 @dataclasses.dataclass
@@ -309,6 +330,7 @@ class HeatmapExperiment(OffsetExperiment):
 
     serialization: str = "sequential"
     compress_dim: int = 0
+    _offsets_head = False
 
     def init(self, rng: jax.Array):
         from ntm_tracker_tpu.train.zoo import init_compressor

@@ -50,6 +50,14 @@ def test_write_artifact_smoke(tmp_path):
         assert 0.0 <= c["drift_step1_px"] <= c["drift_px"] + 1e-9
         assert c["drift_breach"] is False
         assert c["train_seconds"] >= 0.0
+    # the beyond-reference scale-head stage runs when no deadline squeezes
+    # it (this smoke passes none): same record shape, ntm core, flagged
+    sh = artifact["scale_head"]
+    assert sh["core"] == "ntm" and sh["predict_scale"] is True
+    assert [s["scene"] for s in sh["scenes"]] == [
+        "smooth", "scale", "fast", "texture"]
+    assert sh["drift_breach"] is False
+    assert 0.0 <= sh["drift_step1_frac"] < STEP1_FRAC_MAX
 
 
 @pytest.mark.slow
