@@ -34,6 +34,10 @@ from ntm_tracker_tpu.train.experiments import OffsetExperiment
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 SCALE_RANGE = float(sys.argv[2]) if len(sys.argv) > 2 else 0.15
+# closed-loop fine-tune steps (ActiveResizeExperiment) after the open-loop
+# training; 0 disables. The closed loop trains on the model's OWN drift —
+# the residual-scale distribution inference actually sees.
+FINETUNE = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
 
 def log(m):
@@ -109,7 +113,7 @@ def train_and_eval(predict_scale: bool):
                 log(f"  [scale,damped {serve_range}] scene {scene}: "
                     f"IoU {iou:.4f}")
             out[f"damped_{serve_range}"] = damped
-    return out
+    return out, params, cfg
 
 
 def diagnose(cfg, exp, params):
@@ -158,10 +162,53 @@ def diagnose(cfg, exp, params):
             "corr_ds": round(corr[2], 3), "area_corr": round(area_corr, 3)}
 
 
+def closed_loop_finetune(cfg, params, steps: int):
+    """Fine-tune the trained cell in the CLOSED loop (active-resize
+    trainer): each frame is recropped around the model's own previous
+    prediction, so the ds supervision is the residual scale error — the
+    distribution inference actually sees (the open-loop offsets pipeline
+    trains on cumulative drift vs a fixed frame-0 crop instead)."""
+    from ntm_tracker_tpu.data.synthetic import make_video
+    from ntm_tracker_tpu.train.active_resize import ActiveResizeExperiment
+
+    exp = ActiveResizeExperiment(cfg, vgg)
+    ft_params = {"core": params}
+    _, opt_state = exp.init(jax.random.PRNGKey(9))
+    opt_state = jax.tree.map(jnp.zeros_like, opt_state)  # fresh optimizer
+    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+    rng = np.random.RandomState(7)
+    B, L = cfg.train.batch_size, cfg.train.sequence_length
+    H, W = 96, 160
+    t0 = time.time()
+    for i in range(steps):
+        frames = np.zeros((B, L, H, W, 3), np.float32)
+        boxes = np.zeros((B, L, 4), np.float32)
+        for b in range(B):
+            frames[b], boxes[b] = make_video(
+                rng, L, (H, W), velocity=True, scale_walk=True)
+        batch = {"frames": frames, "bboxes": boxes}
+        ft_params, opt_state, m = step(ft_params, opt_state, batch)
+        if i % 50 == 0:
+            log(f"  [closed-loop] step {i} loss {float(m['loss']):.4f}")
+    log(f"  closed-loop fine-tuned {steps} steps in {time.time()-t0:.0f}s")
+    out = {}
+    for scene in SCENES:
+        iou = mean_clamped_iou(
+            eval_streaming_iou(cfg, vgg, ft_params["core"], 0, 40,
+                               scene=scene))
+        out[scene] = round(iou, 4)
+        log(f"  [closed-loop] scene {scene}: IoU {iou:.4f}")
+    return out
+
+
 log("=== offsets-only head (reference contract) ===")
-ref = train_and_eval(False)
+ref, _, _ = train_and_eval(False)
 log("=== predict_scale head ===")
-scale = train_and_eval(True)
+scale, params_s, cfg_s = train_and_eval(True)
+result = {"steps": STEPS, "scale_range": SCALE_RANGE,
+          "offsets_only": ref, "predict_scale": scale}
+if FINETUNE:
+    log("=== closed-loop fine-tune (predict_scale) ===")
+    result["closed_loop"] = closed_loop_finetune(cfg_s, params_s, FINETUNE)
 import json
-print(json.dumps({"steps": STEPS, "scale_range": SCALE_RANGE,
-                  "offsets_only": ref, "predict_scale": scale}))
+print(json.dumps(result))

@@ -170,10 +170,13 @@ def training_batch(cfg, rng: np.random.RandomState):
     B, L = cfg.train.batch_size, cfg.train.sequence_length
     gt_side = d.gt_width
     images, crops, gts, yos, xos, dss = [], [], [], [], [], []
-    for _ in range(B):
+    for b in range(B):
         # predict_scale training needs clips whose box SIZE moves too —
-        # otherwise the ds head only ever sees target 0
-        frames, boxes = make_video(rng, L, scale_walk=cfg.predict_scale)
+        # otherwise the ds head only ever sees target 0. Half the batch
+        # keeps CONSTANT size, so the head also learns the stationary
+        # case (ds=0) instead of hallucinating scale changes everywhere.
+        frames, boxes = make_video(
+            rng, L, scale_walk=cfg.predict_scale and b % 2 == 0)
         cb = geometry.calculate_cropbox(boxes[0], d.cropbox_grid, d.bbox_grid)
         tf = geometry.calculate_transformation(cb)
         init_tb = geometry.initial_transformed_bbox(d.cropbox_grid, d.bbox_grid)
