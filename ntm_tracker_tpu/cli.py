@@ -113,7 +113,10 @@ def _tracker_config(args, core: str):
         vgg_int8=getattr(args, "vgg_int8", False),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         predict_scale=predict_scale,
-        scale_range=getattr(args, "scale_range", 0.5),
+        # fallback must agree with TrackerConfig.scale_range (0.15): 0.5 is
+        # the measured-collapsing value (config.py), and a programmatic
+        # caller setting predict_scale without scale_range would get it
+        scale_range=getattr(args, "scale_range", TrackerConfig.scale_range),
         ntm=NTMConfig(
             output_dim=out_dim, mem_size=args.mem_size, mem_dim=args.mem_dim,
             controller_hidden_size=args.hidden_size,
@@ -276,7 +279,17 @@ def cmd_train_offsets(args) -> int:
     if mesh.devices.size < len(jax.devices()):
         print(f"NOTE: using {mesh.devices.size}/{len(jax.devices())} devices "
               f"(batch_size {cfg.train.batch_size} must divide the mesh)")
-    pstep = parallel_train_step(exp.make_train_step(), mesh, donate_argnums=())
+    from ntm_tracker_tpu.train.experiments import train_step_with_bptt_fallback
+
+    # guarded first compile: a fused-BPTT Mosaic/compile-service failure
+    # (the B=512 HTTP-500 class, ops/pallas/scan_bptt.py) falls back to
+    # the XLA-scan BPTT instead of killing the training run
+    pstep = train_step_with_bptt_fallback(
+        exp,
+        build=lambda e: parallel_train_step(
+            e.make_train_step(), mesh, donate_argnums=()
+        ),
+    )
     eval_base = jax.jit(exp.make_eval_step())
 
     if getattr(args, "save_imgs", False):
@@ -358,7 +371,9 @@ def cmd_train_offsets(args) -> int:
                                  args.gt_width, shuffle=True,
                                  seed=cfg.train.seed,
                                  reverse_image=args.reverse_image,
-                                 epochs=cfg.train.num_epochs),
+                                 epochs=cfg.train.num_epochs,
+                                 cropbox_grid=cfg.data.cropbox_grid,
+                                 bbox_grid=cfg.data.bbox_grid),
             prefetch=2, device_put=to_device,
         )
 
@@ -369,7 +384,9 @@ def cmd_train_offsets(args) -> int:
                                                feature_cache, args.gt_width,
                                                shuffle=True,
                                                seed=cfg.train.seed, epochs=1,
-                                               reverse_image=args.reverse_image)
+                                               reverse_image=args.reverse_image,
+                                               cropbox_grid=cfg.data.cropbox_grid,
+                                               bbox_grid=cfg.data.bbox_grid)
             )
     else:
         def to_device(fb):
@@ -391,7 +408,9 @@ def cmd_train_offsets(args) -> int:
                            shuffle=True, seed=cfg.train.seed,
                            reverse_image=args.reverse_image,
                            epochs=cfg.train.num_epochs,
-                           decode_resize_hw=None if dev_resize else (720, 1280)),
+                           decode_resize_hw=None if dev_resize else (720, 1280),
+                           cropbox_grid=cfg.data.cropbox_grid,
+                           bbox_grid=cfg.data.bbox_grid),
             prefetch=2, device_put=to_device,
         )
 
@@ -403,7 +422,9 @@ def cmd_train_offsets(args) -> int:
                                          seed=cfg.train.seed, epochs=1,
                                          reverse_image=args.reverse_image,
                                          decode_resize_hw=None if dev_resize
-                                         else (720, 1280))
+                                         else (720, 1280),
+                                         cropbox_grid=cfg.data.cropbox_grid,
+                                         bbox_grid=cfg.data.bbox_grid)
             )
 
     from ntm_tracker_tpu.utils.profiling import parse_profile_steps

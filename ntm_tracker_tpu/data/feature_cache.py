@@ -253,6 +253,8 @@ def load_token_batch(
     cache_dir: str,
     reverse_image: bool = False,
     use_native: bool = True,
+    cropbox_grid: int = 8,
+    bbox_grid: int = 6,
 ) -> TokenBatch:
     """Assemble a token batch: per-frame .npy tokens from the cache +
     gt/offset fields from the .txt/.bin records (the cheap part of the
@@ -270,7 +272,9 @@ def load_token_batch(
         gts=gts,
         y_offsets=offsets[:, 0].copy(),
         x_offsets=np.asarray(xo),
-        scales=record_log_scales(bboxes),
+        # grids must match the records' preprocess-time grids (see
+        # loader.load_frame_batch)
+        scales=record_log_scales(bboxes, cropbox_grid, bbox_grid),
     )
 
 
@@ -283,6 +287,8 @@ def token_batch_iterator(
     seed: int = 42,
     reverse_image: bool = False,
     epochs: int = 1,
+    cropbox_grid: int = 8,
+    bbox_grid: int = 6,
 ) -> Iterator[TokenBatch]:
     """The loader.batch_iterator twin for cached tokens: same epoch/shuffle
     shape (direct_offset_output.py:292-353), no image work."""
@@ -300,5 +306,6 @@ def token_batch_iterator(
         while index < usable:
             frame_names, index = sevenbyseven_get_batch(index, batch_size, seqs)
             yield load_token_batch(
-                frame_names, gt_width, cache_dir, reverse_image=reverse_image
+                frame_names, gt_width, cache_dir, reverse_image=reverse_image,
+                cropbox_grid=cropbox_grid, bbox_grid=bbox_grid,
             )

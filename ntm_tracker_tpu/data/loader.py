@@ -141,6 +141,8 @@ def load_frame_batch(
     reverse_image: bool = False,
     decode_resize_hw=(720, 1280),
     use_native: bool = True,
+    cropbox_grid: int = 8,
+    bbox_grid: int = 6,
 ) -> FrameBatch:
     """Load B*L frame records + images (host side).
 
@@ -187,8 +189,11 @@ def load_frame_batch(
         gts=gts,
         y_offsets=offsets[:, 0].copy(),
         x_offsets=np.asarray(xo),
-        # flip-invariant (area is preserved by the horizontal mirror)
-        scales=record_log_scales(bboxes),
+        # flip-invariant (area is preserved by the horizontal mirror); the
+        # grids must match the ones preprocess stored the records with
+        # (cli --cropbox_grid/--bbox_grid), else the canonical-box area the
+        # scale targets are measured against is silently wrong
+        scales=record_log_scales(bboxes, cropbox_grid, bbox_grid),
     )
 
 
@@ -239,6 +244,8 @@ def batch_iterator(
     reverse_image: bool = False,
     epochs: int = 1,
     decode_resize_hw=(720, 1280),
+    cropbox_grid: int = 8,
+    bbox_grid: int = 6,
 ):
     """Yield FrameBatch per training step, like the reference's epoch loop
     (direct_offset_output.py:292-353).
@@ -262,6 +269,7 @@ def batch_iterator(
                 yield load_frame_batch(
                     frame_names, gt_width, reverse_image=reverse_image,
                     decode_resize_hw=decode_resize_hw,
+                    cropbox_grid=cropbox_grid, bbox_grid=bbox_grid,
                 )
             except ValueError as e:
                 if decode_resize_hw is None and ("stack" in str(e).lower() or "same shape" in str(e).lower()):

@@ -51,7 +51,13 @@ tools/bench_bptt_knee.py, tile 64):
     8-tile B=512 program; irrelevant in practice — per-row cost is flat
     in B (~40 us/tile-step at tile 64), so B=512 could at best match
     B=256's 24.6k f/s while XLA's own B=512 is 11% WORSE than its B=256,
-    i.e. 256 is the knee for both paths.
+    i.e. 256 is the knee for both paths. Minimal repro:
+    `python -m ntm_tracker_tpu.tools.probe_bptt_b64 --b512` (T=12,
+    shipped tile; child-process capture, like the B=64 probe).
+    Since r5 this failure class cannot break a training run: the entry
+    points compile through train_step_with_bptt_fallback
+    (train/experiments.py), which degrades any fused-BPTT compile
+    failure to the XLA scan and logs it.
 
 ROOT CAUSE of the old ceiling (r4, tools/probe_bptt_b64.py): a
 scoped-VMEM stack OOM, reported only when run under a child that captures

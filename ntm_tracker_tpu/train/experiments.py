@@ -542,3 +542,73 @@ class WholeFrameExperiment:
             return params, opt_state, {"loss": loss}
 
         return train_step
+
+
+def disable_fused_bptt(exp):
+    """A copy of `exp` pinned to the XLA-scan BPTT (fused_bptt=False).
+
+    The core is rebuilt from the new config (a core constructed earlier
+    closed over the old TrainConfig), so the returned experiment cannot
+    reach ops/pallas/scan_bptt at all."""
+    cfg = dataclasses.replace(
+        exp.cfg, train=dataclasses.replace(exp.cfg.train, fused_bptt=False)
+    )
+    return dataclasses.replace(exp, cfg=cfg, core=None)
+
+
+def train_step_with_bptt_fallback(exp, build=None):
+    """Guarded train step: fall back to the XLA scan if the fused Pallas
+    BPTT fails to COMPILE.
+
+    The fused kernel's compiles have a failure class the training code
+    cannot predict: the tunneled backend's compile service returned an
+    opaque HTTP 500 on the 8-tile B=512 program (ops/pallas/scan_bptt.py
+    module docstring), and narrow-tile Mosaic compiles can take ~5 min.
+    With fused_bptt="auto" as the default training path, such a failure
+    must degrade to the XLA scan (measured 1.39-1.61x slower at the knee —
+    slower, not broken), never kill the run.
+
+    `build(exp) -> step` constructs the compiled step (defaults to
+    jax.jit(exp.make_train_step(), donate_argnums=(0, 1)); the CLI passes
+    its parallel_train_step wrapper). The FIRST invocation is guarded:
+    on any exception while the fused path could have been active
+    (core="ntm", fused_bptt not already False), the experiment is rebuilt
+    via disable_fused_bptt and the call retried once on the XLA scan —
+    a second failure propagates (the error was never the kernel's).
+    Donated buffers are safe to retry: donation consumes inputs only at
+    execution, and compile failures raise before execution starts.
+
+    The returned callable exposes `.fell_back` (bool) for tests/logs.
+    """
+    import sys
+
+    if build is None:
+        def build(e):
+            return jax.jit(e.make_train_step(), donate_argnums=(0, 1))
+
+    state = {"step": build(exp), "first": True}
+
+    def step(*args, **kwargs):
+        if not state["first"]:
+            return state["step"](*args, **kwargs)
+        try:
+            out = state["step"](*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — intentionally broad: the
+            # compile-service failure class is opaque (HTTP 500 with no
+            # diagnostic); misattributed errors re-raise from the retry
+            if exp.cfg.core != "ntm" or exp.cfg.train.fused_bptt is False:
+                raise
+            print(
+                "train_step_with_bptt_fallback: first compile failed "
+                f"({type(e).__name__}: {e}); retrying with the XLA-scan "
+                "BPTT (fused_bptt=False)",
+                file=sys.stderr, flush=True,
+            )
+            state["step"] = build(disable_fused_bptt(exp))
+            out = state["step"](*args, **kwargs)
+            step.fell_back = True
+        state["first"] = False
+        return out
+
+    step.fell_back = False
+    return step

@@ -107,17 +107,37 @@ def check_addressing(name, cfg, B=1):
     print(f"  PASS addr  {name}")
 
 
-def check_bptt(name, cfg, B=8, T=65, IN=514, label=""):
+def check_bptt(name, cfg, B=8, T=65, IN=514, label="", batch_tile=None):
     """Mosaic-compile the whole-sequence BPTT pair (residual forward +
     hand-derived backward, ops/pallas/scan_bptt.py) on the real chip and
     assert gradient parity against jax.grad of the jnp scan. Run once
     inside a single batch tile (B=8) and once across tiles with padding
-    (B=40 = 32 + 8: two grid tiles, the second half-padded) — the r4
-    batch-tiled grid must accumulate param grads across tiles and keep
-    padded rows at exactly zero contribution ON HARDWARE, not just in
-    interpret mode."""
+    (B=40 at batch_tile=32: two grid tiles, the second 24-row padded) —
+    the r4 batch-tiled grid must accumulate param grads across tiles and
+    keep padded rows at exactly zero contribution ON HARDWARE, not just
+    in interpret mode. batch_tile overrides scan_bptt.BATCH_TILE for this
+    check (restored after): with the default tile of 64, B=40 would be a
+    SINGLE unpadded 40-row tile and the multi-tile claim would be hollow
+    (r4 advisor finding)."""
+    from ntm_tracker_tpu.ops.pallas import scan_bptt
     from ntm_tracker_tpu.ops.pallas.scan_bptt import ntm_scan_fused_bptt
 
+    saved_tile = scan_bptt.BATCH_TILE
+    if batch_tile is not None:
+        scan_bptt.BATCH_TILE = batch_tile
+    try:
+        if label:  # the multi-tile label must actually mean multi-tile
+            _Bt, Bp, nb = scan_bptt._tiles_of(B)
+            assert nb > 1 and Bp > B, (
+                f"{name}{label}: expected >1 grid tiles with padding, got "
+                f"nb={nb} Bp={Bp} for B={B} (tile {scan_bptt.BATCH_TILE})"
+            )
+        _check_bptt_body(name, cfg, B, T, IN, label, ntm_scan_fused_bptt)
+    finally:
+        scan_bptt.BATCH_TILE = saved_tile
+
+
+def _check_bptt_body(name, cfg, B, T, IN, label, ntm_scan_fused_bptt):
     params = init_ntm_params(jax.random.PRNGKey(0), cfg, IN)
     state = init_ntm_state(params, cfg, B)
     tokens = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, T, IN),
@@ -244,7 +264,8 @@ def main():
     check_addressing("write-first", CONFIGS["write-first"])
     check_addressing("slotwise", CONFIGS["slotwise"])
     check_bptt("flagship", CONFIGS["flagship"])
-    check_bptt("flagship", CONFIGS["flagship"], B=40, label=" B40/2tile")
+    check_bptt("flagship", CONFIGS["flagship"], B=40, label=" B40/2tile",
+               batch_tile=32)
     # fused BPTT is the default single-chip training path since r4
     # (TrainConfig.fused_bptt="auto"), so hardware-compile the backward's
     # config-dependent loops too: multi-write-head erase/add + wide shifts

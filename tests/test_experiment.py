@@ -203,3 +203,74 @@ def test_unknown_remat_policy_raises():
     params = init_ntm_params(jax.random.PRNGKey(0), cfg, 3)
     with pytest.raises(ValueError, match="remat"):
         ntm_tracker_unroll(params, cfg, jnp.zeros((1, 2, 3)), remat="bogus")
+
+
+class TestBpttCompileFallback:
+    """train_step_with_bptt_fallback: a fused-BPTT compile failure (the
+    B=512 HTTP-500 class, ops/pallas/scan_bptt.py) must degrade to the
+    XLA-scan step, not kill the run."""
+
+    def _exp(self, fused):
+        cfg = tiny_cfg("ntm")
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, fused_bptt=fused)
+        )
+        vgg = init_vgg_params(jax.random.PRNGKey(0))
+        return OffsetExperiment(cfg, vgg, image_mode="cropped")
+
+    def _batch(self, cfg):
+        rng = np.random.RandomState(0)
+        return {k: jnp.array(v)
+                for k, v in synthetic_offset_batch(cfg, rng).items()}
+
+    def test_forced_compile_failure_falls_back_to_xla(self, monkeypatch):
+        from ntm_tracker_tpu.ops.pallas import scan_bptt
+        from ntm_tracker_tpu.train.experiments import (
+            train_step_with_bptt_fallback,
+        )
+
+        def boom(*a, **k):
+            raise RuntimeError("Mosaic compile: HTTP 500 (simulated)")
+
+        # ntm_tracker_unroll imports the symbol from the module at call
+        # time, so patching the module attribute intercepts the trace
+        monkeypatch.setattr(scan_bptt, "ntm_scan_fused_bptt", boom)
+        exp = self._exp(True)  # force the fused path (auto is off on CPU)
+        params, opt_state = exp.init(jax.random.PRNGKey(1))
+        step = train_step_with_bptt_fallback(exp)
+        batch = self._batch(exp.cfg)
+        params, opt_state, m = step(params, opt_state, batch)
+        assert step.fell_back
+        assert np.isfinite(float(m["loss"]))
+        # subsequent calls stay on the rebuilt XLA step
+        _, _, m2 = step(params, opt_state, batch)
+        assert np.isfinite(float(m2["loss"]))
+
+    def test_non_fused_failure_propagates(self):
+        from ntm_tracker_tpu.train.experiments import (
+            train_step_with_bptt_fallback,
+        )
+
+        exp = self._exp(False)  # fused explicitly off: nothing to fall
+        # back from — errors must propagate unchanged
+        params, opt_state = exp.init(jax.random.PRNGKey(1))
+        step = train_step_with_bptt_fallback(exp)
+        batch = self._batch(exp.cfg)
+        bad = dict(batch)
+        bad["gts"] = batch["gts"][:1]  # shape mismatch -> trace error
+        with pytest.raises(Exception):
+            step(params, opt_state, bad)
+        assert not step.fell_back
+
+    def test_no_fallback_when_first_call_succeeds(self):
+        from ntm_tracker_tpu.train.experiments import (
+            train_step_with_bptt_fallback,
+        )
+
+        exp = self._exp("auto")  # auto resolves to the XLA scan on CPU
+        params, opt_state = exp.init(jax.random.PRNGKey(1))
+        step = train_step_with_bptt_fallback(exp)
+        batch = self._batch(exp.cfg)
+        params, opt_state, m = step(params, opt_state, batch)
+        assert not step.fell_back
+        assert np.isfinite(float(m["loss"]))
