@@ -23,6 +23,76 @@ import numpy as np
 # early when the deadline nears, so the reserve is a floor, not a promise.
 _TRACK_RESERVE_S = 700.0
 
+# Regression tripwire vs the previous round's driver-recorded bench
+# (BENCH_r{N-1}.json): if any field BOTH rounds measured drops more than
+# this fraction, bench exits nonzero AFTER printing the JSON line and
+# finishing the TRACK artifact — a silent 2x throughput loss must not be
+# rc=0 (VERDICT r4 weak #2). 15% clears the measured round-to-round
+# tunnel noise on the best-of-3 headline (r3->r4: +0.7%) by ~20x.
+_REGRESSION_FRAC = 0.15
+
+# higher-is-better fields the tripwire compares when both rounds have them
+_TRIPWIRE_FIELDS = (
+    "value",
+    "mfu",
+    "device_loop_frames_per_sec",
+    "train_frames_per_sec_cached",
+    "train_mfu",
+)
+
+
+def _previous_bench_metrics(root: str):
+    """(round_n, metrics) from the newest BENCH_r*.json the driver left at
+    the repo root, or (None, None). The driver records {"parsed": {...}}
+    when the JSON line survived its tail window; otherwise the line is
+    embedded (possibly head-truncated) in "tail" and the fields are
+    recovered by regex."""
+    import glob
+    import os
+    import re
+
+    best_n, best_path = 0, None
+    for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), f
+    if best_path is None:
+        return None, None
+    try:
+        with open(best_path) as f:
+            rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None, None
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict):
+        return best_n, parsed
+    tail = rec.get("tail") or ""
+    metrics = {}
+    for key in _TRIPWIRE_FIELDS:
+        hits = re.findall(rf'"{key}": (null|-?[0-9.eE+]+)', tail)
+        if hits and hits[-1] != "null":
+            try:
+                metrics[key] = float(hits[-1])
+            except ValueError:
+                pass
+    return best_n, metrics
+
+
+def _bench_regressions(result: dict, prev: dict,
+                       frac: float = _REGRESSION_FRAC) -> list:
+    """[(field, prev, cur), ...] where a field both rounds measured
+    dropped by more than `frac` (all tripwire fields are
+    higher-is-better)."""
+    out = []
+    for key in _TRIPWIRE_FIELDS:
+        p, c = prev.get(key), result.get(key)
+        if p is None or c is None:
+            continue
+        if p > 0 and c < p * (1.0 - frac):
+            out.append((key, p, c))
+    return out
+
+
 # bf16 peak TFLOP/s by device_kind substring (public spec sheets)
 _PEAK_BF16_TFLOPS = {
     "v5 lite": 197.0,   # TPU v5e
@@ -298,6 +368,30 @@ def main(deadline: float | None = None):
     print(json.dumps(result))
     sys.stdout.flush()
 
+    # regression tripwire vs the previous round's recorded bench: checked
+    # now (so the verdict rides the stderr tail either way) but raised
+    # only AFTER the TRACK artifact below — a regression must not cost
+    # the round its accuracy record
+    regressions = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if platform != "cpu":
+        prev_n, prev = _previous_bench_metrics(root)
+        if prev:
+            regressions = _bench_regressions(result, prev)
+            compared = [k for k in _TRIPWIRE_FIELDS
+                        if prev.get(k) is not None
+                        and result.get(k) is not None]
+            print(f"bench: regression check vs BENCH_r{prev_n:02d}: "
+                  f"compared {compared}: "
+                  + ("; ".join(
+                      f"{k} {p:g} -> {c:g} REGRESSED >"
+                      f"{_REGRESSION_FRAC:.0%}" for k, p, c in regressions)
+                     or "all within bounds"),
+                  file=sys.stderr)
+        else:
+            print("bench: regression check: no previous BENCH_r*.json",
+                  file=sys.stderr)
+
     # per-round accuracy artifact TRACK_r0N.json (stderr/file only — the
     # stdout contract stays one JSON line). Runs AFTER the bench line so a
     # driver-side timeout cannot cost the round its benchmark record; its
@@ -309,6 +403,11 @@ def main(deadline: float | None = None):
         except Exception as e:
             print(f"bench: TRACK artifact failed: {e}", file=sys.stderr)
         phase_done("track_artifact")
+
+    if regressions:
+        print("bench: REGRESSION TRIPWIRE: exiting nonzero (metric JSON "
+              "and TRACK artifact are already written)", file=sys.stderr)
+        raise SystemExit(3)
 
 
 def _device_loop_throughput(cfg, core, vgg_params, params, B: int,
@@ -408,6 +507,7 @@ def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
     from ntm_tracker_tpu.train.experiments import (
         OffsetExperiment,
         synthetic_cached_batch,
+        train_step_with_bptt_fallback,
     )
 
     cfg = TrackerConfig(train=TrainConfig(batch_size=B, sequence_length=L))
@@ -415,7 +515,9 @@ def _cached_train_throughput(B: int = 256, L: int = 20, iters: int = 10):
         cfg, init_vgg_params(jax.random.PRNGKey(0)), image_mode="cropped"
     )
     params, opt_state = exp.init(jax.random.PRNGKey(1))
-    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+    # B=256 runs the fused Pallas BPTT (fused_bptt="auto"); a compile-
+    # service failure degrades to the XLA scan instead of killing bench
+    step = train_step_with_bptt_fallback(exp)
     n = B * L
     batch = synthetic_cached_batch(cfg, np.random.RandomState(0))
     p, o, m = step(params, opt_state, batch)  # compile

@@ -78,6 +78,16 @@ DRIFT_FRAC_MAX = 0.15
 # backend).
 _EVAL_RESERVE_S = 240.0
 
+# Minimum training steps for a record to carry trained-accuracy fields.
+# 200 is the measured plateau (r4: drift/IoU stabilize by ~200 steps of
+# the demo config). A deadline-truncated run below this floor records
+# `budget_truncated: true` and NO trained_iou / scene trained_iou — the
+# r4 driver run committed a 10-step NTM entry whose "trained" IoU 0.096
+# read as a regression below untrained 0.106, which is evidence
+# DEGRADATION, not evidence. Untrained numbers and the drift probe (an
+# implementation tripwire, not an accuracy claim) are still recorded.
+_MIN_TRAIN_STEPS = 200
+
 
 def _log(msg: str) -> None:
     print(f"track_artifact: {msg}", file=sys.stderr, flush=True)
@@ -186,7 +196,9 @@ def run_core(core: str, train_steps: int, seed: int = 0,
              else eval_iou(cfg, vgg, params, seed, scene_frames, scene=scene))
         scenes.append({"scene": scene, "untrained_iou": round(u, 4)})
 
-    step = jax.jit(exp.make_train_step(), donate_argnums=(0, 1))
+    from ntm_tracker_tpu.train.experiments import train_step_with_bptt_fallback
+
+    step = train_step_with_bptt_fallback(exp)
     t0 = time.perf_counter()
     m = None
     steps_done = 0
@@ -205,31 +217,44 @@ def run_core(core: str, train_steps: int, seed: int = 0,
         float(m["loss"])  # value fetch = hard sync before timing (CLAUDE.md)
     train_s = time.perf_counter() - t0
 
-    trained = eval_iou(cfg, vgg, params, seed, eval_frames)
-    _log(f"{name}: trained IoU {trained:.3f} ({steps_done} steps, "
-         f"{train_s:.0f}s)")
+    # the minimum-steps floor: a deadline-truncated training below the
+    # measured plateau must not publish "trained" accuracy numbers
+    truncated = steps_done < min(_MIN_TRAIN_STEPS, train_steps)
     out = {
         "core": core,
         "steps": steps_done,
         "untrained_iou": round(untrained, 4),
-        "trained_iou": round(trained, 4),
         "train_seconds": round(train_s, 1),
         "scenes": scenes,
     }
+    if truncated:
+        out["budget_truncated"] = True
+        _log(f"{name}: budget_truncated: {steps_done} steps is below the "
+             f"{_MIN_TRAIN_STEPS}-step floor — recording NO trained-IoU "
+             "fields (they would read as accuracy, not as a budget "
+             "artifact)")
     if predict_scale:
         out["predict_scale"] = True
     if flush is not None:
         flush(out)
 
-    for rec in scenes:
-        scene = rec["scene"]
-        t = (trained if scene == "smooth" and scene_frames == eval_frames
-             else eval_iou(cfg, vgg, params, seed, scene_frames, scene=scene))
-        rec["trained_iou"] = round(t, 4)
-        _log(f"{name}: scene {scene}: IoU {rec['untrained_iou']:.3f} -> "
-             f"{rec['trained_iou']:.3f}")
-    if flush is not None:
-        flush(out)
+    if not truncated:
+        trained = eval_iou(cfg, vgg, params, seed, eval_frames)
+        out["trained_iou"] = round(trained, 4)
+        _log(f"{name}: trained IoU {trained:.3f} ({steps_done} steps, "
+             f"{train_s:.0f}s)")
+        if flush is not None:
+            flush(out)
+        for rec in scenes:
+            scene = rec["scene"]
+            t = (trained if scene == "smooth" and scene_frames == eval_frames
+                 else eval_iou(cfg, vgg, params, seed, scene_frames,
+                               scene=scene))
+            rec["trained_iou"] = round(t, 4)
+            _log(f"{name}: scene {scene}: IoU {rec['untrained_iou']:.3f} -> "
+                 f"{rec['trained_iou']:.3f}")
+        if flush is not None:
+            flush(out)
 
     drift_px, drift_frac, step1_px, step1_frac = serve_precision_drift(
         cfg, mcore, vgg, params, seed, frames_n=drift_frames
@@ -250,15 +275,60 @@ def run_core(core: str, train_steps: int, seed: int = 0,
     return out
 
 
+def _artifact_fidelity(artifact: dict) -> int:
+    """Training fidelity of a TRACK artifact: the MINIMUM steps across its
+    core records (0 for missing/empty/malformed — always overwritable).
+    The r4 failure mode was a 10-step NTM record silently replacing a
+    committed 400-step one; min-over-cores is what that run degraded."""
+    try:
+        cores = artifact.get("cores") or []
+        if len(cores) < 2:  # partial artifact: lower fidelity by definition
+            return 0
+        return min(int(c.get("steps", 0)) for c in cores)
+    except (AttributeError, TypeError, ValueError):
+        return 0
+
+
+def _existing_fidelity(out_path: str) -> int:
+    import os
+
+    if not os.path.exists(out_path):
+        return 0
+    try:
+        with open(out_path) as f:
+            return _artifact_fidelity(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        return 0
+
+
 def write_artifact(out_path: str, train_steps: int = 400,
                    eval_frames: int = 40, drift_frames: int = 12,
                    scene_frames: int = 24,
-                   deadline: float | None = None) -> dict:
+                   deadline: float | None = None,
+                   force: bool = False) -> dict:
     """Write TRACK artifact for both cores; raises AFTER all cores are on
     disk if any core's drift_step1_frac breached STEP1_FRAC_MAX (the
     tripwire must fail the round loudly without losing the other core's
-    record)."""
+    record).
+
+    Overwrite guard (r4 lesson: the driver's budget-truncated 10-step run
+    OVERWROTE the committed 400-step artifact): when out_path already
+    holds an artifact, this run writes to `out_path + ".partial"` and only
+    replaces the existing file if the new record's fidelity
+    (min steps across cores) is >= the old one's — a lower-fidelity run
+    leaves the good artifact in place, keeps its own record at .partial,
+    and logs the refusal. force=True (--force) always replaces. A
+    driver-side kill mid-run therefore can never lose a better artifact:
+    partial progress lands at .partial, not over out_path."""
     import jax
+    import os
+
+    existing = 0 if force else _existing_fidelity(out_path)
+    target = out_path + ".partial" if existing > 0 else out_path
+    if existing > 0:
+        _log(f"overwrite guard: {out_path} holds a fidelity-{existing} "
+             f"artifact; writing to {target} until this run proves equal "
+             "or better")
 
     artifact = {
         "platform": jax.devices()[0].platform,
@@ -268,7 +338,7 @@ def write_artifact(out_path: str, train_steps: int = 400,
     }
 
     def dump():
-        with open(out_path, "w") as f:
+        with open(target, "w") as f:
             json.dump(artifact, f, indent=1)
             f.write("\n")
 
@@ -311,14 +381,28 @@ def write_artifact(out_path: str, train_steps: int = 400,
         _log("budget: skipping the scale-head stage "
              f"({deadline - time.time():.0f}s left)")
         dump()
-    _log(f"wrote {out_path}")
+
+    final_path = target
+    if existing > 0:
+        new_fid = _artifact_fidelity(artifact)
+        if new_fid >= existing:
+            os.replace(target, out_path)
+            final_path = out_path
+            _log(f"overwrite guard: new fidelity {new_fid} >= existing "
+                 f"{existing}; promoted {target} -> {out_path}")
+        else:
+            _log(f"overwrite guard: REFUSING to overwrite {out_path} "
+                 f"(existing fidelity {existing}) with this run's "
+                 f"fidelity-{new_fid} record — kept at {target}; "
+                 "re-run with --force to override")
+    _log(f"wrote {final_path}")
     breached = [c["core"] for c in artifact["cores"] if c.get("drift_breach")]
     if artifact["scale_head"].get("drift_breach"):
         breached.append("ntm+scale")
     if breached:
         raise RuntimeError(
             f"serving-precision drift tripwire: drift_step1_frac > "
-            f"{STEP1_FRAC_MAX} for core(s) {breached} — see {out_path}"
+            f"{STEP1_FRAC_MAX} for core(s) {breached} — see {final_path}"
         )
     return artifact
 
@@ -342,6 +426,9 @@ def main() -> int:
     ap.add_argument("--budget_s", type=float, default=None,
                     help="optional wall-clock budget; training stops early "
                     "at a step boundary to keep the artifact complete")
+    ap.add_argument("--force", action="store_true",
+                    help="overwrite an existing artifact even when this "
+                    "run's fidelity (min steps across cores) is lower")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -358,7 +445,8 @@ def main() -> int:
                    drift_frames=args.drift_frames,
                    scene_frames=args.scene_frames,
                    deadline=(time.time() + args.budget_s
-                             if args.budget_s else None))
+                             if args.budget_s else None),
+                   force=args.force)
     return 0
 
 

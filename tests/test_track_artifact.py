@@ -94,3 +94,95 @@ def test_trained_host_vs_device_trajectory_bound(tmp_path):
     assert drift_frac < 1e-3, (drift_px, drift_frac)
     assert step1_px <= drift_px + 1e-9, (step1_px, drift_px)
     assert step1_frac < STEP1_FRAC_MAX, (step1_px, step1_frac)
+
+
+def test_budget_floor_truncates_honestly():
+    """A deadline-starved training below the _MIN_TRAIN_STEPS floor must
+    record budget_truncated and NO trained-accuracy fields (the r4 driver
+    run committed a 10-step "trained IoU 0.096 < untrained 0.106" entry)."""
+    import time
+
+    from ntm_tracker_tpu.tools.track_artifact import run_core
+
+    rec = run_core("ntm", train_steps=400, eval_frames=3, drift_frames=3,
+                   scene_frames=3, deadline=time.time())  # already expired
+    assert rec["budget_truncated"] is True
+    assert 0 < rec["steps"] < 200
+    assert "trained_iou" not in rec
+    assert all("trained_iou" not in s for s in rec["scenes"])
+    # untrained numbers and the implementation tripwire stay recorded
+    assert 0.0 <= rec["untrained_iou"] <= 1.0
+    assert "drift_step1_frac" in rec
+
+
+class TestOverwriteGuard:
+    """write_artifact must not replace a committed artifact with a
+    lower-fidelity (fewer-steps) record unless forced (r4: a 10-step
+    driver record overwrote the committed 400-step one)."""
+
+    def _stub_run_core(self, steps):
+        def run(core, train_steps, flush=None, predict_scale=False,
+                label=None, **kw):
+            rec = {"core": core, "steps": steps, "untrained_iou": 0.1,
+                   "trained_iou": 0.5, "train_seconds": 0.0, "scenes": [],
+                   "drift_px": 0.0, "drift_frac": 0.0,
+                   "drift_step1_px": 0.0, "drift_step1_frac": 0.0,
+                   "drift_breach": False}
+            if predict_scale:
+                rec["predict_scale"] = True
+            if flush is not None:
+                flush(rec)
+            return rec
+        return run
+
+    def _existing(self, path, steps=400):
+        path.write_text(json.dumps(
+            {"cores": [{"core": "ntm", "steps": steps},
+                       {"core": "dnc", "steps": steps}]}))
+
+    def test_refuses_lower_fidelity(self, tmp_path, monkeypatch):
+        import ntm_tracker_tpu.tools.track_artifact as ta
+
+        out = tmp_path / "TRACK.json"
+        self._existing(out, steps=400)
+        before = out.read_text()
+        monkeypatch.setattr(ta, "run_core", self._stub_run_core(10))
+        ta.write_artifact(str(out), train_steps=10)
+        assert out.read_text() == before  # the good artifact survives
+        partial = json.loads((tmp_path / "TRACK.json.partial").read_text())
+        assert partial["cores"][0]["steps"] == 10
+
+    def test_promotes_equal_or_better(self, tmp_path, monkeypatch):
+        import os
+
+        import ntm_tracker_tpu.tools.track_artifact as ta
+
+        out = tmp_path / "TRACK.json"
+        self._existing(out, steps=100)
+        monkeypatch.setattr(ta, "run_core", self._stub_run_core(400))
+        ta.write_artifact(str(out), train_steps=400)
+        assert json.loads(out.read_text())["cores"][0]["steps"] == 400
+        assert not os.path.exists(str(out) + ".partial")  # promoted
+
+    def test_force_overrides(self, tmp_path, monkeypatch):
+        import ntm_tracker_tpu.tools.track_artifact as ta
+
+        out = tmp_path / "TRACK.json"
+        self._existing(out, steps=400)
+        monkeypatch.setattr(ta, "run_core", self._stub_run_core(10))
+        ta.write_artifact(str(out), train_steps=10, force=True)
+        assert json.loads(out.read_text())["cores"][0]["steps"] == 10
+
+    def test_malformed_or_partial_existing_is_overwritable(self, tmp_path,
+                                                           monkeypatch):
+        import ntm_tracker_tpu.tools.track_artifact as ta
+
+        out = tmp_path / "TRACK.json"
+        out.write_text("{not json")
+        monkeypatch.setattr(ta, "run_core", self._stub_run_core(10))
+        ta.write_artifact(str(out), train_steps=10)
+        assert json.loads(out.read_text())["cores"][0]["steps"] == 10
+        # a one-core partial (driver kill mid-run) is also fidelity 0
+        out.write_text(json.dumps({"cores": [{"core": "ntm", "steps": 400}]}))
+        ta.write_artifact(str(out), train_steps=10)
+        assert len(json.loads(out.read_text())["cores"]) == 2
