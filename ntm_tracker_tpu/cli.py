@@ -259,6 +259,13 @@ def cmd_train_offsets(args) -> int:
     _, train_seqs, val_seqs = get_valid_sequences(
         args.sequences_dir, cfg.train.sequence_length
     )
+    limit = getattr(args, "limit", 0)
+    if limit > 0:
+        # dress rehearsal (MIGRATION.md real-data runbook): cap BOTH
+        # splits so a first full-dataset bring-up runs in minutes
+        train_seqs, val_seqs = train_seqs[:limit], val_seqs[:limit]
+        print(f"--limit {limit}: {len(train_seqs)} train / "
+              f"{len(val_seqs)} val sequences kept")
     n_proc = jax.process_count()
     if n_proc > 1:
         # disjoint dataset shard per host; global batch split evenly.
@@ -463,10 +470,11 @@ def cmd_preprocess(args) -> int:
 
         n = run_preprocess_augmented(
             job, seq_length=args.max_sequence_length, seed=args.augment_seed,
-            num_workers=args.num_workers,
+            num_workers=args.num_workers, limit=args.limit,
         )
     else:
-        n = run_preprocess(job, num_workers=args.num_workers)
+        n = run_preprocess(job, num_workers=args.num_workers,
+                           limit=args.limit)
     print(f"generated {n} frames")
     return 0
 
@@ -1233,6 +1241,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train from precomputed VGG tokens (cache-features) "
                    "instead of decoding+convolving frames every step; "
                    "--vgg_weights then only verifies the cache fingerprint")
+    t.add_argument("--limit", type=int, default=0,
+                   help="dress rehearsal: keep only the first N train and "
+                   "val sequences (0 = all; MIGRATION.md real-data runbook)")
     t.set_defaults(fn=cmd_train_offsets, experiment="offsets")
 
     cf = sub.add_parser(
@@ -1324,6 +1335,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--max_sequence_length", type=int, default=20,
                     help="frames per augmented sub-sequence")
     pp.add_argument("--augment_seed", type=int, default=0)
+    pp.add_argument("--limit", type=int, default=0,
+                    help="dress rehearsal: process only the first N "
+                    "sequence dirs (0 = all; MIGRATION.md real-data "
+                    "runbook)")
     pp.set_defaults(fn=cmd_preprocess)
 
     d = sub.add_parser("dnc-repeat-copy", help="DNC repeat-copy training")
@@ -1460,6 +1475,9 @@ def build_parser() -> argparse.ArgumentParser:
                      "(tracking/fleet.py) instead of one at a time; with "
                      "--serving_npz, N must equal the artifact's baked "
                      "batch (export-serving --batch N)")
+    val.add_argument("--limit", type=int, default=0,
+                     help="dress rehearsal: replay only the first N pickled "
+                     "sequences (0 = all; MIGRATION.md real-data runbook)")
     val.set_defaults(fn=cmd_validate)
 
     ms = sub.add_parser("mine-sequences",

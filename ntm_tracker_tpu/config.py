@@ -152,6 +152,13 @@ class TrackerConfig:
     # B=1 on TPU, jnp scan otherwise); False = always the jnp reference
     # path; True = always the fused kernel (NTM core only).
     fused_inference: Optional[bool] = None
+    # matmul precision for the CELL steps of the serving frame step
+    # (build_frame_step's scan; jnp path only — the fused Pallas kernel
+    # has its own fixed numerics). None = the backend default (bf16
+    # passes on TPU); "highest" runs the cell matmuls f32-exact while the
+    # VGG stays at default precision — the serving-drift diagnostic knob
+    # (tools/probe_drift_asym.py). Training is unaffected.
+    cell_matmul_precision: Optional[str] = None
     # skip the conv4-block work outside the 8x8 token grid's receptive
     # field (models/vgg.py:vgg16_conv43_tokens — exact same tokens, ~24%
     # fewer conv FLOPs). Only engages for 224 crops with the canonical

@@ -199,14 +199,19 @@ def process_sequence_augmented(
 
 
 def run_preprocess_augmented(
-    job: PreprocessJob, seq_length: int = 20, seed: int = 0, num_workers: int = 7
+    job: PreprocessJob, seq_length: int = 20, seed: int = 0,
+    num_workers: int = 7, limit: int = 0
 ) -> int:
-    """Walk the annotation tree and write augmented sub-sequences."""
+    """Walk the annotation tree and write augmented sub-sequences.
+    limit>0 keeps only the first N sequence dirs (dress-rehearsal mode,
+    MIGRATION.md runbook)."""
     from multiprocessing import Pool
 
     from ntm_tracker_tpu.data.preprocess import find_sequence_dirs
 
     seqs = find_sequence_dirs(job.annotation_dir)
+    if limit > 0:
+        seqs = seqs[:limit]
     if num_workers <= 1:
         return sum(process_sequence_augmented(job, s, seq_length, seed) for s in seqs)
     with Pool(num_workers) as pool:

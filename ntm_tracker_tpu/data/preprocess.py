@@ -152,10 +152,15 @@ def find_sequence_dirs(annotation_dir: str) -> List[str]:
     return sorted(out)
 
 
-def run_preprocess(job: PreprocessJob, num_workers: int = 7) -> int:
+def run_preprocess(job: PreprocessJob, num_workers: int = 7,
+                   limit: int = 0) -> int:
     """Walk the annotation tree and process sequences in parallel
-    (preprocess.py:476-509: Pool(7))."""
+    (preprocess.py:476-509: Pool(7)). limit>0 keeps only the first N
+    sequence dirs — the dress-rehearsal mode for real-data bring-up
+    (MIGRATION.md runbook)."""
     seqs = find_sequence_dirs(job.annotation_dir)
+    if limit > 0:
+        seqs = seqs[:limit]
     if num_workers <= 1:
         return sum(process_sequence(job, s) for s in seqs)
     with Pool(num_workers) as pool:

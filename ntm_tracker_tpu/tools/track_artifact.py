@@ -72,6 +72,15 @@ STEP1_FRAC_MAX = 0.05
 # seed luck. Retained so readers of older rounds' artifacts can compare.
 DRIFT_FRAC_MAX = 0.15
 
+# Tripwire on serving ACCURACY (VERDICT r4 weak #4): geometry drift alone
+# cannot say whether bf16 device-loop serving tracks WORSE, so each
+# trained core also replays every scene through the device-resident loop
+# and the worst |mean IoU(device) - mean IoU(host)| must stay within this
+# bound. Unlike per-frame trajectories (chaotic under bf16), the MEAN
+# clamped IoU of a trained contractive tracker is stable — a breach means
+# the device path genuinely serves worse, not seed luck.
+DEVICE_IOU_GAP_MAX = 0.05
+
 # Seconds reserved out of the deadline for the post-training work:
 # trained evals + scene sweep (compile-warm) + the drift probe, whose
 # device-loop program compiles fresh (~2-3 min measured on the tunneled
@@ -106,7 +115,7 @@ def eval_iou(cfg, vgg, params, seed: int, frames_n: int,
 
 
 def serve_precision_drift(cfg, core, vgg, params, seed: int,
-                          frames_n: int = 12):
+                          frames_n: int = 12, loop=None):
     """Serving-precision probe at the backend's DEFAULT matmul precision
     with the given (trained) weights: |region| deviation between the
     host-geometry streaming loop and the device-resident loop.
@@ -138,7 +147,8 @@ def serve_precision_drift(cfg, core, vgg, params, seed: int,
     host.init(frames[0], region0)
     host_regions = [host.track(frames[t]) for t in range(1, frames_n)]
 
-    init_fn, step_fn = make_device_track_step(cfg, core, vgg, params)
+    # `loop` shares one compiled device program with the device-IoU sweep
+    init_fn, step_fn = loop or make_device_track_step(cfg, core, vgg, params)
     x, y, w, h = region0
     bbox = jnp.asarray(
         [[y / (H - 1), x / (W - 1), (y + h) / (H - 1), (x + w) / (W - 1)]],
@@ -256,8 +266,11 @@ def run_core(core: str, train_steps: int, seed: int = 0,
         if flush is not None:
             flush(out)
 
+    from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+    loop = make_device_track_step(cfg, mcore, vgg, params)
     drift_px, drift_frac, step1_px, step1_frac = serve_precision_drift(
-        cfg, mcore, vgg, params, seed, frames_n=drift_frames
+        cfg, mcore, vgg, params, seed, frames_n=drift_frames, loop=loop
     )
     out["drift_px"] = round(drift_px, 4)
     out["drift_frac"] = round(drift_frac, 4)
@@ -272,6 +285,42 @@ def run_core(core: str, train_steps: int, seed: int = 0,
          + (" — BREACH" if out["drift_breach"] else ""))
     if flush is not None:
         flush(out)
+
+    # serving ACCURACY: every trained scene replayed through the
+    # device-resident loop (same clips, same protocol, shared compile) —
+    # tripwire on the worst host-vs-device mean-IoU gap
+    if not truncated:
+        from ntm_tracker_tpu.tracking.demo import (
+            eval_device_iou,
+            mean_clamped_iou,
+        )
+
+        worst_gap = 0.0
+        for rec in scenes:
+            d_iou = mean_clamped_iou(eval_device_iou(
+                cfg, vgg, params, seed, scene_frames, core=mcore,
+                scene=rec["scene"], loop=loop,
+            ))
+            rec["device_iou"] = round(d_iou, 4)
+            worst_gap = max(worst_gap, abs(d_iou - rec["trained_iou"]))
+        d_main = (
+            scenes[0]["device_iou"]
+            if scene_frames == eval_frames
+            else mean_clamped_iou(eval_device_iou(
+                cfg, vgg, params, seed, eval_frames, core=mcore,
+                scene="smooth", loop=loop,
+            ))
+        )
+        out["device_iou"] = round(float(d_main), 4)
+        worst_gap = max(worst_gap, abs(float(d_main) - out["trained_iou"]))
+        out["device_iou_gap"] = round(worst_gap, 4)
+        out["device_iou_breach"] = bool(worst_gap > DEVICE_IOU_GAP_MAX)
+        _log(f"{name}: device-loop IoU {out['device_iou']:.3f} vs host "
+             f"{out['trained_iou']:.3f}; worst scene gap "
+             f"{worst_gap:.4f} (tripwire {DEVICE_IOU_GAP_MAX})"
+             + (" — BREACH" if out["device_iou_breach"] else ""))
+        if flush is not None:
+            flush(out)
     return out
 
 
@@ -396,13 +445,19 @@ def write_artifact(out_path: str, train_steps: int = 400,
                  f"fidelity-{new_fid} record — kept at {target}; "
                  "re-run with --force to override")
     _log(f"wrote {final_path}")
-    breached = [c["core"] for c in artifact["cores"] if c.get("drift_breach")]
-    if artifact["scale_head"].get("drift_breach"):
-        breached.append("ntm+scale")
+    breached = [
+        (c["core"], kind)
+        for c in artifact["cores"] + [dict(artifact["scale_head"],
+                                           core="ntm+scale")]
+        for kind, flag in (("drift_step1", "drift_breach"),
+                           ("device_iou", "device_iou_breach"))
+        if c.get(flag)
+    ]
     if breached:
         raise RuntimeError(
-            f"serving-precision drift tripwire: drift_step1_frac > "
-            f"{STEP1_FRAC_MAX} for core(s) {breached} — see {final_path}"
+            f"serving tripwire(s) fired: {breached} "
+            f"(drift_step1_frac > {STEP1_FRAC_MAX} and/or device-host "
+            f"IoU gap > {DEVICE_IOU_GAP_MAX}) — see {final_path}"
         )
     return artifact
 

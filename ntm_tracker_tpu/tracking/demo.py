@@ -145,6 +145,57 @@ def eval_streaming_iou(cfg, vgg, params, seed: int, frames_n: int,
     return ious
 
 
+def eval_device_iou(cfg, vgg, params, seed: int, frames_n: int,
+                    core=None, scene: str = "smooth", loop=None):
+    """eval_streaming_iou's DEVICE-RESIDENT twin: the same held-out clip
+    (same seed -> identical frames/gt) through make_device_track_step —
+    crop geometry, VGG, cell steps and recrop all in one program. Returns
+    the per-frame raw bb_iou list, so
+    |mean_clamped_iou(device) - mean_clamped_iou(host)| is the serving
+    ACCURACY gap the TRACK artifact tripwires (geometry drift alone can't
+    say whether bf16 device serving tracks WORSE — VERDICT r4 weak #4).
+
+    `loop` is an optional prebuilt (init_fn, step_fn) from
+    make_device_track_step so multi-scene sweeps share one compile."""
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.data.geometry import bb_iou
+    from ntm_tracker_tpu.data.synthetic import make_scene
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.tracking.tracker import make_device_track_step
+
+    frames, boxes = make_scene(np.random.RandomState(seed + 1000), frames_n,
+                               scene=scene)
+    H, W = frames.shape[1:3]
+    if loop is None:
+        if core is None:
+            core = make_core(cfg)
+        loop = make_device_track_step(cfg, core, vgg, params)
+    init_fn, step_fn = loop
+    if core is None:
+        core = make_core(cfg)
+    b0 = boxes[0]
+    # same init region as the host loop, in the tracker's /(dim-1) space
+    x, y = b0[1] * W, b0[0] * H
+    w, h = (b0[3] - b0[1]) * W, (b0[2] - b0[0]) * H
+    bbox = jnp.asarray(
+        [[y / (H - 1), x / (W - 1), (y + h) / (H - 1), (x + w) / (W - 1)]],
+        jnp.float32,
+    )
+    fdev = frames.astype(np.float32)
+    state = init_fn(fdev[0:1], bbox, core.init_state(params, 1))
+    ious = []
+    for t in range(1, frames_n):
+        region, bbox, state = step_fn(fdev[t : t + 1], bbox, state)
+        rx, ry, rw, rh = np.asarray(region[0])
+        gt = boxes[t]
+        ious.append(bb_iou(
+            (rx, ry, rx + rw, ry + rh),
+            (gt[1] * W, gt[0] * H, gt[3] * W, gt[2] * H),
+        ))
+    return ious
+
+
 def mean_clamped_iou(ious) -> float:
     """THE aggregate-IoU contract (demo / TRACK_r0N / validate / int8
     artifacts): per-frame values are clamped to [0, 1] before averaging —

@@ -83,6 +83,9 @@ def build_frame_step(
                 B == 1
                 and cfg.core == "ntm"
                 and jax.default_backend() == "tpu"
+                # the precision knob only exists on the jnp path; auto
+                # must not silently route around it
+                and cfg.cell_matmul_precision is None
             )
         else:
             use_fused = cfg.fused_inference and cfg.core == "ntm"
@@ -106,7 +109,17 @@ def build_frame_step(
             logit, new_state = core.step(params, x_t, carry)
             return new_state, logit
 
-        final_state, logits = jax.lax.scan(body, state, jnp.swapaxes(stream, 0, 1))
+        def scan_cells():
+            return jax.lax.scan(body, state, jnp.swapaxes(stream, 0, 1))
+
+        # cfg.cell_matmul_precision scopes a matmul-precision override to
+        # the cell steps ONLY (VGG above keeps the backend default) — the
+        # serving-drift diagnostic knob (tools/probe_drift_asym.py)
+        if cfg.cell_matmul_precision is not None:
+            with jax.default_matmul_precision(cfg.cell_matmul_precision):
+                final_state, logits = scan_cells()
+        else:
+            final_state, logits = scan_cells()
         offsets = jnp.tanh(logits[-1])
         return offsets, final_state
 

@@ -162,6 +162,11 @@ def validate_tracker(args) -> int:
         raise SystemExit(f"--fleet wants a positive capacity, got {fleet_n}")
     with open(args.pickle_path, "rb") as f:
         seqs = pickle.load(f)
+    limit = int(getattr(args, "limit", 0) or 0)
+    if limit > 0:
+        # dress rehearsal (MIGRATION.md real-data runbook)
+        seqs = seqs[:limit]
+        print(f"--limit {limit}: replaying {len(seqs)} sequences")
 
     if getattr(args, "serving_npz", ""):
         # AOT artifact: weights/geometry/token order all come from the

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from ntm_tracker_tpu.tools.track_artifact import (
+    DEVICE_IOU_GAP_MAX,
     STEP1_FRAC_MAX,
     serve_precision_drift,
     write_artifact,
@@ -50,6 +51,13 @@ def test_write_artifact_smoke(tmp_path):
         assert 0.0 <= c["drift_step1_px"] <= c["drift_px"] + 1e-9
         assert c["drift_breach"] is False
         assert c["train_seconds"] >= 0.0
+        # device-loop serving ACCURACY: per-scene device_iou + the
+        # host-vs-device gap tripwire (on CPU both loops are f32 — the
+        # gap must be far from the bound)
+        assert 0.0 <= c["device_iou"] <= 1.0
+        assert all(0.0 <= s["device_iou"] <= 1.0 for s in c["scenes"])
+        assert c["device_iou_gap"] < DEVICE_IOU_GAP_MAX
+        assert c["device_iou_breach"] is False
     # the beyond-reference scale-head stage runs when no deadline squeezes
     # it (this smoke passes none): same record shape, ntm core, flagged
     sh = artifact["scale_head"]
