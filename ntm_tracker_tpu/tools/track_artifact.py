@@ -11,6 +11,14 @@ Per core the artifact records:
   * `scenes[]` — untrained/trained IoU on every data/synthetic.SCENES
     variant (scale change, fast motion, high-frequency texture), so a
     regression cannot hide in one easy scene;
+  * `device_iou` (+ per-scene `device_iou` and `device_iou_gap`) — the
+    SAME clips replayed through the fully device-resident loop
+    (make_device_track_step); the worst |device − host| mean-IoU gap
+    above DEVICE_IOU_GAP_MAX trips `device_iou_breach`: geometry drift
+    alone cannot say whether bf16 device serving tracks WORSE, this can;
+  * `budget_truncated` — set (and trained-IoU fields OMITTED) when a
+    deadline stopped training below the _MIN_TRAIN_STEPS plateau floor,
+    so a budget artifact can never read as an accuracy regression;
   * the serving-precision probe: with the TRAINED tracker at the backend's
     DEFAULT matmul precision (bf16 on TPU — the configuration users
     actually serve), the host-geometry streaming loop and the fully
@@ -27,6 +35,18 @@ Per core the artifact records:
     seed luck — the one-step deviation can. `drift_step1_frac` above
     STEP1_FRAC_MAX trips `drift_breach` and fails the artifact run loudly
     AFTER all cores are recorded.
+
+    The r4 "30-50x NTM-vs-DNC drift asymmetry" was root-caused by
+    measurement in r5 (tools/probe_drift_asym.py, DRIFT_ASYM_r05.json):
+    it is AMPLIFICATION, not a numeric seam — neither disabling the fused
+    inference kernel nor forcing the cell matmuls to f32 collapses the
+    NTM's trajectory drift, while forcing EVERYTHING to f32 drops it to
+    0.0001-0.0019 (at/below the DNC's 0.005-0.012). The perturbation
+    source is the bf16 VGG whose two separately compiled programs round
+    differently; the NTM's recrop feedback amplifies it ~10-30x more
+    than the DNC's. Hence the r5 `device_iou` gap tripwire below: the
+    user-facing guarantee is serving ACCURACY, which the amplification
+    does not degrade — divergent trajectories track equally well.
 
 After both cores, a bonus `scale_head` record (budget permitting) runs
 the ntm core with the beyond-reference (dy, dx, ds) head

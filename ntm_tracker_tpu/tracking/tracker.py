@@ -60,19 +60,27 @@ def build_frame_step(
     F = cfg.num_features
     C = cfg.feature_depth
 
-    def tokens_of(crops: jax.Array) -> jax.Array:
+    def tokens_of(vgg_p, crops: jax.Array) -> jax.Array:
         # shared with training (train/experiments.frame_tokens) so the
         # serving and training tokens are computed by the same code path
         from ntm_tracker_tpu.train.experiments import frame_tokens
 
-        return frame_tokens(cfg, vgg_params, crops)
+        return frame_tokens(cfg, vgg_p, crops)
 
-    def frame_fn(crops: jax.Array, gt: Optional[jax.Array], state):
+    # Weights are jit ARGUMENTS, not closure constants: a compiled frame
+    # step contains no weight data, so (a) trackers with different weights
+    # (untrained vs trained, per-seed sweeps) share ONE compile and ONE
+    # persistent-cache entry — the TRACK artifact's compile bill halves —
+    # (b) executables shrink from ~65 MB (59 MB of embedded VGG) to MBs,
+    # and (c) HBM holds one copy of the VGG across all serving programs
+    # instead of one per executable.
+    def frame_fn_p(vgg_p, p, crops: jax.Array, gt: Optional[jax.Array],
+                   state):
         # crops are already mean-subtracted (the reference subtracts the VGG
         # mean BEFORE crop_and_resize so out-of-image extrapolation is 0 in
         # network space, test_tracker.py:350-354)
         B = crops.shape[0]
-        toks = tokens_of(crops.astype(jnp.float32))
+        toks = tokens_of(vgg_p, crops.astype(jnp.float32))
         # single-stream tracking routes through the whole-sequence fused
         # Pallas kernel (measured 1.54x lower latency at B=1 on v5e); the
         # batched path keeps the jnp scan, which XLA fuses better at B>=8.
@@ -100,13 +108,13 @@ def build_frame_step(
             from ntm_tracker_tpu.ops.pallas.scan_cell import ntm_scan_fused
 
             logits_bt, final_state = ntm_scan_fused(
-                params, cfg.ntm, stream, state, compute_dtype=cfg.compute_dtype
+                p, cfg.ntm, stream, state, compute_dtype=cfg.compute_dtype
             )
             # outputs[-1] = last token's logit (test_tracker.py:274-282)
             return jnp.tanh(logits_bt[:, -1]), final_state
 
         def body(carry, x_t):
-            logit, new_state = core.step(params, x_t, carry)
+            logit, new_state = core.step(p, x_t, carry)
             return new_state, logit
 
         def scan_cells():
@@ -123,15 +131,25 @@ def build_frame_step(
         offsets = jnp.tanh(logits[-1])
         return offsets, final_state
 
-    donate = (2,) if donate_state else ()
-    step_first = jax.jit(
-        lambda crops, gt, state: frame_fn(crops, gt, state), donate_argnums=donate
+    jit_first = jax.jit(frame_fn_p, donate_argnums=(4,) if donate_state else ())
+    jit_rest = jax.jit(
+        lambda vgg_p, p, crops, state: frame_fn_p(vgg_p, p, crops, None, state),
+        donate_argnums=(3,) if donate_state else (),
     )
-    step_rest = jax.jit(
-        lambda crops, state: frame_fn(crops, None, state),
-        donate_argnums=(1,) if donate_state else (),
-    )
-    step_first.frame_fn = frame_fn  # unjitted core, reused by the device loop
+
+    def step_first(crops, gt, state):
+        return jit_first(vgg_params, params, crops, gt, state)
+
+    def step_rest(crops, state):
+        return jit_rest(vgg_params, params, crops, state)
+
+    def frame_fn(crops, gt, state):
+        # unjitted weight-bound core: traced INTO the device loop and the
+        # AOT export (which bakes weights by design)
+        return frame_fn_p(vgg_params, params, crops, gt, state)
+
+    step_first.frame_fn = frame_fn
+    step_first.frame_fn_p = frame_fn_p  # parametric twin (device loop)
     return step_first, step_rest
 
 
@@ -184,7 +202,10 @@ def make_device_track_step(
         cfg, core, vgg_params, params,
         donate_state=False, delimiter_first=delimiter_first,
     )
-    frame_fn = step_first.frame_fn
+    # parametric frame fn: weights stay jit ARGUMENTS through the device
+    # loop too (see build_frame_step — shared compiles across weight
+    # values, no 59 MB VGG constant per executable)
+    frame_fn_p = step_first.frame_fn_p
 
     def _crop(frames, cropbox):
         # separable-matmul bilinear crop: the gather formulation on full
@@ -203,16 +224,17 @@ def make_device_track_step(
         return crop_and_resize_mm(imgs, cropbox, (d.crop_size, d.crop_size),
                                   precision=crop_precision)
 
-    def init_fn(frames, bbox0, state):
+    def init_fn_p(vgg_p, p, frames, bbox0, state):
         crops = _crop(frames, cropbox_of(bbox0, d.cropbox_grid, d.bbox_grid))
         B = crops.shape[0]
-        _, state = frame_fn(crops, jnp.tile(heat0[None], (B, 1)), state)
+        _, state = frame_fn_p(vgg_p, p, crops,
+                              jnp.tile(heat0[None], (B, 1)), state)
         return state
 
-    def step_fn(frames, bbox, state):
+    def step_fn_p(vgg_p, p, frames, bbox, state):
         H, W = frames.shape[1:3]
         cb = cropbox_of(bbox, d.cropbox_grid, d.bbox_grid)
-        offsets, state = frame_fn(_crop(frames, cb), None, state)
+        offsets, state = frame_fn_p(vgg_p, p, _crop(frames, cb), None, state)
         # in-graph twin of decode_head: optional scale about the canonical
         # center, then the (dy, dx) shift
         if cfg.predict_scale:
@@ -237,7 +259,16 @@ def make_device_track_step(
         )
         return region, img_box * quirk, state
 
-    return jax.jit(init_fn), jax.jit(step_fn)
+    jit_init = jax.jit(init_fn_p)
+    jit_step = jax.jit(step_fn_p)
+
+    def init_fn(frames, bbox0, state):
+        return jit_init(vgg_params, params, frames, bbox0, state)
+
+    def step_fn(frames, bbox, state):
+        return jit_step(vgg_params, params, frames, bbox, state)
+
+    return init_fn, step_fn
 
 
 # -- host-side crop/decode geometry, shared by StreamingTracker and the

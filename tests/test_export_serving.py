@@ -1,8 +1,10 @@
 """AOT serving export (tools/export_serving.py + export-serving CLI).
 
-The artifact must reproduce the live frame step bit-for-bit on the same
-backend (same math, pre-lowered), load without touching model code, and
-drive the identical StreamingTracker host-geometry loop.
+The artifact must reproduce the live frame step on the same backend
+(same math, pre-lowered; weights baked as constants vs the live step's
+weight ARGUMENTS leave ~1e-6-scale const-folding differences), load
+without touching model code, and drive the identical StreamingTracker
+host-geometry loop.
 """
 
 import numpy as np
@@ -68,19 +70,24 @@ class TestArtifactMatchesLiveStep:
         live_off, live_state = step_first(jnp.asarray(crop),
                                           jnp.asarray(gt), live_state)
 
+        # atol 1e-5, not exactness: the artifact BAKES weights as program
+        # constants while the live step takes them as jit arguments (r5
+        # refactor — shared compiles across weight values), so XLA
+        # const-folds the two programs differently; f32 divergence is
+        # ~2e-6 on ~10-magnitude state values
         leaves = model.init_state()
         off, leaves = model.first(crop, gt, leaves)
-        np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-6)
+        np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-5)
 
         for _ in range(3):
             crop = rng.rand(1, S, S, 3).astype(np.float32) * 100 - 50
             live_off, live_state = step_rest(jnp.asarray(crop), live_state)
             off, leaves = model.step(crop, leaves)
-            np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-6)
+            np.testing.assert_allclose(off, np.asarray(live_off), atol=1e-5)
         # state leaves agree too (flattening order is the pytree order)
         for got, want in zip(leaves, jax.tree_util.tree_leaves(live_state)):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                       atol=1e-6)
+                                       atol=1e-5)
 
     def test_meta_fields(self, exported):
         cfg, _, _, _, path = exported
@@ -182,14 +189,19 @@ class TestInt8Export:
         gt = np.zeros((1, cfg.num_features), np.float32)
         live_off, live_state = step_first(jnp.asarray(crop), jnp.asarray(gt),
                                           core.init_state(params, 1))
+        # atol 2e-4, not exactness: the artifact bakes quantized weights
+        # as constants while the live step quantizes jit ARGUMENTS (r5
+        # refactor), so XLA const-folds the s8 requant chain differently
+        # (measured 7.5e-5 / 0.17% relative — inside the int8 path's own
+        # ~0.9995-cosine noise floor, models/vgg_int8.py)
         off, leaves = model.first(crop, gt, model.init_state())
         np.testing.assert_allclose(np.asarray(off), np.asarray(live_off),
-                                   rtol=0, atol=1e-6)
+                                   rtol=0, atol=2e-4)
         crop = rng.rand(1, 224, 224, 3).astype(np.float32) * 100 - 50
         live_off, _ = step_rest(jnp.asarray(crop), live_state)
         off, _ = model.step(crop, leaves)
         np.testing.assert_allclose(np.asarray(off), np.asarray(live_off),
-                                   rtol=0, atol=1e-6)
+                                   rtol=0, atol=2e-4)
 
 
 class TestCLI:
