@@ -35,10 +35,17 @@ _REGRESSION_FRAC = 0.15
 _TRIPWIRE_FIELDS = (
     "value",
     "mfu",
+    "frames_per_sec_weights_as_args",
     "device_loop_frames_per_sec",
     "train_frames_per_sec_cached",
     "train_mfu",
 )
+
+# value/mfu depend on the headline variant (weights baked as constants
+# compile a ~14% faster conv schedule than weights-as-arguments; records
+# before r5 were implicitly baked) — comparing across variants would
+# flag a measurement-mode difference as a perf regression
+_VARIANT_DEPENDENT = ("value", "mfu")
 
 
 def _previous_bench_metrics(root: str):
@@ -75,6 +82,9 @@ def _previous_bench_metrics(root: str):
                 metrics[key] = float(hits[-1])
             except ValueError:
                 pass
+    variant = re.findall(r'"headline_variant": "([a-z-]+)"', tail)
+    if variant:
+        metrics["headline_variant"] = variant[-1]
     return best_n, metrics
 
 
@@ -160,6 +170,70 @@ def frame_flops(cfg) -> float:
     return total
 
 
+def _headline_setup():
+    """The headline benchmark's model construction — ONE site, shared
+    with the baked-compile child process so both build byte-identical
+    programs (fixed PRNG seeds => identical baked constants => the same
+    persistent-cache key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
+    from ntm_tracker_tpu.models.core import make_core
+    from ntm_tracker_tpu.models.vgg import init_vgg_params
+
+    cfg = TrackerConfig(core="ntm", compute_dtype=jnp.bfloat16,
+                        train=TrainConfig(batch_size=1, sequence_length=20))
+    core = make_core(cfg)
+    vgg_params = init_vgg_params(jax.random.PRNGKey(0))
+    params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+    return cfg, core, vgg_params, params
+
+
+def compile_baked_headline(B: int) -> None:
+    """Child-process entry: compile (into the shared persistent cache)
+    the constant-baked headline frame step at batch B and execute one
+    step. Run in a child so a slow constant-folding compile can be
+    abandoned by timeout without wedging the bench process."""
+    import jax.numpy as jnp
+
+    from ntm_tracker_tpu.tracking.tracker import build_frame_step
+    from ntm_tracker_tpu.utils.compcache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    cfg, core, vgg_params, params = _headline_setup()
+    _, step = build_frame_step(cfg, core, vgg_params, params,
+                               donate_state=True, bake_weights=True)
+    crops = jnp.zeros((B, 224, 224, 3), jnp.float32)
+    state = core.init_state(params, B)
+    off, _ = step(crops, state)
+    np.asarray(off)
+    print("BAKED_OK", flush=True)
+
+
+def _warm_baked_headline(B: int, timeout_s: float) -> bool:
+    """True if the baked headline program is compiled and cached (child
+    exits OK within timeout_s — seconds when the committed cache hits,
+    up to the timeout for a genuine cold constant-folding compile)."""
+    import subprocess
+    import sys
+
+    if timeout_s < 60:
+        return False
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "from ntm_tracker_tpu.benchmarks import compile_baked_headline;"
+             f" compile_baked_headline({B})"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return p.returncode == 0 and "BAKED_OK" in p.stdout
+
+
 def main(deadline: float | None = None):
     import os
     import sys
@@ -167,9 +241,6 @@ def main(deadline: float | None = None):
     import jax
     import jax.numpy as jnp
 
-    from ntm_tracker_tpu.config import TrackerConfig, TrainConfig
-    from ntm_tracker_tpu.models.core import make_core
-    from ntm_tracker_tpu.models.vgg import init_vgg_params
     from ntm_tracker_tpu.tracking.tracker import build_frame_step
 
     # Wall-clock budget (round-3 lesson: the driver killed bench at rc=124,
@@ -209,17 +280,14 @@ def main(deadline: float | None = None):
     dev = jax.devices()[0]
     platform = dev.platform
 
-    cfg = TrackerConfig(core="ntm", compute_dtype=jnp.bfloat16,
-                        train=TrainConfig(batch_size=1, sequence_length=20))
-    core = make_core(cfg)
-    vgg_params = init_vgg_params(jax.random.PRNGKey(0))
-    params = core.init_params(jax.random.PRNGKey(1), cfg.input_depth)
+    cfg, core, vgg_params, params = _headline_setup()
 
     rng = np.random.RandomState(0)
 
-    def bench_batch(B, iters, warmup=3, cfg_use=None):
+    def bench_batch(B, iters, warmup=3, cfg_use=None, bake_weights=False):
         _, step_rest = build_frame_step(
-            cfg_use or cfg, core, vgg_params, params, donate_state=True
+            cfg_use or cfg, core, vgg_params, params, donate_state=True,
+            bake_weights=bake_weights,
         )
         # bound the host transient: rng.rand at the sweep's B=4096 ceiling
         # would allocate ~4.9 GB of float64 scratch; tile a 64-sample block
@@ -331,6 +399,41 @@ def main(deadline: float | None = None):
                   file=sys.stderr)
         phase_done("device_loop")
 
+    # headline at BAKED weights: the sweep above runs weights-as-args
+    # programs (compiles in seconds — they share the persistent-cache
+    # entries every other stage uses), then the winning batch is
+    # re-measured ONCE with the weights compiled in as constants, which
+    # XLA turns into a ~14% faster conv schedule (r5 A/B: 32.06 vs
+    # 36.61 ms/step at B=256; neither bf16 pre-casting the weights nor
+    # device_put into the executable's preferred input layouts recovers
+    # it). Production serving gets the baked program via the AOT export,
+    # so the baked number is the honest headline; the args number rides
+    # alongside. The expensive part — the ~10-min COLD constant-folding
+    # compile — runs in a CHILD process bounded by whatever budget is
+    # spare beyond the TRACK reserve: with the committed warm cache the
+    # child is a seconds-scale hit; a cold slow window gets abandoned at
+    # the timeout and the args number stands (variant field says which).
+    headline_variant = "weights-as-args"
+    throughput_args = throughput
+    if platform != "cpu":
+        spare = remaining() - _TRACK_RESERVE_S - 150  # parent re-measure
+        budget = min(700.0, spare)
+        if _warm_baked_headline(best_batch, budget):
+            try:
+                baked_fps, _ = bench_batch(best_batch, iters=20,
+                                           bake_weights=True)
+                headline_variant = "baked-constants"
+                throughput = max(throughput, baked_fps)
+            except Exception as e:  # never let the re-measure kill bench
+                print(f"bench: baked headline re-measure skipped: {e}",
+                      file=sys.stderr)
+        else:
+            print("bench: budget: skipping headline_baked (baked compile "
+                  f"did not finish within {budget:.0f}s spare; "
+                  "weights-as-args number stands)", file=sys.stderr)
+            skipped.append("headline_baked")
+        phase_done("headline_baked")
+
     # int8 serving: CLOSED by measurement this round — XLA on v5e has no
     # int8 conv fast path (s8 convs run ~3x slower than bf16 and a lone s8
     # conv compile hangs >10 min; tools/probe_int8.py, verdict in
@@ -353,6 +456,8 @@ def main(deadline: float | None = None):
         "p90_roundtrip_ms_b1": round(lat_p90, 3) if lat_p90 == lat_p90 else None,
         "roundtrip_n": lat_n or None,
         "best_batch": best_batch,
+        "headline_variant": headline_variant,
+        "frames_per_sec_weights_as_args": round(float(throughput_args), 1),
         "frame_gflops": round(flops / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu": round(achieved_tflops / peak, 3) if peak else None,
@@ -377,6 +482,15 @@ def main(deadline: float | None = None):
     if platform != "cpu":
         prev_n, prev = _previous_bench_metrics(root)
         if prev:
+            prev_variant = prev.get("headline_variant", "baked-constants")
+            if prev_variant != headline_variant:
+                # don't flag a measurement-mode difference as a perf
+                # regression (pre-r5 records are implicitly baked)
+                prev = {k: v for k, v in prev.items()
+                        if k not in _VARIANT_DEPENDENT}
+                print(f"bench: regression check: headline variant differs "
+                      f"({prev_variant} -> {headline_variant}); value/mfu "
+                      "excluded from the comparison", file=sys.stderr)
             regressions = _bench_regressions(result, prev)
             compared = [k for k in _TRIPWIRE_FIELDS
                         if prev.get(k) is not None

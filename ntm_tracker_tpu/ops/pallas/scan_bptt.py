@@ -47,17 +47,23 @@ tools/bench_bptt_knee.py, tile 64):
                                    24,636 trained frames/s at the knee)
     512       compile failed*     651.8 ms    (15.7k f/s — past the knee)
 
-  * the remote compile helper exits 1 (HTTP 500, no diagnostic) on the
-    8-tile B=512 program; irrelevant in practice — per-row cost is flat
-    in B (~40 us/tile-step at tile 64), so B=512 could at best match
-    B=256's 24.6k f/s while XLA's own B=512 is 11% WORSE than its B=256,
-    i.e. 256 is the knee for both paths. Minimal repro:
-    `python -m ntm_tracker_tpu.tools.probe_bptt_b64 --b512` (T=12,
-    shipped tile; child-process capture, like the B=64 probe).
-    Since r5 this failure class cannot break a training run: the entry
-    points compile through train_step_with_bptt_fallback
+  * the B=512 failure (r4: remote compile helper exit 1, "HTTP 500, no
+    diagnostic") was ROOT-CAUSED in r5 by re-probing: at T=12 the 8-tile
+    program compiles and runs fine (`probe_bptt_b64 --b512`), and at the
+    real T=1300 it fails with a clean HBM RESOURCE_EXHAUSTED during
+    buffer assignment — the recompute-free backward's residual streams
+    cost ~14.7 KB/row/step (M_prev 2560 + w_prev 640 + read_prev 80 +
+    c/h 400 floats), i.e. ~9.8 GB at B=512/T=1300 vs ~4.9 GB at the
+    B=256 knee, plus tokens/grads — past the v5e's 16 GB. A capacity
+    wall, not a Mosaic bug; irrelevant in practice — per-row cost is
+    flat in B (~40 us/tile-step at tile 64), so B=512 could at best
+    match B=256's 24.6k f/s while XLA's own B=512 is 11% WORSE than its
+    B=256, i.e. 256 is the knee for both paths.
+    Since r5 this failure class also cannot break a training run: the
+    entry points compile through train_step_with_bptt_fallback
     (train/experiments.py), which degrades any fused-BPTT compile
-    failure to the XLA scan and logs it.
+    failure to the XLA scan (whose remat trades the residuals for
+    recompute) and logs it.
 
 ROOT CAUSE of the old ceiling (r4, tools/probe_bptt_b64.py): a
 scoped-VMEM stack OOM, reported only when run under a child that captures

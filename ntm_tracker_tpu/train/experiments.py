@@ -131,9 +131,13 @@ class OffsetExperiment:
         )
         return jax.vmap(fn)(images, cropboxes)
 
-    def crops_to_tokens(self, crops: jax.Array) -> jax.Array:
+    def crops_to_tokens(self, crops: jax.Array, vgg_params=None) -> jax.Array:
         """[B*L,224,224,3] -> [B, L, 64, 512] frozen VGG tokens."""
-        toks = frame_tokens(self.cfg, self.vgg_params, crops)
+        toks = frame_tokens(
+            self.cfg,
+            self.vgg_params if vgg_params is None else vgg_params,
+            crops,
+        )
         L = self.cfg.train.sequence_length
         B = toks.shape[0] // L
         return toks.reshape(B, L, self.cfg.num_features, self.cfg.feature_depth)
@@ -152,6 +156,13 @@ class OffsetExperiment:
             B = f.shape[0] // L
             return f.reshape(B, L, cfg.num_features, cfg.feature_depth)
         crops = self.images_to_crops(batch["images"], batch["cropboxes"])
+        # "vgg_params" in the batch overrides the experiment's frozen VGG:
+        # the train_step_with_bptt_fallback wrapper injects it so the VGG
+        # enters the jitted step as an ARGUMENT, not a 59 MB closure
+        # constant (shared compiles + small cache entries — same design
+        # as tracking/tracker.build_frame_step)
+        if "vgg_params" in batch:
+            return self.crops_to_tokens(crops, batch["vgg_params"])
         return self.crops_to_tokens(crops)
 
     def loss_fn(self, params: Any, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict]:
@@ -584,7 +595,23 @@ def train_step_with_bptt_fallback(exp, build=None):
 
     if build is None:
         def build(e):
-            return jax.jit(e.make_train_step(), donate_argnums=(0, 1))
+            jitted = jax.jit(e.make_train_step(), donate_argnums=(0, 1))
+            vgg = getattr(e, "vgg_params", None)
+            if vgg is None:
+                return jitted
+
+            # inject the frozen VGG into the batch OUTSIDE the jit: it
+            # enters the step as an argument pytree, so the compiled
+            # executable embeds no weight constants (trains with
+            # different inits share one compile; cache entries shrink
+            # from ~65 MB to ~2 MB). The pjit build path (CLI) keeps its
+            # own build fn — its batch sharding must not see extra keys.
+            def call(params, opt_state, batch):
+                b = dict(batch)
+                b["vgg_params"] = vgg
+                return jitted(params, opt_state, b)
+
+            return call
 
     state = {"step": build(exp), "first": True}
 

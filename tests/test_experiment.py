@@ -274,3 +274,28 @@ class TestBpttCompileFallback:
         params, opt_state, m = step(params, opt_state, batch)
         assert not step.fell_back
         assert np.isfinite(float(m["loss"]))
+
+
+def test_vgg_as_argument_matches_closure_constant():
+    """train_step_with_bptt_fallback injects the frozen VGG into the batch
+    so it compiles as an ARGUMENT; the step must be numerically identical
+    to the closure-constant path (same math, different binding)."""
+    from ntm_tracker_tpu.train.experiments import train_step_with_bptt_fallback
+
+    cfg = tiny_cfg("ntm")
+    vgg = init_vgg_params(jax.random.PRNGKey(0))
+    exp = OffsetExperiment(cfg, vgg, image_mode="cropped")
+    params, opt_state = exp.init(jax.random.PRNGKey(1))
+    batch = {k: jnp.array(v) for k, v in
+             synthetic_offset_batch(cfg, np.random.RandomState(0)).items()}
+
+    const_step = jax.jit(exp.make_train_step())
+    p1, o1, m1 = const_step(params, opt_state, batch)
+
+    arg_step = train_step_with_bptt_fallback(exp)
+    p2, o2, m2 = arg_step(params, opt_state, batch)
+
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
