@@ -15,13 +15,14 @@ import time
 import numpy as np
 
 # Wall-clock held back from the bench budget for the TRACK accuracy
-# artifact. Measured r4: the full artifact (2 cores x [compiles ~350s +
-# 400-step training ~50s + scene sweep + drift probe]) runs ~930-990s;
-# ~700s is the compile/eval floor that survives even when the deadline
-# adapter trims the trainings. Secondary bench phases only run if they
-# fit in remaining - reserve; the artifact itself also stops training
-# early when the deadline nears, so the reserve is a floor, not a promise.
-_TRACK_RESERVE_S = 700.0
+# artifact. Measured r5 (weights-as-arguments refactor: per-core train
+# compiles fell from ~190s to seconds): the full artifact including the
+# scale-head stage runs 348-575s cold and ~330s warm. 620s keeps margin
+# for a degraded tunnel window while leaving spare for the baked-headline
+# child; the artifact itself also stops training early (with the
+# 200-step fidelity floor) when the deadline nears, so the reserve is a
+# floor, not a promise.
+_TRACK_RESERVE_S = 620.0
 
 # Regression tripwire vs the previous round's driver-recorded bench
 # (BENCH_r{N-1}.json): if any field BOTH rounds measured drops more than
@@ -413,11 +414,16 @@ def main(deadline: float | None = None):
     # spare beyond the TRACK reserve: with the committed warm cache the
     # child is a seconds-scale hit; a cold slow window gets abandoned at
     # the timeout and the args number stands (variant field says which).
+    # Window economics (measured r5): the baked program costs 2.5-8+ min
+    # of TUNNEL time whether compiling or loading the committed 71 MB
+    # cache entry (8m20s observed in a degraded window at 4.5s of CPU) —
+    # so the child lands in good windows and is abandoned in bad ones;
+    # either way TRACK keeps its reserve.
     headline_variant = "weights-as-args"
     throughput_args = throughput
     if platform != "cpu":
-        spare = remaining() - _TRACK_RESERVE_S - 150  # parent re-measure
-        budget = min(700.0, spare)
+        spare = remaining() - _TRACK_RESERVE_S - 180  # parent re-measure
+        budget = min(500.0, spare)
         if _warm_baked_headline(best_batch, budget):
             try:
                 baked_fps, _ = bench_batch(best_batch, iters=20,
