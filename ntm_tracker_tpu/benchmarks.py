@@ -49,12 +49,10 @@ _TRIPWIRE_FIELDS = (
 _VARIANT_DEPENDENT = ("value", "mfu")
 
 
-def _previous_bench_metrics(root: str):
-    """(round_n, metrics) from the newest BENCH_r*.json the driver left at
-    the repo root, or (None, None). The driver records {"parsed": {...}}
-    when the JSON line survived its tail window; otherwise the line is
-    embedded (possibly head-truncated) in "tail" and the fields are
-    recovered by regex."""
+def _latest_bench_record(root: str):
+    """(round_n, path) of the newest BENCH_r*.json the driver left at the
+    repo root, or (0, None) — THE round-numbering scan, shared by the
+    regression tripwire and the TRACK artifact's round derivation."""
     import glob
     import os
     import re
@@ -64,6 +62,17 @@ def _previous_bench_metrics(root: str):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if m and int(m.group(1)) > best_n:
             best_n, best_path = int(m.group(1)), f
+    return best_n, best_path
+
+
+def _previous_bench_metrics(root: str):
+    """(round_n, metrics) from the newest BENCH_r*.json, or (None, None).
+    The driver records {"parsed": {...}} when the JSON line survived its
+    tail window; otherwise the line is embedded (possibly head-truncated)
+    in "tail" and the fields are recovered by regex."""
+    import re
+
+    best_n, best_path = _latest_bench_record(root)
     if best_path is None:
         return None, None
     try:
@@ -77,7 +86,8 @@ def _previous_bench_metrics(root: str):
     tail = rec.get("tail") or ""
     metrics = {}
     for key in _TRIPWIRE_FIELDS:
-        hits = re.findall(rf'"{key}": (null|-?[0-9.eE+]+)', tail)
+        hits = re.findall(
+            rf'"{key}": (null|-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)', tail)
         if hits and hits[-1] != "null":
             try:
                 metrics[key] = float(hits[-1])
@@ -424,19 +434,34 @@ def main(deadline: float | None = None):
     if platform != "cpu":
         spare = remaining() - _TRACK_RESERVE_S - 180  # parent re-measure
         budget = min(500.0, spare)
-        if _warm_baked_headline(best_batch, budget):
+        # the parent's own re-measure must RE-gate on what the child left:
+        # loading the baked program costs tunnel time too, and overrunning
+        # here would eat the TRACK reserve — the exact failure it guards
+        if (_warm_baked_headline(best_batch, budget)
+                and remaining() - _TRACK_RESERVE_S > 120):
             try:
                 baked_fps, _ = bench_batch(best_batch, iters=20,
                                            bake_weights=True)
-                headline_variant = "baked-constants"
-                throughput = max(throughput, baked_fps)
+                if baked_fps >= throughput_args:
+                    headline_variant = "baked-constants"
+                    throughput = baked_fps
+                else:
+                    # a degraded window can measure baked BELOW args; the
+                    # published value then stays args and the variant
+                    # field must say so (the tripwire's variant matching
+                    # depends on it)
+                    print("bench: baked re-measure "
+                          f"({baked_fps:.1f} f/s) below the args number "
+                          f"({throughput_args:.1f}); keeping "
+                          "weights-as-args as the headline",
+                          file=sys.stderr)
             except Exception as e:  # never let the re-measure kill bench
                 print(f"bench: baked headline re-measure skipped: {e}",
                       file=sys.stderr)
         else:
-            print("bench: budget: skipping headline_baked (baked compile "
-                  f"did not finish within {budget:.0f}s spare; "
-                  "weights-as-args number stands)", file=sys.stderr)
+            print("bench: budget: skipping headline_baked (baked program "
+                  f"not ready within {budget:.0f}s spare; weights-as-args "
+                  "number stands)", file=sys.stderr)
             skipped.append("headline_baked")
         phase_done("headline_baked")
 
@@ -590,23 +615,16 @@ def _write_track_artifact(deadline: float | None = None):
     alone cuts the 200-step drift to 2.59 px — with better scene IoUs);
     `deadline` additionally stops each core's training early so the
     artifact always completes inside the budget."""
-    import glob
     import os
-    import re
 
     from ntm_tracker_tpu.tools.track_artifact import write_artifact
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ns = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(root, "BENCH_r*.json"))
-        for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
-        if m
-    ]
     # max+1 over every BENCH_r*.json already lands past all closed rounds:
     # re-running bench within the SAME round refreshes TRACK_r0N, while a
     # round closed by a BENCH record can never lose its accuracy artifact
-    n = max(ns, default=0) + 1
+    # (the scan is shared with the regression tripwire)
+    n = _latest_bench_record(root)[0] + 1
     steps = int(os.environ.get("NTM_TRACK_STEPS", "400"))
     write_artifact(os.path.join(root, f"TRACK_r{n:02d}.json"), steps,
                    deadline=deadline)

@@ -82,7 +82,12 @@ def build_dataset(cfg, vgg, n_seqs: int, seed: int, chunk: int = 128):
     d = cfg.data
     L = cfg.train.sequence_length
     rng = np.random.RandomState(seed)
-    tok_fn = jax.jit(lambda crops: frame_tokens(cfg, vgg, crops))
+    # VGG as a jit ARGUMENT (CLAUDE.md round-5 invariant): no 59 MB
+    # closure constant, no per-weight-value compile/cache entry
+    tok_jit = jax.jit(lambda v, crops: frame_tokens(cfg, v, crops))
+
+    def tok_fn(crops):
+        return tok_jit(vgg, crops)
 
     feats, gts, yos, xos = [], [], [], []
     frames_buf, crops_buf = [], []
@@ -202,9 +207,9 @@ def main() -> int:
          f"(eval path compiled in {time.time() - t_eval0:.0f}s)")
 
     loss_curve, iou_curve = [], [(0, round(untrained, 4))]
-    best = untrained
     t0 = time.time()
     steps_done = 0
+    m = None
     stop_reason = "max_steps"
     for i in range(args.max_steps):
         params, opt_state, m = step(params, opt_state, batch)
@@ -227,10 +232,17 @@ def main() -> int:
                          f"{iou_curve[-2][1]:.3f}/{iou_curve[-1][1]:.3f} "
                          f"vs best {prev_best:.3f} (+<{args.min_gain})")
                     break
-            best = max(best, iou)
-    float(m["loss"])  # hard sync (CLAUDE.md: value fetch, not block_until_ready)
+    if m is not None:
+        float(m["loss"])  # hard sync (CLAUDE.md: value fetch, not block_until_ready)
     train_s = time.time() - t0
 
+    # trained_iou must describe the FINAL params: when max_steps is not a
+    # multiple of eval_every (or eval_every > max_steps), training ran
+    # past the last recorded eval — evaluate once more at steps_done
+    if iou_curve[-1][0] != steps_done:
+        iou = eval_iou(params)
+        iou_curve.append((steps_done, round(iou, 4)))
+        _log(f"final eval at step {steps_done}: IoU {iou:.3f}")
     trained = iou_curve[-1][1]
     scenes = []
     for scene in SCENES:

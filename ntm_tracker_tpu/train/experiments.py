@@ -585,9 +585,11 @@ def train_step_with_bptt_fallback(exp, build=None):
     on any exception while the fused path could have been active
     (core="ntm", fused_bptt not already False), the experiment is rebuilt
     via disable_fused_bptt and the call retried once on the XLA scan —
-    a second failure propagates (the error was never the kernel's).
-    Donated buffers are safe to retry: donation consumes inputs only at
-    execution, and compile failures raise before execution starts.
+    a second failure propagates chained to the original (the error was
+    never the kernel's — or, for a RUNTIME failure after donation already
+    consumed params/opt_state, the retry's deleted-buffer error carries
+    the real first error as its __cause__). Donated buffers are safe to
+    retry after COMPILE failures, which raise before execution starts.
 
     The returned callable exposes `.fell_back` (bool) for tests/logs.
     """
@@ -632,7 +634,14 @@ def train_step_with_bptt_fallback(exp, build=None):
                 file=sys.stderr, flush=True,
             )
             state["step"] = build(disable_fused_bptt(exp))
-            out = state["step"](*args, **kwargs)
+            try:
+                out = state["step"](*args, **kwargs)
+            except Exception as e2:
+                # e.g. a RUNTIME failure after donation consumed the
+                # params/opt_state buffers makes the retry see
+                # "Array has been deleted" — chain the ORIGINAL error so
+                # it stays diagnosable instead of being masked
+                raise e2 from e
             step.fell_back = True
         state["first"] = False
         return out
