@@ -348,6 +348,14 @@ def main(deadline: float | None = None):
                 B *= 2
             else:
                 break
+            # deadline-aware sweep (r5: one degraded tunnel window cost a
+            # single sweep 1811s and starved everything downstream) —
+            # best-so-far stands, the TRACK reserve survives
+            if remaining() < _TRACK_RESERVE_S + 250:
+                print(f"bench: budget: stopping the batch sweep at B="
+                      f"{best_batch} (remaining {remaining():.0f}s)",
+                      file=sys.stderr)
+                break
         throughput = best
         phase_done("headline_sweep")
         # single-stream tracking latency at B=1, with dispersion: the
@@ -387,7 +395,9 @@ def main(deadline: float | None = None):
     # Cheapest secondary phase, so it runs first under the budget gates.
     train_fps = train_ms = None
     train_shape = (256, 20)  # measured knee; ONE site for measure + FLOPs
-    if platform != "cpu" and gate("cached_train", 310):  # r4 measured 300.7s
+    # est 150: measured 103-119s in r5's COLD rehearsals (the fused-BPTT
+    # Mosaic compile is the only nontrivial piece and it caches well)
+    if platform != "cpu" and gate("cached_train", 150):
         try:
             train_fps, train_ms = _cached_train_throughput(*train_shape)
         except Exception as e:  # never let the secondary metric kill bench
@@ -401,7 +411,7 @@ def main(deadline: float | None = None):
     # end-to-end number for uniform-frame fleet serving, raw 360x640
     # frames in, pixel regions out
     devloop_fps = None
-    if platform != "cpu" and gate("device_loop", 100):  # r4 measured 85.5s
+    if platform != "cpu" and gate("device_loop", 60):  # r5 measured 25-47s
         try:
             devloop_fps = _device_loop_throughput(
                 cfg, core, vgg_params, params, best_batch)
