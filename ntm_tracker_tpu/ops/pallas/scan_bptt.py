@@ -129,8 +129,12 @@ f32 = jnp.float32
 #      64      247 ms          46 s     <- default (207.8 ms post-
 #     128      227 ms         5.4 min      scratch-store — the shipped
 #     256      (compile >15 min; rejected) kernel; see module docstring)
-# NTM_FUSED_BPTT_BATCH_TILE=128 bought +9% in that sweep for long
-# production runs that can eat the one-off compile.
+# NTM_FUSED_BPTT_BATCH_TILE=128 bought +9% in that sweep, but the
+# advantage did NOT survive the scratch-store swap: re-measured r5
+# (post-scratch-store, same B=256/T=1300 shape) tile 128 is 212.0 ms vs
+# tile 64's 207.8 ms, with its compile down to 71 s — the per-column
+# work the bigger tile used to amortize is what the swap eliminated.
+# The env override remains for tile experiments only; 64 wins outright.
 #
 # Post-scratch-store the compile-time balance FLIPPED: tile-64 kernels
 # now compile in 17-46 s but the NARROW tile (Bt=32, taken automatically
