@@ -438,7 +438,10 @@ def main(deadline: float | None = None):
     # of TUNNEL time whether compiling or loading the committed 71 MB
     # cache entry (8m20s observed in a degraded window at 4.5s of CPU) —
     # so the child lands in good windows and is abandoned in bad ones;
-    # either way TRACK keeps its reserve.
+    # either way TRACK keeps its reserve. Re-measuring ONLY best_batch is
+    # sound: the knee is variant-independent (r5 probe: baked B=512 is
+    # 8031.5 f/s vs 7981.3 at the args-swept B=256 knee — +0.6%, under
+    # the sweep's own 3% threshold).
     headline_variant = "weights-as-args"
     throughput_args = throughput
     if platform != "cpu":
