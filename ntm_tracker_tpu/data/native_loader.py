@@ -4,7 +4,6 @@ fallback to the pure-Python reader (data/preprocess.read_frame_record)."""
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import List, Sequence, Tuple
 
 import numpy as np

@@ -24,7 +24,7 @@ import dataclasses
 import os
 import xml.etree.ElementTree as ET
 from multiprocessing import Pool
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

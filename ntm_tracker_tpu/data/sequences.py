@@ -8,7 +8,6 @@ sevenbyseven_get_batch <- :144-157 (concatenated frame paths).
 from __future__ import annotations
 
 import os
-import random
 from typing import List, Sequence, Tuple
 
 SeqEntry = Tuple[str, List[str]]

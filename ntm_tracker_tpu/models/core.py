@@ -9,7 +9,7 @@ serialization, loss, harness). Here that is one experiment parameterized by
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

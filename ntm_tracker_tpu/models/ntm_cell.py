@@ -28,7 +28,7 @@ reference's state dict (ntm_cell.py:223-228), so the streaming
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 _CACHE: dict[str, ctypes.CDLL] = {}

@@ -28,7 +28,7 @@ matches its rollout at <=1e-4 (fixture from tests/gen_tf_goldens.py).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -23,7 +23,6 @@ Optionally --trace DIR captures a jax.profiler trace of the baseline step.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-from typing import Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ math, data-dependent on the image size): _get_bbox/_decode_bbox/_update_bbox
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 import collections
 import copy
 import os
-import sys
 from typing import List, Optional, Union
 
 try:  # pragma: no cover - optional dependency

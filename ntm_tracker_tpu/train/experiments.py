@@ -21,7 +21,6 @@ from ntm_tracker_tpu.config import NTMConfig, TrackerConfig
 from ntm_tracker_tpu.data.image_ops import preprocess_frame
 from ntm_tracker_tpu.models.core import MemoryCore, make_core
 from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll
-from ntm_tracker_tpu.models.ntm_cell import init_ntm_params
 from ntm_tracker_tpu.models.vgg import extract_features, vgg16_features
 from ntm_tracker_tpu.train.optim import reference_optimizer
 from ntm_tracker_tpu.train.serialize import (

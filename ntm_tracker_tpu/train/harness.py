@@ -13,10 +13,9 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 
 @dataclasses.dataclass

@@ -18,8 +18,6 @@ Exact re-expression of the reference's input construction
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

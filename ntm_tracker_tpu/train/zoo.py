@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pickle
 import random as _random
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from ntm_tracker_tpu.config import NTMConfig
 from ntm_tracker_tpu.models.ntm_tracker import ntm_tracker_unroll, two_step_inputs
 from ntm_tracker_tpu.ops.lstm import init_lstm_params, multi_lstm_step, zero_lstm_state
 from ntm_tracker_tpu.ops.memory import batched_smooth_cosine_similarity
-from ntm_tracker_tpu.train.serialize import gather_delimiter_outputs
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
