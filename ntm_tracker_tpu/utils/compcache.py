@@ -10,7 +10,15 @@ that fixed cost across processes: the driver's end-of-round `bench.py`
 run re-hits the executables this session already built. Verified on the
 tunneled axon backend (a 61 KB `jit_f-*-cache` executable entry was
 written by the r4 probe, and a warm second process dropped first-call
-time ~4.6x even with the tunnel mid-degradation).
+time ~4.6x even with the tunnel mid-degradation). The key STRIPS
+source-location debug info (verified r5: identical keys for the same
+function shifted 5 lines, and a TPU run after an import-only refactor
+of tracker.py/experiments.py re-hit every committed entry), so source
+edits that don't change the traced computation keep the cache valid.
+Caveat on load cost: hitting is not free over the tunnel — a warm
+B=256 frame-step load measured 603 s in a degraded window (r5) vs
+seconds in a good one, which is why the bench's phase gates re-check
+the remaining budget after every load.
 
 Scope discipline: the cache is enabled ONLY from process entry points
 (`bench.py`, `tools/track_artifact.py`, `__graft_entry__.py`) — never at
