@@ -15,10 +15,17 @@ source-location debug info (verified r5: identical keys for the same
 function shifted 5 lines, and a TPU run after an import-only refactor
 of tracker.py/experiments.py re-hit every committed entry), so source
 edits that don't change the traced computation keep the cache valid.
-Caveat on load cost: hitting is not free over the tunnel — a warm
-B=256 frame-step load measured 603 s in a degraded window (r5) vs
-seconds in a good one, which is why the bench's phase gates re-check
-the remaining budget after every load.
+The converse caveat (also measured r5): programs that BAKE *trained*
+weights as constants (the TRACK artifact's device loops and eval
+programs) mint a fresh key every run — TPU training is not
+bit-deterministic across processes even with fixed seeds (the rounded
+IoU metrics coincide; the weight bytes do not) — so committing their
+entries is pointless; only seeded-init programs (headline, entry(),
+the fused train step) have stable keys worth committing. Load cost:
+hitting is not free over the tunnel — a warm B=256 frame-step load
+measured 603 s in a degraded window (r5) vs seconds in a good one,
+which is why the bench's phase gates re-check the remaining budget
+after every load.
 
 Scope discipline: the cache is enabled ONLY from process entry points
 (`bench.py`, `tools/track_artifact.py`, `__graft_entry__.py`) — never at
